@@ -1,0 +1,125 @@
+"""Geometry without PostGIS (SURVEY §2.3 JOIN-5, §2.1 SNK-4).
+
+The reference uses Shapely `Polygon.contains(Point)` for runway/airport
+bbox containment (airports.py:44-49,83-88) and PostGIS ST_AsGeoJSON for
+export.  Here:
+
+- a point is a pair of double columns (lon, lat);
+- a polygon is an `array<struct<lon:double,lat:double>>` column
+  (closed or open ring — normalized internally);
+- containment is an even-odd ray-casting expression built from
+  `F.aggregate` over the vertex array — pure Catalyst expressions,
+  whole-stage-codegen'd, broadcast-join friendly (no UDF, no Python);
+- GeoJSON is assembled with string/JSON built-ins.
+
+Ray-casting matches Shapely's even-odd semantics for simple polygons;
+boundary points are implementation-defined in both (the reference's
+own tests only exercise strictly-inside / strictly-outside points).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def close_ring(poly: Column) -> Column:
+    """Ensure the ring is closed (first vertex == last); append the
+    first vertex if not."""
+    first = F.element_at(poly, 1)
+    last = F.element_at(poly, -1)
+    return F.when(
+        (first["lon"] == last["lon"]) & (first["lat"] == last["lat"]), poly
+    ).otherwise(F.concat(poly, F.array(first)))
+
+
+def point_in_polygon(lon: Column, lat: Column, poly: Column) -> Column:
+    """Even-odd ray casting: count edges crossed by the horizontal ray
+    from (lon, lat) to +inf.  O(vertices) per row; runway/airport rings
+    have ≤8 vertices (airports.py:129-153), so this is a handful of
+    codegen'd arithmetic ops per (point, polygon) pair.
+    """
+    ring = close_ring(poly)
+    n_edges = F.size(ring) - 1
+    idx = F.sequence(F.lit(1), n_edges)  # element_at is 1-based
+
+    def crosses(acc: Column, i: Column) -> Column:
+        a = F.element_at(ring, i)
+        b = F.element_at(ring, i + 1)
+        straddles = (a["lat"] > lat) != (b["lat"] > lat)
+        # x of the edge at the ray's latitude
+        x_at = (b["lon"] - a["lon"]) * (lat - a["lat"]) / (b["lat"] - a["lat"]) + a["lon"]
+        return acc + F.when(straddles & (lon < x_at), 1).otherwise(0)
+
+    crossings = F.aggregate(idx, F.lit(0), crosses)
+    return F.pmod(crossings, F.lit(2)) == 1
+
+
+def same_heading(
+    direction: Column,
+    heading: Column,
+    tolerance_deg: float = 20.0,
+    circular: bool = False,
+) -> Column:
+    """airports.py:51-67: is `heading` within ±tolerance of the runway
+    direction.
+
+    The reference compares plain ``abs(direction - heading) <= tol`` —
+    NO circular wrap (350° vs 10° do NOT match) — so that is the
+    default for parity.  ``circular=True`` adds the wrap-aware variant
+    as an engine extension.
+    """
+    diff = F.abs(direction - heading)
+    if circular:
+        diff = F.least(diff, F.lit(360.0) - diff)
+    return diff <= F.lit(tolerance_deg)
+
+
+# --------------------------------------------------------------------------
+# GeoJSON export (SNK-4; reference: ST_AsGeoJSON over paths/points/polygons,
+# create_public_schema.sql:225-236, create_meta_schema.sql:108-122)
+# --------------------------------------------------------------------------
+
+
+def _fmt(c: Column, decimals: int) -> Column:
+    """Fixed-decimal formatting (ST_AsGeoJSON's maxdecimaldigits), with
+    trailing-zero trim to match PostGIS output style."""
+    s = F.format_number(c.cast("double"), decimals)
+    s = F.regexp_replace(s, ",", "")           # format_number groups thousands
+    s = F.regexp_replace(s, r"0+$", "")         # trim trailing zeros
+    s = F.regexp_replace(s, r"\.$", "")         # trim bare point
+    return s
+
+
+def point_geojson(lon: Column, lat: Column, decimals: int = 6) -> Column:
+    return F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        _fmt(lon, decimals), F.lit(","), _fmt(lat, decimals),
+        F.lit("]}"),
+    )
+
+
+def linestring_geojson(coords: Column, decimals: int = 6) -> Column:
+    """coords: array<struct<lon,lat>> (time-ordered) → GeoJSON LineString."""
+    pair = lambda p: F.concat(
+        F.lit("["), _fmt(p["lon"], decimals), F.lit(","), _fmt(p["lat"], decimals), F.lit("]")
+    )
+    return F.concat(
+        F.lit('{"type":"LineString","coordinates":['),
+        F.array_join(F.transform(coords, pair), ","),
+        F.lit("]}"),
+    )
+
+
+def polygon_geojson(ring: Column, decimals: int = 6) -> Column:
+    """ring: array<struct<lon,lat>> → GeoJSON Polygon (single ring,
+    closed automatically)."""
+    closed = close_ring(ring)
+    pair = lambda p: F.concat(
+        F.lit("["), _fmt(p["lon"], decimals), F.lit(","), _fmt(p["lat"], decimals), F.lit("]")
+    )
+    return F.concat(
+        F.lit('{"type":"Polygon","coordinates":[['),
+        F.array_join(F.transform(closed, pair), ","),
+        F.lit("]]}"),
+    )

@@ -1,0 +1,94 @@
+"""Edge (transition) detection, debounce, and intention classification
+(SURVEY §2.8 STATE-3, STATE-4, STATE-9).
+
+Reference semantics:
+- STATE-3 (models.py:218-228): on `onground` flip False→True emit a
+  *landing*, True→False emit a *takeoff*; the first observation only
+  initializes state (no event).
+- STATE-4 (models.py:256-270): suppress an event within 2 s of the
+  previous *candidate* event (the reference updates its last-event
+  timestamp even for suppressed events) — i.e. keep a candidate iff
+  its gap to the immediately preceding candidate exceeds the window.
+  That is exactly `lag(ts) over (partition by key order by ts)`, no
+  iteration needed.
+- STATE-9 (models.py:37-49): intention classification
+  (departure/arrival/enroute/unknown) — declared in the reference but
+  never implemented; implemented here per its docstring.
+
+All three are window functions over partitionBy(key).orderBy(ts) —
+one shuffle on the key, shared with sessionization's partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import epoch_micros_float
+
+EVENT_DEBOUNCE_S = 2.0  # models.py:268
+
+
+def detect_onground_edges(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("hexident", "session_id"),
+    ts: str = "gen_date_time",
+    onground: str = "onground",
+) -> DataFrame:
+    """STATE-3: per session, ordered by time, find onground transitions.
+
+    Returns rows at the transition points with `event_type` ∈
+    {'landing', 'takeoff'}. Rows where onground is NULL don't carry the
+    field (FLT-3) and are ignored, matching the reference which only
+    calls update_onground when the message carries onground.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts)
+    carried = df.filter(F.col(onground).isNotNull())
+    prev = F.lag(onground).over(w)
+    return (
+        carried.withColumn("prev_onground", prev)
+        .filter(
+            F.col("prev_onground").isNotNull()
+            & (F.col("prev_onground") != F.col(onground))
+        )
+        .withColumn(
+            "event_type",
+            F.when(F.col(onground), F.lit("landing")).otherwise(F.lit("takeoff")),
+        )
+    )
+
+
+def debounce_events(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("hexident", "session_id"),
+    ts: str = "gen_date_time",
+    window_s: float = EVENT_DEBOUNCE_S,
+) -> DataFrame:
+    """STATE-4: keep a candidate event iff the gap to the previous
+    candidate (kept OR suppressed) exceeds `window_s`.
+
+    Because the reference advances its last-event clock on suppressed
+    events too, the predicate compares against lag(ts) over ALL
+    candidates — a single window pass, not an iterative recurrence.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts)
+    gap = epoch_micros_float(F.col(ts)) - F.lag(epoch_micros_float(F.col(ts))).over(w)
+    return (
+        events.withColumn("_gap", gap)
+        .filter(F.col("_gap").isNull() | (F.col("_gap") > window_s))
+        .drop("_gap")
+    )
+
+
+def classify_intention(flights: DataFrame) -> DataFrame:
+    """STATE-9 (models.py:37-49 docstring, never implemented in the
+    reference — extension): departure if first seen on ground, arrival
+    if it ends on ground / descending, else enroute; unknown when the
+    signals are absent."""
+    return flights.withColumn(
+        "intention",
+        F.when(F.col("first_onground") & ~F.coalesce(F.col("last_onground"), F.lit(False)), "departure")
+        .when(F.coalesce(F.col("last_onground"), F.lit(False)) & ~F.coalesce(F.col("first_onground"), F.lit(False)), "arrival")
+        .when(F.col("first_onground").isNull() & F.col("last_onground").isNull(), "unknown")
+        .otherwise("enroute"),
+    )

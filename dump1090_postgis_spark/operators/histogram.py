@@ -1,0 +1,105 @@
+"""Time-binned event histograms with zero-fill (SURVEY §2.4 AGG-1 +
+§2.3 JOIN-3; reference create_public_schema.sql:182-200 UTC variant,
+:286-307 and :480-502 Europe/Paris variants).
+
+Semantics matched:
+- bin ∈ {hour, day, week, month, year} (validated in Python — the
+  reference interpolates `CONCAT('1 ', bin)::interval`);
+- counts + array_agg(flight_id) per bin;
+- bins with no events appear with count 0 / empty list (LEFT OUTER
+  JOIN from a generated time axis);
+- ORDER BY time ASC (SRT-1).
+
+Scale notes: the aggregate side is a map-side-combinable groupBy on
+the truncated timestamp (low cardinality ⇒ tiny shuffle). The time
+axis is a few thousand rows at most → broadcast; Catalyst plans
+BroadcastHashJoin with the axis as the build side. At 100 TB the only
+heavy stage is the scan+partial-agg, which is the floor for any
+histogram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import bin_interval, to_local, validate_bin
+
+
+def time_axis_df(
+    spark: SparkSession, starts, ends, bin_: str, axis_col: str = "interval"
+) -> DataFrame:
+    """JOIN-3 zero-fill axis: generate_series(date_trunc(bin, starts),
+    date_trunc(bin, ends), '1 bin') as a one-column DataFrame."""
+    b = validate_bin(bin_)
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.date_trunc(b, F.lit(starts).cast("timestamp_ntz")),
+                F.date_trunc(b, F.lit(ends).cast("timestamp_ntz")),
+                bin_interval(b),
+            )
+        ).alias(axis_col)
+    )
+
+
+def events_histogram(
+    events: DataFrame,
+    starts,
+    ends,
+    bin_: str = "hour",
+    ts: str = "time",
+    id_col: str = "flight_id",
+    tz: str | None = None,
+) -> DataFrame:
+    """AGG-1: zero-filled histogram of events between `starts`/`ends`.
+
+    Returns columns: interval (bin start), events (count, 0 for empty
+    bins), ids (sorted id list; empty for empty bins). When ``tz``
+    is given, binning happens in that timezone's local wall-clock
+    (reference's Europe/Paris variants).
+    """
+    b = validate_bin(bin_)
+    spark = events.sparkSession
+
+    t = F.col(ts)
+    if tz:
+        t = to_local(t, tz)
+        lo = to_local(F.lit(starts).cast("timestamp_ntz"), tz)
+        hi = to_local(F.lit(ends).cast("timestamp_ntz"), tz)
+    else:
+        lo = F.lit(starts).cast("timestamp_ntz")
+        hi = F.lit(ends).cast("timestamp_ntz")
+
+    binned = (
+        events.filter((t >= lo) & (t < hi))
+        .groupBy(F.date_trunc(b, t).alias("interval"))
+        .agg(
+            F.count(id_col).alias("events"),
+            F.array_sort(F.collect_list(id_col)).alias("ids"),
+        )
+    )
+
+    axis = (
+        time_axis_df(spark, starts, ends, b)
+        if tz is None
+        else spark.range(1).select(
+            F.explode(
+                F.sequence(
+                    F.date_trunc(b, to_local(F.lit(starts).cast("timestamp_ntz"), tz)),
+                    F.date_trunc(b, to_local(F.lit(ends).cast("timestamp_ntz"), tz)),
+                    bin_interval(b),
+                )
+            ).alias("interval")
+        )
+    )
+
+    return (
+        axis.join(binned, "interval", "left")
+        .select(
+            F.col("interval"),
+            F.coalesce(F.col("events"), F.lit(0)).cast("long").alias("events"),
+            F.coalesce(F.col("ids"), F.array().cast("array<bigint>")).alias("ids"),
+        )
+        .orderBy("interval")
+    )

@@ -1,0 +1,181 @@
+"""SBS-1 line parsing and normalization (SURVEY §2.1 SRC-3, §2.2 PRJ-1..5,
+FLT-1..4).
+
+Reference behavior being matched (not ported):
+- malformed-line gate: exactly 22 comma-separated fields
+  (adsb_parser.py:41-66,288-291)
+- regex field extraction of 20 fields (adsb_parser.py:176-195)
+- per-field cast with ValueError→None, i.e. failed cast → NULL
+  (adsb_parser.py:256-261) — Spark's cast gives exactly this
+- timestamp 'yyyy/MM/dd,HH:mm:ss.SSS' → UTC (adsb_parser.py:27,203-206)
+- callsign: strip; empty → NULL (adsb_parser.py:207)
+- booleans: wire '-1' → true, else false (adsb_parser.py:215-218)
+- ft→m conversion 0.3048 (shared.py:5-7)
+- altitude band filter with optional strict NULL rejection
+  (adsb_parser.py:294-357)
+- MSG-type field dispatch: which fields each transmission type
+  carries (models.py:146-190)
+
+Everything here is a declarative projection — whole-stage-codegen'd by
+Catalyst, no Python in the hot path. On 100 TB of raw lines this runs
+scan→project→filter with nothing to shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import N_SBS1_FIELDS, SBS1_FIELDS
+
+FT_TO_M = 0.3048  # shared.py:5-7
+GND_ALTITUDE_M = 0.0  # models.py:32-34: MSG2 carries no altitude → ground level
+
+# models.py:161-167 — fields updated per transmission type.
+MSG_FIELDS = {
+    1: ["callsign", "onground"],
+    2: ["speed", "latitude", "longitude", "onground"],
+    3: ["altitude", "latitude", "longitude", "onground"],
+    4: ["speed", "track", "verticalrate", "onground"],
+    5: ["altitude", "verticalrate"],
+    6: [],  # squawk only; ignored by flight state (models.py:168-171)
+    7: [],  # altitude; ignored
+    8: ["onground"],
+}
+
+
+def gate_malformed(lines: DataFrame, col: str = "value") -> DataFrame:
+    """SRC-3: keep only lines with exactly 22 comma-separated fields.
+
+    `split` with limit -1 keeps trailing empty fields, matching
+    Python's str.split(',') used by the reference gate.
+    """
+    return lines.filter(
+        F.size(F.split(F.col(col), ",", -1)) == F.lit(N_SBS1_FIELDS)
+    )
+
+
+def _bool_from_wire(c: Column) -> Column:
+    """Wire booleans: '-1' → true; any other parseable value → false;
+    unparseable/empty → NULL (adsb_parser.py:215-218, 256-261)."""
+    i = c.try_cast("int")
+    return F.when(i.isNull(), F.lit(None).cast("boolean")).otherwise(i == -1)
+
+
+def parse_sbs1_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+    """PRJ-1..4: one SBS-1 CSV line → normalized typed message row.
+
+    Applies the SRC-3 gate, splits positionally (the reference's named
+    regex groups are positional CSV fields), casts each field with
+    NULL-on-failure, parses the split date/time pairs into UTC
+    timestamps, trims the callsign (empty → NULL).
+    """
+    gated = gate_malformed(lines, col)
+    parts = F.split(F.col(col), ",", -1)
+    fields = {name: parts.getItem(i) for i, name in enumerate(SBS1_FIELDS)}
+
+    def ts(date_col: Column, time_col: Column) -> Column:
+        # '2019/10/20' + '11:33:40.311' — reference parses with isoparser
+        # and attaches UTC (adsb_parser.py:27,203-206).
+        return F.try_to_timestamp(
+            F.concat_ws(" ", date_col, time_col), F.lit("yyyy/MM/dd HH:mm:ss.SSS")
+        )
+
+    return gated.select(
+        fields["transmission_type"].try_cast("int").alias("transmission_type"),
+        fields["session"].try_cast("int").alias("session"),
+        fields["aircraft"].try_cast("int").alias("aircraft"),
+        fields["hexident"].alias("hexident"),
+        fields["flight"].try_cast("int").alias("flight"),
+        ts(fields["gen_date"], fields["gen_time"]).alias("gen_date_time"),
+        ts(fields["log_date"], fields["log_time"]).alias("log_date_time"),
+        F.nullif(F.trim(fields["callsign"]), F.lit("")).alias("callsign"),
+        fields["altitude"].try_cast("int").alias("altitude"),
+        fields["speed"].try_cast("int").alias("speed"),
+        fields["track"].try_cast("int").alias("track"),
+        fields["latitude"].try_cast("double").alias("latitude"),
+        fields["longitude"].try_cast("double").alias("longitude"),
+        fields["verticalrate"].try_cast("int").alias("verticalrate"),
+        fields["squawk"].try_cast("int").alias("squawk"),
+        _bool_from_wire(fields["alert"]).alias("alert"),
+        _bool_from_wire(fields["emergency"]).alias("emergency"),
+        _bool_from_wire(fields["spi"]).alias("spi"),
+        _bool_from_wire(fields["onground"]).alias("onground"),
+    )
+
+
+def feet_to_meters(c: Column) -> Column:
+    """PRJ-5 (shared.py:5-7)."""
+    return c * F.lit(FT_TO_M)
+
+
+def with_altitude_m(df: DataFrame) -> DataFrame:
+    """Altitude in meters; MSG2 (no altitude field) → ground constant
+    (PRJ-8, models.py:32-34,208-213)."""
+    alt_m = feet_to_meters(F.col("altitude").cast("double"))
+    return df.withColumn(
+        "altitude_m",
+        F.when(F.col("transmission_type") == 2, F.lit(GND_ALTITUDE_M)).otherwise(
+            alt_m
+        ),
+    )
+
+
+def altitude_filter(
+    df: DataFrame,
+    above: float = -1000.0,
+    below: float = 100000.0,
+    strict: bool = False,
+    col: str = "altitude",
+) -> DataFrame:
+    """FLT-1 (adsb_parser.py:294-357): keep above < altitude < below.
+
+    Non-strict mode passes NULL altitudes through (the reference's
+    filter returns True when the message carries no altitude); strict
+    mode rejects them.
+    """
+    alt = F.col(col)
+    in_band = (alt > F.lit(above)) & (alt < F.lit(below))
+    if strict:
+        return df.filter(alt.isNotNull() & in_band)
+    return df.filter(alt.isNull() | in_band)
+
+
+def admission_predicate() -> Column:
+    """FLT-2 (flights.py:92-93): a new flight is admitted iff the first
+    message is MSG2, or MSG3 passing the altitude filter (the altitude
+    filter itself is applied by the caller)."""
+    return F.col("transmission_type").isin(2, 3)
+
+
+def dispatch_fields(df: DataFrame) -> DataFrame:
+    """FLT-3 (models.py:146-190): blank out fields a transmission type
+    does not carry, so downstream per-session 'last non-null wins'
+    accumulation (AGG-6) only sees fields the message actually updates.
+    """
+    out = df
+    for field in ["callsign", "altitude", "speed", "track", "latitude",
+                  "longitude", "verticalrate", "onground"]:
+        carrying = [t for t, fs in MSG_FIELDS.items() if field in fs]
+        out = out.withColumn(
+            field,
+            F.when(F.col("transmission_type").isin(carrying), F.col(field)),
+        )
+    return out
+
+
+def position_validity(df: DataFrame) -> DataFrame:
+    """FLT-4 (models.py:194-213): a MSG3 row yields a position only when
+    lon AND lat AND altitude are all non-null; MSG2 needs lon AND lat."""
+    msg3_ok = (
+        (F.col("transmission_type") == 3)
+        & F.col("longitude").isNotNull()
+        & F.col("latitude").isNotNull()
+        & F.col("altitude").isNotNull()
+    )
+    msg2_ok = (
+        (F.col("transmission_type") == 2)
+        & F.col("longitude").isNotNull()
+        & F.col("latitude").isNotNull()
+    )
+    return df.filter(msg3_ok | msg2_ok)

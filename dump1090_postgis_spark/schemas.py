@@ -1,0 +1,230 @@
+"""Declared schemas (no inference anywhere — parity with the reference's
+SQLAlchemy models / DDL, see SURVEY.md §1.2).
+
+Reference evidence:
+- message fields: /root/reference/src/dump1090_postgis/adsb_parser.py:176-219
+- flights/positions/landings/takeoffs DDL:
+  /root/reference/database/sql/create_public_schema.sql:539-683
+- dimension tables: /root/reference/database/sql/create_meta_schema.sql:40-184
+
+Geometry mapping: the reference stores PostGIS POINTZ / Polygon
+(SRID 4326).  Spark has no native geo type, so a position is a struct
+(lon, lat, alt_m) and a polygon is an array<struct<lon,lat>> — WGS84
+implied, altitude in meters (ft→m at parse time, shared.py:5-7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# SBS-1 wire format: 22 comma-separated fields per line.
+# Field order per adsb_parser.py:176-195 (named regex groups).
+# ---------------------------------------------------------------------------
+
+SBS1_FIELDS = [
+    "message_type",        # literal "MSG"
+    "transmission_type",   # 1-8
+    "session",
+    "aircraft",
+    "hexident",
+    "flight",
+    "gen_date",
+    "gen_time",
+    "log_date",
+    "log_time",
+    "callsign",
+    "altitude",            # feet
+    "speed",               # knots
+    "track",
+    "latitude",
+    "longitude",
+    "verticalrate",        # ft/min
+    "squawk",
+    "alert",
+    "emergency",
+    "spi",
+    "onground",            # wire: -1 = true, 0 = false
+]
+
+N_SBS1_FIELDS = len(SBS1_FIELDS)  # 22 — the malformed-line gate (SRC-3)
+
+# Raw, all-string CSV schema for from_csv (strings so that failed casts
+# can be applied explicitly with NULL-on-failure parity, PRJ-2).
+SBS1_RAW_SCHEMA = T.StructType(
+    [T.StructField(f, T.StringType(), True) for f in SBS1_FIELDS]
+)
+
+# ---------------------------------------------------------------------------
+# Normalized ADS-B message (post parse/normalize, PRJ-1..5).
+# Types per adsb_parser.py:197-219; failed cast → NULL.
+# ---------------------------------------------------------------------------
+
+ADSB_MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("transmission_type", T.IntegerType(), True),
+        T.StructField("session", T.IntegerType(), True),
+        T.StructField("aircraft", T.IntegerType(), True),
+        T.StructField("hexident", T.StringType(), True),
+        T.StructField("flight", T.IntegerType(), True),
+        T.StructField("gen_date_time", T.TimestampType(), True),
+        T.StructField("log_date_time", T.TimestampType(), True),
+        T.StructField("callsign", T.StringType(), True),
+        T.StructField("altitude", T.IntegerType(), True),      # feet
+        T.StructField("speed", T.IntegerType(), True),
+        T.StructField("track", T.IntegerType(), True),
+        T.StructField("latitude", T.DoubleType(), True),
+        T.StructField("longitude", T.DoubleType(), True),
+        T.StructField("verticalrate", T.IntegerType(), True),
+        T.StructField("squawk", T.IntegerType(), True),
+        T.StructField("alert", T.BooleanType(), True),
+        T.StructField("emergency", T.BooleanType(), True),
+        T.StructField("spi", T.BooleanType(), True),
+        T.StructField("onground", T.BooleanType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Core output tables (create_public_schema.sql:539-683)
+# ---------------------------------------------------------------------------
+
+FLIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("hexident", T.StringType(), False),
+        T.StructField("callsign", T.StringType(), True),
+        T.StructField("first_seen", T.TimestampType(), False),
+        T.StructField("last_seen", T.TimestampType(), True),
+        # enroute | departure | arrival | unknown (models.py:37-49)
+        T.StructField("intention", T.StringType(), True),
+    ]
+)
+
+POSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("flight_id", T.LongType(), False),
+        T.StructField("time", T.TimestampType(), False),
+        T.StructField("longitude", T.DoubleType(), True),
+        T.StructField("latitude", T.DoubleType(), True),
+        T.StructField("altitude_m", T.DoubleType(), True),  # meters (PRJ-5)
+        T.StructField("verticalrate", T.ShortType(), True),
+        T.StructField("track", T.ShortType(), True),
+        T.StructField("onground", T.BooleanType(), True),
+    ]
+)
+
+EVENT_SCHEMA = T.StructType(  # landings / takeoffs (create_public_schema.sql:316-321)
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("flight_id", T.LongType(), False),
+        T.StructField("time", T.TimestampType(), False),
+        T.StructField("runway", T.StringType(), False),  # '03' | '21' | 'UNK'
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Dimension tables (create_meta_schema.sql, read via SRC-4 CSV loaders)
+# ---------------------------------------------------------------------------
+
+AIRLINE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("alias", T.StringType(), True),
+        T.StructField("iata", T.StringType(), True),
+        T.StructField("icao", T.StringType(), True),  # 3-char join key (JOIN-2)
+        T.StructField("callsign", T.StringType(), True),
+        T.StructField("country", T.StringType(), True),
+        T.StructField("active", T.StringType(), True),
+    ]
+)
+
+COUNTRY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), True),
+        T.StructField("code", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("continent", T.StringType(), True),
+        T.StructField("wikipedia_link", T.StringType(), True),
+        T.StructField("keywords", T.StringType(), True),
+    ]
+)
+
+POINT2D = T.StructType(
+    [
+        T.StructField("lon", T.DoubleType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+    ]
+)
+
+RUNWAY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("airport_icao", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),       # '03', '21', ...
+        T.StructField("direction", T.IntegerType(), False),  # deg rel. north
+        T.StructField("length", T.DoubleType(), True),
+        T.StructField("polygon", T.ArrayType(POINT2D), False),
+    ]
+)
+
+AIRPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("icao", T.StringType(), False),
+        T.StructField("iata", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("city", T.StringType(), True),
+        T.StructField("lon", T.DoubleType(), True),
+        T.StructField("lat", T.DoubleType(), True),
+        T.StructField("altitude", T.DoubleType(), True),
+        T.StructField("country", T.StringType(), True),
+        T.StructField("timezone", T.StringType(), True),
+        T.StructField("bbox", T.ArrayType(POINT2D), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Driver testdata tables (TESTDATA.md)
+# ---------------------------------------------------------------------------
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+# Columns written as parquet TIMESTAMP(NANOS) — Spark rejects these
+# unless spark.sql.legacy.parquet.nanosAsLong is on; we read them as
+# int64 nanoseconds and convert to TIMESTAMP_NTZ (micros, matching
+# DuckDB's truncation of the same files).
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def load_table(spark, sf_dir: str, name: str):
+    """Read one driver-generated parquet table (predicate/column pushdown
+    comes free from the parquet scan).
+
+    Also pins the session timezone to UTC so timestamp_ntz conversions
+    are wall-clock stable regardless of the host JVM timezone.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(
+                col,
+                F.expr(f"cast(timestamp_micros({col} div 1000) as timestamp_ntz)"),
+            )
+    return df

@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults match the test/bench environment (single JVM,
+``local[N]``); on a real cluster the same settings remain sensible:
+AQE on (runtime re-planning, skew-join handling, partition
+coalescing), Arrow on (fast pandas interchange for the few Pandas-UDF
+operators), UTC session timezone (all reference timestamps are UTC
+instants; local-time binning is explicit via convert_timezone).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dump1090_postgis_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master``/``shuffle_partitions`` default from the environment so the
+    same code runs under the bench harness (SPARK_GRAFT_CPUS) and on a
+    cluster (where ``master`` is injected by spark-submit and must NOT
+    be overridden here).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    if master:
+        builder = builder.master(master)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_for_engine(spark: SparkSession) -> SparkSession:
+    """Apply the session-level confs the engine's semantics rely on to an
+    externally-created session (e.g. the verification driver's).
+
+    Only runtime-settable confs; safe to call repeatedly.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

@@ -1,0 +1,96 @@
+"""Geometry parity with the reference's most rigorous suite
+(test_airports.py): point-in-polygon on the real NTE runway
+quadrilateral, heading tolerance boundaries (±20° exactly), runway
+attribution with bbox fallback and priority."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dump1090_postgis_spark.functions.geo import point_in_polygon, same_heading
+from dump1090_postgis_spark.operators.attribution import attribute_runway
+from dump1090_postgis_spark.sources.dims import nte_airport, nte_runways
+
+# Points relative to the real NTE geometry (airports.py:129-164):
+ON_RUNWAY = (-1.6113635, 47.15234925)     # centroid of the strip quad
+OFF_RUNWAY_IN_AIRPORT = (-1.606000, 47.153500)  # inside bbox, off strip
+FAR_AWAY = (-1.500000, 47.000000)
+
+
+def _contains(spark, pt, poly_df, poly_col):
+    df = spark.createDataFrame([pt], "px double, py double")
+    return (
+        df.crossJoin(poly_df)
+        .select(point_in_polygon(F.col("px"), F.col("py"), F.col(poly_col)).alias("c"))
+        .collect()
+    )
+
+
+def test_point_in_runway(spark):
+    rws = nte_runways(spark).limit(1)
+    assert _contains(spark, ON_RUNWAY, rws, "polygon")[0].c is True
+    assert _contains(spark, OFF_RUNWAY_IN_AIRPORT, rws, "polygon")[0].c is False
+    assert _contains(spark, FAR_AWAY, rws, "polygon")[0].c is False
+
+
+def test_point_in_airport_bbox(spark):
+    ap = nte_airport(spark)
+    assert _contains(spark, OFF_RUNWAY_IN_AIRPORT, ap, "bbox")[0].c is True
+    assert _contains(spark, FAR_AWAY, ap, "bbox")[0].c is False
+
+
+@pytest.mark.parametrize(
+    "direction,heading,expected",
+    [
+        (30, 30, True),
+        (30, 50, True),    # exactly +20 → in (<=)
+        (30, 10, True),    # exactly -20 → in
+        (30, 50.1, False),
+        (30, 9.9, False),
+        (30, 210, False),  # inverse runway
+        (210, 215, True),
+    ],
+)
+def test_same_heading_tolerance(spark, direction, heading, expected):
+    row = (
+        spark.range(1)
+        .select(same_heading(F.lit(direction), F.lit(float(heading))).alias("m"))
+        .collect()[0]
+    )
+    assert row.m is expected
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, longitude double, latitude double, interp_track double"
+    )
+
+
+def test_attribution_exact_runway(spark):
+    ev = _events(spark, [(1, *ON_RUNWAY, 32.0)])
+    out = attribute_runway(ev, nte_runways(spark), nte_airport(spark)).collect()
+    assert out[0].runway == "03"
+
+
+def test_attribution_inverse_runway(spark):
+    ev = _events(spark, [(1, *ON_RUNWAY, 212.0)])
+    out = attribute_runway(ev, nte_runways(spark), nte_airport(spark)).collect()
+    assert out[0].runway == "21"
+
+
+def test_attribution_bbox_fallback(spark):
+    # off the strip but inside the airport bbox with a matching heading
+    ev = _events(spark, [(1, *OFF_RUNWAY_IN_AIRPORT, 28.0)])
+    out = attribute_runway(ev, nte_runways(spark), nte_airport(spark)).collect()
+    assert out[0].runway == "03"
+
+
+def test_attribution_no_match(spark):
+    ev = _events(spark, [(1, *FAR_AWAY, 28.0), (2, *ON_RUNWAY, 90.0)])
+    out = {r.event_id: r.runway for r in
+           attribute_runway(ev, nte_runways(spark), nte_airport(spark)).collect()}
+    assert out[1] == "UNK"  # off airport
+    assert out[2] == "UNK"  # on runway, wrong heading
+    dropped = attribute_runway(
+        ev, nte_runways(spark), nte_airport(spark), keep_unmatched=False
+    )
+    assert dropped.count() == 0
