@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (zero-filled hourly events histogram,
+the reference's signature analytics call) at sf0.001.
+
+``queries()`` / ``oracle_sql()`` — the full SURVEY.md §2 operator
+surface plus the training-data pipeline extensions, one entry per
+operator, each (where SQL-expressible) with a DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dump1090_postgis_spark.plans import full_registry  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: zero-filled hourly
+    events histogram (AGG-1 + JOIN-3 + SRT-1)."""
+    from dump1090_postgis_spark.plans.testdata_queries import (
+        q_agg1_histogram_hour_utc,
+    )
+
+    return q_agg1_histogram_hour_utc(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ datapipe
+    extensions)."""
+    return {name: fn for name, (fn, _sql) in full_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for the few operators
+    whose banded/iterative shape is impractical as one SQL statement —
+    the driver records a rows-only check for those)."""
+    return {
+        name: sql for name, (_fn, sql) in full_registry().items() if sql is not None
+    }

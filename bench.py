@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count()-style action that forces full
+materialization without collecting rows to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set (BASELINE.md table): reference-surface pipelines +
+# the scale-path datapipe operators.
+BENCH_QUERIES = [
+    "agg1_histogram_hour_utc",
+    "agg2_sliding_hour_counts",
+    "agg3_peak_hour_paris",
+    "state1_sessions",
+    "agg6_session_summaries",
+    "state4_debounced_edges",
+    "join2_details_star",
+    "join5_runway_attribution",
+    "snk4_geojson_paths",
+    "join4_dedup_latest",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_quality",
+    "text_fingerprint",
+    "multimodal_decode",
+]
+
+
+def main() -> int:
+    from dump1090_postgis_spark.plans import full_registry
+    from dump1090_postgis_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    registry = full_registry()
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = registry[name]
+        df = fn(spark, SF_DIR)
+        t0 = time.time()
+        # full materialization without driver collect
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,234 @@
+"""Document deduplication at scale: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Everything is pure DataFrame expressions — hashes via md5 (identical
+across engines, so oracle-checkable), shingles via
+split/sequence/transform, signatures via aggregate — no Python UDFs.
+
+Scale design:
+- exact dedup: one shuffle on the content hash; map-side partial.
+- MinHash LSH: per-doc signature is a projection (no shuffle);
+  candidate generation explodes each doc into `bands` rows and
+  self-joins on (band_idx, band_key) — the classic bucket join. The
+  band key space keeps buckets tiny, so the join output ≈ true
+  near-dup pairs, not O(n²).
+- SimHash: projection-only signature; near-dup = equal signature (or
+  banded Hamming via split keys).
+- embedding cosine: sign-bucket LSH over leading dimensions bounds the
+  candidate set; exact cosine verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase, collapse whitespace — canonical form for hashing."""
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on md5 of normalized text: per group keep min id,
+    report group size."""
+    return (
+        docs.select(F.md5(normalize_text(F.col(text))).alias("text_hash"), id_col)
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column (array<string>).
+
+    Built with element_at per offset (O(1) array access) rather than
+    slice (O(n) copy per shingle — quadratic per document).
+    """
+    words = F.split(normalize_text(c), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+
+    def shingle(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(words, i + off) for off in range(k)]
+        )
+
+    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))).otherwise(
+        F.array_distinct(F.array(F.array_join(words, " ")))
+    )
+
+
+def _seeded_md5(seed: int):
+    """Single-parameter lambda factory for transform() — a two-parameter
+    lambda would receive the array INDEX as its second argument (the
+    PySpark higher-order-function convention), silently shadowing the
+    seed."""
+    prefix = f"{seed}|"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    md5(i || '|' || shingle) — string minima of uniformly distributed
+    hex digests are a valid MinHash family, and md5 agrees across
+    engines (oracle-checkable)."""
+    sigs = [
+        F.array_min(F.transform(shingles, _seeded_md5(i)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: equal band (rows-per-band minhash
+    slice) in at least one of `bands` buckets.
+
+    Returns (id_a, id_b) with id_a < id_b, deduplicated across bands.
+    The explode+self-join shuffles on the band key — bucket sizes stay
+    O(dups), so this scales linearly in corpus size.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(word_shingles(F.col(text)), num_hashes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.array_join(
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band), "|"
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact k-shingle Jaccard for candidate pairs; keeps pairs with
+    jaccard > threshold. Two broadcast-or-shuffle hash joins to attach
+    shingle sets, then a codegen'd set intersection per pair."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text), k).alias("_sh")
+    )
+    joined = (
+        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") > threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash16(text_col: Column) -> Column:
+    """16-bit SimHash over words: bit j is the sign of the sum over
+    words of ±1 according to hex digit j of md5(word).  Projection
+    only; identical in any engine with md5."""
+    words = F.array_distinct(F.split(normalize_text(text_col), " "))
+    hashes = F.transform(words, lambda w: F.md5(w))
+
+    def _bit_contrib(j: int):
+        # single-param lambda factory: see _seeded_md5 note
+        return lambda h: F.when(
+            F.substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+            1,
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(16):
+        contrib = F.transform(hashes, _bit_contrib(j))
+        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        bits.append(F.when(total >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def embedding_cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns — pure
+    zip_with/aggregate, codegen'd."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+def sign_bucket(vec: Column, dims: int = 6) -> Column:
+    """Random-hyperplane-style LSH bucket: concatenated sign bits of the
+    leading `dims` dimensions (axis hyperplanes — deterministic and
+    engine-portable)."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(dims)
+    ]
+    return F.concat(*bits)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    bucket_dims: int = 6,
+) -> DataFrame:
+    """Embedding near-dup: sign-bucket LSH candidates + exact cosine.
+    Shuffles on the bucket key only; candidates per bucket ≈ n/2^dims.
+    """
+    b = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec).alias("_v"),
+        sign_bucket(F.col(vec), bucket_dims).alias("_bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id")),
+    )
+    cos = embedding_cosine(F.col("l._v"), F.col("r._v"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 4) + F.lit(0.0))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "cosine"
+        )
+    )

@@ -1,0 +1,87 @@
+"""Multimodal columns: image/audio/video as opaque binary with typed
+metadata (generalizes SRC-5, the reference's BYTEA aircraft
+silhouettes — read_csv_data.sql:24-38).
+
+The decode/feature steps run as Arrow-batched ``mapInPandas`` — the
+Spark-side plumbing (schemas, batch iteration, partition-preserving
+projection) is real and tested; the actual codec calls are stubbed
+behind ``_decode_image_bytes`` because the image/audio libraries are
+not in this container (clearly marked; swap the stub for
+PIL/libav when deploying).
+
+Scale notes: binary payloads never shuffle here — metadata extraction
+is a mapPartitions-shaped projection; downstream joins should carry
+only (id, metadata) and fetch bytes by id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "doc_id bigint, byte_len bigint, format string, width int, height int, ok boolean"
+)
+
+
+def _decode_image_bytes(payload: bytes) -> dict[str, Any]:
+    """STUB: real deployments decode with PIL/turbojpeg here.
+
+    This deterministic fake derives pseudo-metadata from the payload
+    header so the pipeline shape (schema, nullability, error rows) is
+    exercised end-to-end without the codec dependency.
+    """
+    if not payload:
+        return {"format": None, "width": None, "height": None, "ok": False}
+    # deterministic fake: interpret first bytes as dimensions
+    w = 1 + payload[0] % 64
+    h = 1 + (payload[1] if len(payload) > 1 else 0) % 64
+    fmt = "bmp" if payload[:2] == b"BM" else "raw"
+    return {"format": fmt, "width": int(w), "height": int(h), "ok": True}
+
+
+def attach_binary(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Materialize an opaque binary column (UTF-8 payload stand-in for
+    image/audio bytes) plus byte length — the typed-metadata pattern."""
+    return docs.withColumn("payload", F.encode(F.col(text), "UTF-8")).withColumn(
+        "byte_len", F.length(F.col("payload")).cast("bigint")
+    )
+
+
+def decode_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode: mapInPandas over (id, payload) batches.
+
+    Partition-preserving; one Python worker round-trip per batch, not
+    per row."""
+    cols = docs_with_payload.select(id_col, "payload")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_decode_image_bytes(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "format": [m["format"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "ok": [m["ok"] for m in metas],
+                }
+            )
+            yield out
+
+    return cols.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+def frame_sample_plan(video_meta: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling plan for video rows: explode frame indices 0..n
+    step `every_n` — pure sequence/explode, the shuffle-free pattern for
+    fan-out decode work lists."""
+    return video_meta.withColumn(
+        "frame_idx",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.col("width") - 1, F.lit(0)), F.lit(every_n))),
+    )

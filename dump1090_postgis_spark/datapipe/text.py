@@ -1,0 +1,113 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting.
+
+All pure Column expressions (codegen'd, projection-only — these run at
+scan speed on 100 TB with zero shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+# Deterministic marker-word sets per language (tiny n-gram-heuristic
+# stand-in; swap for fastText/CLD3 via a Pandas UDF when available).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "es", "una", "y"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def _words(c: Column) -> Column:
+    return F.split(normalize_text(c), " ")
+
+
+def _marker_hits(words: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+
+def language_id(text: Column) -> Column:
+    """Predicted language = argmax over marker-hit counts; 'und' when no
+    marker matches.  Ties break by language code order (deterministic).
+    """
+    words = _words(text)
+    scored = F.array(
+        *[
+            F.struct(
+                _marker_hits(words, m).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang, m in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(F.filter(scored, lambda s: s["hits"] > 0))
+    return F.when(best.isNull(), F.lit("und")).otherwise(best["lang"])
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def token_count_regex(text: Column) -> Column:
+    """BPE-ish token count: word chunks + standalone punctuation
+    (regexp, engine-portable)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features, rounded for
+    cross-engine float stability."""
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    stop_hits = _marker_hits(words, STOPWORDS)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_words": n_words.cast("bigint"),
+        "avg_word_len": F.round(
+            (n_chars - (n_words - 1)).cast("double") / n_words, 4
+        ),
+        "stopword_ratio": F.round(stop_hits.cast("double") / n_words, 4),
+        "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 4),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: rewards stopword presence and
+    mid-range document length, penalizes punctuation soup."""
+    f = quality_features(text)
+    len_score = F.least(f["n_words"].cast("double") / 100.0, F.lit(1.0))
+    stop_score = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(1.0) - f["punct_ratio"] * 10.0, F.lit(0.0))
+    return F.round((len_score + stop_score + punct_penalty) / 3.0, 4)
+
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 131
+
+
+def word_value(w: Column) -> Column:
+    """Cheap engine-portable word hash: 31*len + codepoint of first
+    char."""
+    return F.length(w) * 31 + F.ascii(F.substring(w, 1, 1))
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over words, mod 1e9+7 — document
+    fingerprint usable as a cheap near-dup / shard key."""
+    words = _words(text)
+    vals = F.transform(words, word_value)
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: F.pmod(
+            acc * FINGERPRINT_BASE + v.cast("bigint"), F.lit(FINGERPRINT_MOD)
+        ),
+    )

@@ -40,10 +40,12 @@ def epoch_seconds(ts: Column) -> Column:
     return ts.cast("timestamp").cast("long")
 
 
-def epoch_micros_float(ts: Column) -> Column:
-    """Fractional epoch seconds (for sub-second windows like the 2 s
-    debounce)."""
-    return ts.cast("timestamp").cast("double")
+def epoch_micros(ts: Column) -> Column:
+    """Integer microseconds since epoch — the precision PG interval
+    arithmetic (and DuckDB) operates at.  All gap/range-frame
+    comparisons in the engine use this, never float seconds, so window
+    membership of sub-second timestamps is exact."""
+    return F.unix_micros(ts.cast("timestamp"))
 
 
 def to_local(ts: Column, tz: str = DEFAULT_LOCAL_TZ) -> Column:

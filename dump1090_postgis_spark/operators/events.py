@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.timeutil import epoch_micros_float
+from ..functions.timeutil import epoch_micros
 
 EVENT_DEBOUNCE_S = 2.0  # models.py:268
 
@@ -72,10 +72,10 @@ def debounce_events(
     candidates — a single window pass, not an iterative recurrence.
     """
     w = Window.partitionBy(*key_cols).orderBy(ts)
-    gap = epoch_micros_float(F.col(ts)) - F.lag(epoch_micros_float(F.col(ts))).over(w)
+    gap = epoch_micros(F.col(ts)) - F.lag(epoch_micros(F.col(ts))).over(w)
     return (
         events.withColumn("_gap", gap)
-        .filter(F.col("_gap").isNull() | (F.col("_gap") > window_s))
+        .filter(F.col("_gap").isNull() | (F.col("_gap") > int(window_s * 1_000_000)))
         .drop("_gap")
     )
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.timeutil import epoch_seconds, to_local
+from ..functions.timeutil import epoch_micros, to_local
 
 PEAK_WINDOW_S = 3600
 
@@ -47,8 +47,8 @@ def sliding_hour_counts(
     Adds `events` (count) and `peak_hour` (window midpoint, AGG-4).
     """
     w = (
-        Window.orderBy(epoch_seconds(F.col(ts)))
-        .rangeBetween(-window_s, Window.currentRow)
+        Window.orderBy(epoch_micros(F.col(ts)))
+        .rangeBetween(-window_s * 1_000_000, Window.currentRow)
     )
     return events.withColumn("events", F.count(F.lit(1)).over(w)).withColumn(
         "peak_hour",
@@ -117,8 +117,8 @@ def peak_hour_scalable(
     both = base.unionByName(spill)
     w = (
         Window.partitionBy("_day")
-        .orderBy(epoch_seconds(F.col("_ts")))
-        .rangeBetween(-window_s, Window.currentRow)
+        .orderBy(epoch_micros(F.col("_ts")))
+        .rangeBetween(-window_s * 1_000_000, Window.currentRow)
     )
     counted = (
         both.withColumn("events", F.count(F.lit(1)).over(w))

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.timeutil import epoch_seconds
+from ..functions.timeutil import epoch_micros
 
 SESSION_MAX_AGE_S = 300  # flights.py:18 MAX_AGE
 
@@ -38,8 +38,8 @@ def sessionize(
     Output adds `session_id` (0-based within key).
     """
     w = Window.partitionBy(key).orderBy(ts)
-    gap = epoch_seconds(F.col(ts)) - F.lag(epoch_seconds(F.col(ts))).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    gap = epoch_micros(F.col(ts)) - F.lag(epoch_micros(F.col(ts))).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_s * 1_000_000), 1).otherwise(0)
     return df.withColumn(
         "session_id",
         F.sum(is_new).over(

@@ -1,0 +1,328 @@
+"""Training-data pipeline operators over documents/embeddings, with
+DuckDB oracles (md5 and integer/rounded-double outputs keep the value
+hashes engine-portable).
+
+Queries without an oracle entry (SQL genuinely impractical) return
+deterministic results and are covered by unit tests instead; the
+driver records a rows-only check for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from ..datapipe import dedup as dd
+from ..datapipe import similarity as sim
+from ..datapipe import text as tx
+from ..datapipe.multimodal import attach_binary, decode_metadata
+
+# DuckDB equivalent of dedup.normalize_text
+_ONORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_OWORDS = f"str_split({_ONORM}, ' ')"
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on normalized text (keep min id)."""
+    docs = load_table(spark, sf, "documents")
+    return dd.exact_dedup(docs)
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_ONORM}) AS text_hash,
+       min(doc_id) AS keep_id,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """Exact 3-word-shingle Jaccard on bounded candidate pairs
+    (same lang, doc_id within 3) — the verification stage of a
+    near-dup pipeline; candidates from LSH in the scale path."""
+    docs = load_table(spark, sf, "documents")
+    d1 = docs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"))
+    d2 = docs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"))
+    pairs = d1.join(
+        d2,
+        (F.col("id_b") > F.col("id_a"))
+        & (F.col("id_b") <= F.col("id_a") + 3)
+        & (F.col("lang_a") == F.col("lang_b")),
+    ).select("id_a", "id_b")
+    return dd.jaccard_pairs(docs, pairs, threshold=0.0)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH prep AS (
+  SELECT doc_id, lang, {_OWORDS} AS words FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE list_distinct([array_to_string(words, ' ')]) END AS shingles
+  FROM prep
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles)))::DOUBLE, 6) AS jaccard
+FROM sh a JOIN sh b
+  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3 AND a.lang = b.lang
+WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    """16-bit SimHash fingerprint per document (projection-only)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", dd.simhash16(F.col("text")).alias("simhash"))
+
+
+_SIMHASH_BITS = " + ".join(
+    f"""(CASE WHEN list_sum(list_transform(hs,
+        h -> CASE WHEN substring(h, {j + 1}, 1) IN
+             ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0
+        THEN {1 << j} ELSE 0 END)"""
+    for j in range(16)
+)
+
+SQL_DEDUP_SIMHASH = f"""
+WITH prep AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_OWORDS}), w -> md5(w)) AS hs
+  FROM documents
+)
+SELECT doc_id, ({_SIMHASH_BITS}) AS simhash FROM prep
+"""
+
+
+def q_dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup verification on bounded candidates (vec_id
+    within 2): exact cosine, rounded.  The LSH candidate generator is
+    `datapipe.dedup.embedding_near_dup_pairs` (unit-tested)."""
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 2),
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        (F.round(dd.embedding_cosine(F.col("va"), F.col("vb")), 4) + F.lit(0.0)).alias("cosine"),
+    )
+
+
+SQL_DEDUP_EMB = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) + 0.0 AS cosine
+FROM embeddings a JOIN embeddings b
+  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 2
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """Full MinHash-LSH near-dup pipeline (16 hashes, 4 bands →
+    candidates → exact Jaccard ≥ 0.5).  No SQL oracle (the banded
+    self-join is impractical to restate in one oracle query);
+    correctness is pinned by unit tests on crafted near-duplicates."""
+    docs = load_table(spark, sf, "documents")
+    cands = dd.lsh_candidate_pairs(docs)
+    return dd.jaccard_pairs(docs, cands, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk_bruteforce(spark, sf):
+    """Brute-force cosine top-5 for query vectors vec_id < 5 — the
+    exact baseline every ANN variant is checked against."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.brute_force_topk(emb, queries, k=5)
+
+
+SQL_ANN_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) + 0.0 AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_topk_ivf(spark, sf):
+    """IVF-bucketed approximate top-5 (scale path; recall measured
+    against the brute-force baseline in tests).  No SQL oracle —
+    rows-only check."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = sim.build_centroids(emb, num_centroids=8)
+    return sim.ivf_topk(emb, queries, centroids, k=5, probes=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_langid(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", tx.language_id(F.col("text")).alias("pred_lang"))
+
+
+def _hits_sql(markers) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(words, w -> list_contains([{lst}], w)))"
+
+
+SQL_TEXT_LANGID = f"""
+WITH prep AS (
+  SELECT doc_id, {_OWORDS} AS words FROM documents
+), hits AS (
+  SELECT doc_id,
+         {_hits_sql(tx.LANG_MARKERS['de'])} AS h_de,
+         {_hits_sql(tx.LANG_MARKERS['en'])} AS h_en,
+         {_hits_sql(tx.LANG_MARKERS['es'])} AS h_es,
+         {_hits_sql(tx.LANG_MARKERS['fr'])} AS h_fr
+  FROM prep
+)
+SELECT doc_id,
+       CASE WHEN h_fr > 0 AND h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+            WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_de THEN 'es'
+            WHEN h_en > 0 AND h_en >= h_de THEN 'en'
+            WHEN h_de > 0 THEN 'de'
+            ELSE 'und' END AS pred_lang
+FROM hits
+"""
+
+
+def q_text_quality(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    feats = tx.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_words"].alias("n_words"),
+        feats["avg_word_len"].alias("avg_word_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+
+SQL_TEXT_QUALITY = f"""
+WITH prep AS (
+  SELECT doc_id, {_ONORM} AS norm, {_OWORDS} AS words, length(text) AS n_chars
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         n_chars::BIGINT AS n_chars,
+         len(words)::BIGINT AS n_words,
+         round((n_chars - (len(words) - 1))::DOUBLE / len(words), 4) AS avg_word_len,
+         round(len(list_filter(words, w -> list_contains([{_STOP_LIST}], w)))::DOUBLE
+               / len(words), 4) AS stopword_ratio,
+         round(len(regexp_extract_all(norm, '[^\\w\\s]'))::DOUBLE
+               / greatest(n_chars, 1), 4) AS punct_ratio
+  FROM prep
+)
+SELECT doc_id, n_chars, n_words, avg_word_len, stopword_ratio, punct_ratio,
+       round((least(n_words::DOUBLE / 100.0, 1.0)
+              + least(stopword_ratio * 5.0, 1.0)
+              + greatest(1.0 - punct_ratio * 10.0, 0.0)) / 3.0, 4) AS quality
+FROM feats
+"""
+
+
+def q_text_token_counts(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count_ws(F.col("text")).cast("bigint").alias("ws_tokens"),
+        tx.token_count_regex(F.col("text")).cast("bigint").alias("re_tokens"),
+    )
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT doc_id,
+       len(str_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS re_tokens
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform({_OWORDS},
+             w -> (length(w) * 31 + ord(w[1]))::BIGINT)),
+         (a, b) -> (a * {tx.FINGERPRINT_BASE} + b) % {tx.FINGERPRINT_MOD}) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_decode(spark, sf):
+    """Binary-column decode plumbing: payload → mapInPandas (Arrow
+    batches) → typed metadata.  The deterministic stub decode makes
+    this oracle-checkable end-to-end — the oracle restates the fake
+    codec arithmetic in SQL over the same bytes."""
+    docs = attach_binary(load_table(spark, sf, "documents"))
+    return decode_metadata(docs)
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       CASE WHEN substring(text, 1, 2) = 'BM' THEN 'bmp' ELSE 'raw' END AS format,
+       1 + (ord(substring(text, 1, 1)) % 64) AS width,
+       1 + (CASE WHEN length(text) > 1 THEN ord(substring(text, 2, 1)) ELSE 0 END % 64) AS height,
+       length(text) > 0 AS ok
+FROM documents
+"""
+
+
+REGISTRY: dict = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_TOPK),
+    "ann_topk_ivf": (q_ann_topk_ivf, None),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_token_counts": (q_text_token_counts, SQL_TEXT_TOKENS),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL),
+}

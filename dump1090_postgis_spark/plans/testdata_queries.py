@@ -1,0 +1,925 @@
+"""SURVEY §2 operator inventory expressed over the driver testdata
+tables, each entry paired with an ANSI-SQL DuckDB oracle.
+
+The reference's domain is ADS-B (hexident/time/altitude/onground); the
+driver's `events` table is the stand-in stream: ``user_id`` plays the
+session key (hexident), ``ts`` the event time, ``value`` the measured
+quantity (altitude analog), ``event_type`` the categorical signal
+(``'purchase'`` doubles as the onground flag for edge detection).
+
+Output-hash discipline (driver compares row count + columns +
+order-insensitive value hash between Spark and DuckDB):
+- no raw timestamp columns — always `yyyy-MM-dd HH:mm:ss` strings or
+  epoch micros bigints (parquet nanos ≠ micros pitfalls);
+- no order-sensitive float aggregates — money sums leave as bigint
+  cents (the true sums sit on the 2-decimal grid, so cents-rounding is
+  stable under either engine's summation order);
+- list aggregates leave as sorted CSV strings.
+
+Every Spark function is pure DataFrame API (whole-stage codegen;
+broadcast hints on dim joins) and loads via schemas.load_table (nanos
+handling + UTC session pin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from ..functions.timeutil import epoch_micros, to_local
+from ..operators.histogram import events_histogram
+from ..operators.peak_hour import sliding_hour_counts
+from ..operators.sessionize import sessionize
+
+# ---------------------------------------------------------------------------
+# helpers (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _fmt(c) -> F.Column:
+    """Timestamp → 'yyyy-MM-dd HH:mm:ss' string (sub-second truncated)."""
+    return F.date_format(c.cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+
+
+def _ev(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "events")
+
+
+# ORACLE helper (DuckDB side): format string equivalent
+_OFMT = "strftime({c}, '%Y-%m-%d %H:%M:%S')"
+
+
+# ---------------------------------------------------------------------------
+# FLT — filters (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+def q_flt1_value_band(spark, sf):
+    """FLT-1 altitude-band filter analog (adsb_parser.py:294-357)."""
+    return (
+        _ev(spark, sf)
+        .filter((F.col("value") > 10.0) & (F.col("value") < 180.0))
+        .select("event_id", "user_id", "value")
+    )
+
+
+SQL_FLT1 = """
+SELECT event_id, user_id, value FROM events WHERE value > 10.0 AND value < 180.0
+"""
+
+
+def q_flt5_events_on_day(spark, sf):
+    """FLT-5 landings_on(date) analog (create_public_schema.sql:331-339):
+    time >= d AND time < d+1, ordered by time."""
+    d = F.lit("2024-01-15").cast("date")
+    ev = _ev(spark, sf)
+    return (
+        ev.filter(
+            (F.col("ts") >= d.cast("timestamp_ntz"))
+            & (F.col("ts") < F.date_add(d, 1).cast("timestamp_ntz"))
+        )
+        .orderBy("ts")
+        .select("event_id", _fmt(F.col("ts")).alias("ts_s"), "user_id", "event_type")
+    )
+
+
+SQL_FLT5 = f"""
+SELECT event_id, {_OFMT.format(c='ts')} AS ts_s, user_id, event_type
+FROM events
+WHERE ts >= DATE '2024-01-15' AND ts < DATE '2024-01-15' + 1
+ORDER BY ts
+"""
+
+
+def q_flt6_fromto_paris(spark, sf):
+    """FLT-6 takeoffs_fromto analog (create_materialized_views.sql:3-46):
+    range filter on Europe/Paris local dates."""
+    ev = _ev(spark, sf)
+    local = to_local(F.col("ts").cast("timestamp_ntz"), "Europe/Paris")
+    return (
+        ev.filter(
+            (F.to_date(local) >= F.lit("2024-01-10").cast("date"))
+            & (F.to_date(local) < F.lit("2024-01-20").cast("date"))
+        )
+        .select("event_id", _fmt(F.col("ts")).alias("ts_s"))
+    )
+
+
+SQL_FLT6 = f"""
+SELECT event_id, {_OFMT.format(c='ts')} AS ts_s
+FROM events
+WHERE CAST(timezone('Europe/Paris', timezone('UTC', ts)) AS DATE) >= DATE '2024-01-10'
+  AND CAST(timezone('Europe/Paris', timezone('UTC', ts)) AS DATE) <  DATE '2024-01-20'
+"""
+
+
+# ---------------------------------------------------------------------------
+# AGG-1 + JOIN-3 — zero-filled histograms
+# ---------------------------------------------------------------------------
+
+
+def q_agg1_histogram_hour_utc(spark, sf):
+    """AGG-1/JOIN-3 events_histogram (create_public_schema.sql:182-200)."""
+    ev = _ev(spark, sf)
+    h = events_histogram(
+        ev, "2024-01-05 00:00:00", "2024-01-12 00:00:00", "hour",
+        ts="ts", id_col="event_id",
+    )
+    return h.select(
+        _fmt(F.col("interval")).alias("bin_start"),
+        F.col("events"),
+        F.array_join(F.transform(F.col("ids"), lambda x: x.cast("string")), ",").alias("ids_csv"),
+    )
+
+
+SQL_AGG1_HOUR = f"""
+WITH axis AS (
+  SELECT unnest(generate_series(date_trunc('hour', TIMESTAMP '2024-01-05 00:00:00'),
+                                date_trunc('hour', TIMESTAMP '2024-01-12 00:00:00'),
+                                INTERVAL 1 HOUR)) AS interval
+), binned AS (
+  SELECT date_trunc('hour', ts) AS interval,
+         count(event_id) AS events,
+         array_to_string(list_sort(list(event_id)), ',') AS ids_csv
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+  GROUP BY 1
+)
+SELECT {_OFMT.format(c='axis.interval')} AS bin_start,
+       COALESCE(binned.events, 0)::BIGINT AS events,
+       COALESCE(binned.ids_csv, '') AS ids_csv
+FROM axis LEFT OUTER JOIN binned ON axis.interval = binned.interval
+ORDER BY axis.interval
+"""
+
+
+def q_agg1_histogram_day_paris(spark, sf):
+    """AGG-1 Europe/Paris local-day variant
+    (create_public_schema.sql:286-307)."""
+    ev = _ev(spark, sf)
+    h = events_histogram(
+        ev, "2024-01-01 00:00:00", "2024-01-31 00:00:00", "day",
+        ts="ts", id_col="event_id", tz="Europe/Paris",
+    )
+    return h.select(
+        _fmt(F.col("interval")).alias("bin_start"),
+        F.col("events"),
+        F.array_join(F.transform(F.col("ids"), lambda x: x.cast("string")), ",").alias("ids_csv"),
+    )
+
+
+SQL_AGG1_PARIS = f"""
+WITH loc AS (
+  SELECT event_id, timezone('Europe/Paris', timezone('UTC', ts)) AS lts
+  FROM events
+), bounds AS (
+  SELECT timezone('Europe/Paris', timezone('UTC', TIMESTAMP '2024-01-01 00:00:00')) AS lo,
+         timezone('Europe/Paris', timezone('UTC', TIMESTAMP '2024-01-31 00:00:00')) AS hi
+), axis AS (
+  SELECT unnest(generate_series(date_trunc('day', (SELECT lo FROM bounds)),
+                                date_trunc('day', (SELECT hi FROM bounds)),
+                                INTERVAL 1 DAY)) AS interval
+), binned AS (
+  SELECT date_trunc('day', lts) AS interval,
+         count(event_id) AS events,
+         array_to_string(list_sort(list(event_id)), ',') AS ids_csv
+  FROM loc
+  WHERE lts >= (SELECT lo FROM bounds) AND lts < (SELECT hi FROM bounds)
+  GROUP BY 1
+)
+SELECT {_OFMT.format(c='axis.interval')} AS bin_start,
+       COALESCE(binned.events, 0)::BIGINT AS events,
+       COALESCE(binned.ids_csv, '') AS ids_csv
+FROM axis LEFT OUTER JOIN binned ON axis.interval = binned.interval
+ORDER BY axis.interval
+"""
+
+
+# ---------------------------------------------------------------------------
+# AGG-2/3/4 — sliding window + peak hour
+# ---------------------------------------------------------------------------
+
+
+def q_agg2_sliding_hour_counts(spark, sf):
+    """AGG-2 trailing-hour sliding count
+    (create_public_schema.sql:352-372)."""
+    ev = _ev(spark, sf).select("event_id", "ts")
+    counted = sliding_hour_counts(ev, ts="ts")
+    return counted.select("event_id", F.col("events").alias("trailing_events"))
+
+
+SQL_AGG2 = """
+SELECT event_id,
+       count(*) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                      AND CURRENT ROW)::BIGINT AS trailing_events
+FROM events
+"""
+
+
+def q_agg3_peak_hour_paris(spark, sf):
+    """AGG-2+3+4 peak_hour_all analog: top trailing-hour window per
+    Europe/Paris day (create_public_schema.sql:344-372)."""
+    from ..operators.peak_hour import peak_hour
+
+    ev = _ev(spark, sf).select("ts")
+    pk = peak_hour(ev, ts="ts", tz="Europe/Paris")
+    return pk.select(
+        F.col("day").cast("string").alias("day"),
+        _fmt(F.col("peak_hour")).alias("peak_hour"),
+        F.col("events"),
+    )
+
+
+SQL_AGG3 = f"""
+WITH counted AS (
+  SELECT ts,
+         count(*) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                        AND CURRENT ROW) AS events,
+         date_trunc('minute', ts - INTERVAL 30 MINUTE) AS peak_hour
+  FROM events
+), ranked AS (
+  SELECT CAST(CAST(timezone('Europe/Paris', timezone('UTC', peak_hour)) AS DATE) AS VARCHAR) AS day,
+         {_OFMT.format(c='peak_hour')} AS peak_hour,
+         events::BIGINT AS events,
+         row_number() OVER (
+           PARTITION BY CAST(timezone('Europe/Paris', timezone('UTC', peak_hour)) AS DATE)
+           ORDER BY events DESC, peak_hour DESC) AS rnmax
+  FROM counted
+)
+SELECT day, peak_hour, events FROM ranked WHERE rnmax = 1
+ORDER BY events DESC, peak_hour DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# SET-1, AGG-7, AGG-8
+# ---------------------------------------------------------------------------
+
+
+def q_set1_union_distinct(spark, sf):
+    """SET-1 (create_public_schema.sql:364): SQL UNION = dedup —
+    Spark union is UNION ALL, .distinct() required for parity."""
+    ev = _ev(spark, sf)
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").cast("string").alias("day")
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.to_date("ts").cast("string").alias("day")
+    )
+    return a.unionByName(b).distinct()
+
+
+SQL_SET1 = """
+SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events WHERE event_type = 'purchase'
+UNION
+SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events WHERE event_type = 'error'
+"""
+
+
+def q_agg7_distinct_pairs(spark, sf):
+    """AGG-7 SELECT DISTINCT (create_materialized_views.sql:53,67)."""
+    return _ev(spark, sf).select("user_id", "event_type").distinct()
+
+
+SQL_AGG7 = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def q_agg8_active_sessions(spark, sf):
+    """AGG-8 pool-size gauge (flights.py:58-59): sessions whose last
+    event falls within the 1 h before the probe instant."""
+    ev = _ev(spark, sf)
+    probe = F.lit("2024-01-15 12:00:00").cast("timestamp_ntz")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max(F.when((F.col("ts") <= probe), F.col("ts"))).alias("last_seen"))
+        .filter(
+            F.col("last_seen").isNotNull()
+            & (F.col("last_seen") >= probe - F.expr("INTERVAL 1 HOUR"))
+        )
+        .agg(F.count(F.lit(1)).alias("active_sessions"))
+    )
+
+
+SQL_AGG8 = """
+SELECT count(*)::BIGINT AS active_sessions FROM (
+  SELECT user_id, max(ts) FILTER (ts <= TIMESTAMP '2024-01-15 12:00:00') AS last_seen
+  FROM events GROUP BY user_id
+) WHERE last_seen IS NOT NULL
+  AND last_seen >= TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 1 HOUR
+"""
+
+
+# ---------------------------------------------------------------------------
+# JOIN-1/2/4/5
+# ---------------------------------------------------------------------------
+
+
+def q_join1_events_per_customer(spark, sf):
+    """JOIN-1 FK equi join (flights ⋈ positions analog), with a
+    map-side-combinable aggregate; money leaves as bigint cents."""
+    ev = _ev(spark, sf)
+    cust = load_table(spark, sf, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
+        .groupBy("c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("sum_value_cents"),
+        )
+    )
+
+
+SQL_JOIN1 = """
+SELECT c_name, count(*)::BIGINT AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_name
+"""
+
+
+def q_join2_details_star(spark, sf):
+    """JOIN-2 event-detail star join (create_graphql_functions.sql:30-104):
+    fact ⋈ dim with two broadcast LEFT joins down the snowflake."""
+    ev = _ev(spark, sf).alias("e")
+    cust = load_table(spark, sf, "customer").alias("c")
+    nat = load_table(spark, sf, "nation").alias("n")
+    reg = load_table(spark, sf, "region").alias("r")
+    return (
+        ev.join(F.broadcast(cust), F.col("e.user_id") == F.col("c.c_custkey"), "inner")
+        .join(F.broadcast(nat), F.col("c.c_nationkey") == F.col("n.n_nationkey"), "left")
+        .join(F.broadcast(reg), F.col("n.n_regionkey") == F.col("r.r_regionkey"), "left")
+        .select(
+            F.col("e.event_id").alias("event_id"),
+            F.col("c.c_name").alias("c_name"),
+            F.col("n.n_name").alias("n_name"),
+            F.col("r.r_name").alias("r_name"),
+        )
+    )
+
+
+SQL_JOIN2 = """
+SELECT event_id, c_name, n_name, r_name
+FROM events
+JOIN customer ON user_id = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_join4_dedup_latest(spark, sf):
+    """JOIN-4 dedup maintenance (maintenance.sql:1-16): keep max id per
+    key — ranking window instead of self-join DELETE."""
+    from ..operators.dedup import dedup_keep_max_id
+
+    ev = _ev(spark, sf).withColumn("_key", F.concat_ws("|", "user_id", "event_type"))
+    kept = dedup_keep_max_id(ev, key="_key", id_col="event_id")
+    return kept.select("user_id", "event_type", F.col("event_id").alias("last_event_id"))
+
+
+SQL_JOIN4 = """
+SELECT user_id, event_type, max(event_id) AS last_event_id
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_join5_runway_attribution(spark, sf):
+    """JOIN-5 geometric lookup join (airports.py:90-125) on synthesized
+    coordinates: the Spark side runs the engine's ray-casting
+    point-in-polygon over a broadcast polygon table; the oracle states
+    the same containment as plain range predicates on the
+    axis-aligned unit square — an independent formulation."""
+    ev = _ev(spark, sf).select(
+        "event_id",
+        ((F.col("value") % 200) / 100.0 - 0.4995001).alias("px"),
+        (((F.col("event_id") * 7) % 200) / 100.0 - 0.4995001).alias("py"),
+        (F.col("event_id") % 360).cast("double").alias("heading"),
+    )
+    square = [{"lon": 0.0, "lat": 0.0}, {"lon": 1.0, "lat": 0.0},
+              {"lon": 1.0, "lat": 1.0}, {"lon": 0.0, "lat": 1.0}]
+    runways = spark.createDataFrame(
+        [("A", 30.0, square), ("B", 210.0, square)],
+        "name string, direction double, polygon array<struct<lon:double,lat:double>>",
+    )
+    from ..operators.attribution import attribute_runway
+
+    out = attribute_runway(
+        ev, runways, airport_bbox=None,
+        lon="px", lat="py", heading="heading",
+    )
+    return out.select("event_id", "runway")
+
+
+SQL_JOIN5 = """
+WITH pts AS (
+  SELECT event_id,
+         (fmod(value, 200) / 100.0 - 0.4995001) AS px,
+         (((event_id * 7) % 200) / 100.0 - 0.4995001) AS py,
+         CAST(event_id % 360 AS DOUBLE) AS heading
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN px > 0 AND px < 1 AND py > 0 AND py < 1
+                 AND abs(30.0 - heading) <= 20.0 THEN 'A'
+            WHEN px > 0 AND px < 1 AND py > 0 AND py < 1
+                 AND abs(210.0 - heading) <= 20.0 THEN 'B'
+            ELSE 'UNK' END AS runway
+FROM pts
+"""
+
+
+def q_snk5_copy_remap(spark, sf):
+    """SNK-5 d1090_copy_flight analog
+    (create_public_schema.sql:149-172): copy rows with fresh dense ids,
+    FK remapped via a broadcast mapping — set-oriented, no loop."""
+    ev = _ev(spark, sf).filter(F.col("user_id").isin(1, 2, 3))
+    mapping = ev.select("event_id").withColumn(
+        "new_id", F.row_number().over(Window.orderBy("event_id")) + F.lit(1000000)
+    )
+    return (
+        ev.join(F.broadcast(mapping), "event_id")
+        .select(F.col("event_id").alias("old_id"), "new_id", "user_id")
+    )
+
+
+SQL_SNK5 = """
+SELECT event_id AS old_id,
+       row_number() OVER (ORDER BY event_id) + 1000000 AS new_id,
+       user_id
+FROM events WHERE user_id IN (1, 2, 3)
+"""
+
+
+# ---------------------------------------------------------------------------
+# STATE — sessionization, edges, debounce, intention
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 3600
+
+
+def q_state1_sessions(spark, sf):
+    """STATE-1 batch analog (flights.py:14-137): gap>1h sessions per
+    user; one shuffle, summary reuses the partitioning."""
+    ev = _ev(spark, sf)
+    sess = sessionize(ev, key="user_id", ts="ts", gap_s=_SESSION_GAP_S)
+    return sess.groupBy("user_id", "session_id").agg(
+        _fmt(F.min("ts")).alias("start_s"),
+        _fmt(F.max("ts")).alias("end_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_STATE1 = f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_S}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       {_OFMT.format(c='min(ts)')} AS start_s,
+       {_OFMT.format(c='max(ts)')} AS end_s,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_agg6_session_summaries(spark, sf):
+    """AGG-6 per-session running attribute state (models.py:110-216):
+    first/last seen, argmax-by-time last value, per-type counters."""
+    ev = _ev(spark, sf)
+    sess = sessionize(ev, key="user_id", ts="ts", gap_s=_SESSION_GAP_S)
+    return sess.groupBy("user_id", "session_id").agg(
+        _fmt(F.min("ts")).alias("first_seen"),
+        _fmt(F.max("ts")).alias("last_seen"),
+        F.count(F.lit(1)).alias("n_messages"),
+        F.max_by("event_type", "ts").alias("last_event_type"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+    )
+
+
+SQL_AGG6 = f"""
+WITH gaps AS (
+  SELECT *,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_S}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       {_OFMT.format(c='min(ts)')} AS first_seen,
+       {_OFMT.format(c='max(ts)')} AS last_seen,
+       count(*)::BIGINT AS n_messages,
+       arg_max(event_type, ts) AS last_event_type,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_state3_edges(spark, sf):
+    """STATE-3 edge detection (models.py:218-228): event_type='purchase'
+    plays the onground flag; flips are landings/takeoffs."""
+    from ..operators.events import detect_onground_edges
+
+    ev = (
+        _ev(spark, sf)
+        .withColumn("onground", F.col("event_type") == "purchase")
+        .drop("event_type")  # detect_onground_edges emits its own
+    )
+    edges = detect_onground_edges(ev, key_cols=("user_id",), ts="ts")
+    return edges.select(
+        "user_id",
+        _fmt(F.col("ts")).alias("ts_s"),
+        F.col("event_type").alias("transition"),
+    )
+
+
+SQL_STATE3 = f"""
+WITH flagged AS (
+  SELECT user_id, ts, (event_type = 'purchase') AS onground
+  FROM events
+), lagged AS (
+  SELECT user_id, ts, onground,
+         lag(onground) OVER (PARTITION BY user_id ORDER BY ts) AS prev_onground
+  FROM flagged
+)
+SELECT user_id, {_OFMT.format(c='ts')} AS ts_s,
+       CASE WHEN onground THEN 'landing' ELSE 'takeoff' END AS transition
+FROM lagged
+WHERE prev_onground IS NOT NULL AND prev_onground <> onground
+"""
+
+
+_DEBOUNCE_S = 21600  # 6 h — discriminating at testdata event density
+
+
+def q_state4_debounced_edges(spark, sf):
+    """STATE-4 debounce (models.py:256-270): keep a transition iff its
+    gap to the previous candidate (kept or suppressed) exceeds the
+    window — single lag pass, because the reference advances its
+    last-event clock on suppressed events too."""
+    from ..operators.events import debounce_events, detect_onground_edges
+
+    ev = (
+        _ev(spark, sf)
+        .withColumn("onground", F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+    edges = detect_onground_edges(ev, key_cols=("user_id",), ts="ts")
+    kept = debounce_events(edges, key_cols=("user_id",), ts="ts", window_s=_DEBOUNCE_S)
+    return kept.select(
+        "user_id", _fmt(F.col("ts")).alias("ts_s"),
+        F.col("event_type").alias("transition"),
+    )
+
+
+SQL_STATE4 = f"""
+WITH flagged AS (
+  SELECT user_id, ts, (event_type = 'purchase') AS onground FROM events
+), lagged AS (
+  SELECT user_id, ts, onground,
+         lag(onground) OVER (PARTITION BY user_id ORDER BY ts) AS prev_onground
+  FROM flagged
+), edges AS (
+  SELECT user_id, ts,
+         CASE WHEN onground THEN 'landing' ELSE 'takeoff' END AS transition
+  FROM lagged WHERE prev_onground IS NOT NULL AND prev_onground <> onground
+), gapped AS (
+  SELECT user_id, ts, transition,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM edges
+)
+SELECT user_id, {_OFMT.format(c='ts')} AS ts_s, transition
+FROM gapped WHERE gap_us IS NULL OR gap_us > {_DEBOUNCE_S}::BIGINT * 1000000
+"""
+
+
+def q_state9_intention(spark, sf):
+    """STATE-9 intention classification (models.py:37-49 docstring;
+    never implemented in the reference — engine extension): per session,
+    departure if it starts 'onground', arrival if it ends 'onground',
+    enroute otherwise."""
+    ev = _ev(spark, sf).withColumn("onground", F.col("event_type") == "purchase")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_s=_SESSION_GAP_S)
+    summ = sess.groupBy("user_id", "session_id").agg(
+        F.min_by("onground", "ts").alias("first_onground"),
+        F.max_by("onground", "ts").alias("last_onground"),
+    )
+    return summ.select(
+        "user_id",
+        "session_id",
+        F.when(F.col("first_onground") & ~F.col("last_onground"), "departure")
+        .when(F.col("last_onground") & ~F.col("first_onground"), "arrival")
+        .when(F.col("first_onground") & F.col("last_onground"), "unknown")
+        .otherwise("enroute")
+        .alias("intention"),
+    )
+
+
+SQL_STATE9 = f"""
+WITH gaps AS (
+  SELECT user_id, ts, (event_type = 'purchase') AS onground,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_S}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM gaps
+), summ AS (
+  SELECT user_id, session_id,
+         arg_min(onground, ts) AS first_onground,
+         arg_max(onground, ts) AS last_onground
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       CASE WHEN first_onground AND NOT last_onground THEN 'departure'
+            WHEN last_onground AND NOT first_onground THEN 'arrival'
+            WHEN first_onground AND last_onground THEN 'unknown'
+            ELSE 'enroute' END AS intention
+FROM summ
+"""
+
+
+# ---------------------------------------------------------------------------
+# PRJ — projections / scalar functions
+# ---------------------------------------------------------------------------
+
+
+def q_prj2_json_extract_cast(spark, sf):
+    """PRJ-2 normalize-with-NULL-on-failure analog over the props JSON
+    (adsb_parser.py:197-219)."""
+    ev = _ev(spark, sf)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k"),
+    )
+
+
+SQL_PRJ2 = """
+SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+def q_prj3_timestamp_roundtrip(spark, sf):
+    """PRJ-3 SBS-1 timestamp format parse (adsb_parser.py:27,203-206):
+    render each ts in the wire format and re-parse it."""
+    ev = _ev(spark, sf)
+    wire = F.date_format(F.col("ts").cast("timestamp"), "yyyy/MM/dd,HH:mm:ss.SSS")
+    reparsed = F.try_to_timestamp(wire, F.lit("yyyy/MM/dd,HH:mm:ss.SSS"))
+    return ev.select(
+        "event_id",
+        wire.alias("wire_ts"),
+        F.date_format(reparsed, "yyyy-MM-dd HH:mm:ss.SSS").alias("reparsed_s"),
+    )
+
+
+SQL_PRJ3 = """
+SELECT event_id,
+       strftime(ts, '%Y/%m/%d,%H:%M:%S.%g') AS wire_ts,
+       strftime(strptime(strftime(ts, '%Y/%m/%d,%H:%M:%S.%g'), '%Y/%m/%d,%H:%M:%S.%g'),
+                '%Y-%m-%d %H:%M:%S.%g') AS reparsed_s
+FROM events
+"""
+
+
+def q_prj56_unit_compass(spark, sf):
+    """PRJ-5 ft→m + PRJ-6 compass math (shared.py:5-33)."""
+    ev = _ev(spark, sf)
+    heading = F.col("value") % 360.0
+    return ev.select(
+        "event_id",
+        (F.col("value") * 0.3048).alias("alt_m"),
+        F.pmod(F.lit(450.0) - heading, F.lit(360.0)).alias("compass"),
+    )
+
+
+SQL_PRJ56 = """
+SELECT event_id,
+       value * 0.3048 AS alt_m,
+       fmod(450.0 - fmod(value, 360.0), 360.0) AS compass
+FROM events
+"""
+
+
+def q_prj7_track_interpolation(spark, sf):
+    """PRJ-7 heading from consecutive points (shared.py:36-50):
+    degrees(atan2(dy,dx)) → compass, rounded to 4 dp (libm ulp
+    differences between engines are ~1e-13)."""
+    ev = _ev(spark, sf).select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("x"),
+        ((F.col("event_id") * 13) % 100).cast("double").alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    dx = F.col("x") - F.lag("x").over(w)
+    dy = F.col("y") - F.lag("y").over(w)
+    ang = F.degrees(F.atan2(dy, dx))
+    compass = F.pmod(F.lit(450.0) - ang, F.lit(360.0))
+    return ev.withColumn("track", F.round(compass, 4)).select("event_id", "track")
+
+
+SQL_PRJ7 = """
+WITH pts AS (
+  SELECT event_id, user_id, ts, value AS x,
+         CAST((event_id * 13) % 100 AS DOUBLE) AS y
+  FROM events
+), lagged AS (
+  SELECT event_id,
+         x - lag(x) OVER w AS dx,
+         y - lag(y) OVER w AS dy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT event_id,
+       round(fmod(fmod(450.0 - degrees(atan2(dy, dx)), 360.0) + 360.0, 360.0), 4) AS track
+FROM lagged
+"""
+
+
+# ---------------------------------------------------------------------------
+# SNK — retention view, geojson export
+# ---------------------------------------------------------------------------
+
+
+def q_snk23_live_retention(spark, sf):
+    """SNK-2/3 positions_live view (create_public_schema.sql:819-855):
+    last-24 h slice; 'now' = max(ts) for determinism."""
+    ev = _ev(spark, sf)
+    mx = ev.agg(F.max("ts").alias("_mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("_mx") - F.expr("INTERVAL 24 HOURS"))
+        .select("event_id", _fmt(F.col("ts")).alias("ts_s"))
+    )
+
+
+SQL_SNK23 = f"""
+SELECT event_id, {_OFMT.format(c='ts')} AS ts_s
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
+"""
+
+
+def q_snk4_geojson_paths(spark, sf):
+    """SNK-4 GeoJSON linestring export (create_public_schema.sql:225-236)
+    + AGG-5 ordered path assembly: one groupBy, not per-row calls.
+    Coordinates rendered via decimal(12,2) for cross-engine string
+    parity."""
+    ev = _ev(spark, sf)
+    pt = F.concat(
+        F.lit("["),
+        F.col("value").cast("decimal(12,2)").cast("string"),
+        F.lit(","),
+        F.col("user_id").cast("string"),
+        F.lit("]"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i"), pt.alias("p")))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat(
+                F.lit('{"type":"LineString","coordinates":['),
+                F.array_join(F.transform(ordered, lambda s: s["p"]), ","),
+                F.lit("]}"),
+            ).alias("geojson")
+        )
+        .select("user_id", "geojson")
+    )
+
+
+SQL_SNK4 = """
+SELECT user_id,
+       '{"type":"LineString","coordinates":[' ||
+       string_agg('[' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || ',' ||
+                  CAST(user_id AS VARCHAR) || ']', ',' ORDER BY ts, event_id) ||
+       ']}' AS geojson
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes (bench headliners; AGG/JOIN coverage at lineitem scale)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1_pricing(spark, sf):
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates — the
+    canonical map-side-combine benchmark."""
+    li = load_table(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity")).cast("bigint").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice") * 100).cast("bigint").alias("sum_base_cents"),
+            F.round(F.sum(disc) * 100).cast("bigint").alias("sum_disc_cents"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))) * 100).cast("bigint").alias("sum_charge_cents"),
+            F.round(F.avg("l_quantity") * 100).cast("bigint").alias("avg_qty_c"),
+            F.round(F.avg("l_extendedprice") * 100).cast("bigint").alias("avg_price_c"),
+            F.round(F.avg("l_discount") * 10000).cast("bigint").alias("avg_disc_bp"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT) AS sum_charge_cents,
+       CAST(round(avg(l_quantity) * 100) AS BIGINT) AS avg_qty_c,
+       CAST(round(avg(l_extendedprice) * 100) AS BIGINT) AS avg_price_c,
+       CAST(round(avg(l_discount) * 10000) AS BIGINT) AS avg_disc_bp,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_shipping(spark, sf):
+    """TPC-H Q3 shape: fact-fact join + dim filter + top-k with
+    deterministic tiebreak."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(rev) * 100).cast("bigint").alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict = {
+    "flt1_value_band": (q_flt1_value_band, SQL_FLT1),
+    "flt5_events_on_day": (q_flt5_events_on_day, SQL_FLT5),
+    "flt6_fromto_paris": (q_flt6_fromto_paris, SQL_FLT6),
+    "agg1_histogram_hour_utc": (q_agg1_histogram_hour_utc, SQL_AGG1_HOUR),
+    "agg1_histogram_day_paris": (q_agg1_histogram_day_paris, SQL_AGG1_PARIS),
+    "agg2_sliding_hour_counts": (q_agg2_sliding_hour_counts, SQL_AGG2),
+    "agg3_peak_hour_paris": (q_agg3_peak_hour_paris, SQL_AGG3),
+    "set1_union_distinct": (q_set1_union_distinct, SQL_SET1),
+    "agg7_distinct_pairs": (q_agg7_distinct_pairs, SQL_AGG7),
+    "agg8_active_sessions": (q_agg8_active_sessions, SQL_AGG8),
+    "join1_events_per_customer": (q_join1_events_per_customer, SQL_JOIN1),
+    "join2_details_star": (q_join2_details_star, SQL_JOIN2),
+    "join4_dedup_latest": (q_join4_dedup_latest, SQL_JOIN4),
+    "join5_runway_attribution": (q_join5_runway_attribution, SQL_JOIN5),
+    "snk5_copy_remap": (q_snk5_copy_remap, SQL_SNK5),
+    "state1_sessions": (q_state1_sessions, SQL_STATE1),
+    "agg6_session_summaries": (q_agg6_session_summaries, SQL_AGG6),
+    "state3_edges": (q_state3_edges, SQL_STATE3),
+    "state4_debounced_edges": (q_state4_debounced_edges, SQL_STATE4),
+    "state9_intention": (q_state9_intention, SQL_STATE9),
+    "prj2_json_extract_cast": (q_prj2_json_extract_cast, SQL_PRJ2),
+    "prj3_timestamp_roundtrip": (q_prj3_timestamp_roundtrip, SQL_PRJ3),
+    "prj56_unit_compass": (q_prj56_unit_compass, SQL_PRJ56),
+    "prj7_track_interpolation": (q_prj7_track_interpolation, SQL_PRJ7),
+    "snk23_live_retention": (q_snk23_live_retention, SQL_SNK23),
+    "snk4_geojson_paths": (q_snk4_geojson_paths, SQL_SNK4),
+    "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),
+    "tpch_q3_shipping": (q_tpch_q3_shipping, SQL_TPCH_Q3),
+}

@@ -28,6 +28,18 @@ def get_spark(
     cluster (where ``master`` is injected by spark-submit and must NOT
     be overridden here).
     """
+    # Python workers (Pandas UDFs, applyInPandasWithState handlers)
+    # must be able to import this package regardless of the driver's
+    # cwd — prepend the repo root to PYTHONPATH before the JVM and
+    # worker pool start.  On a real cluster, ship the package with
+    # --py-files instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"

@@ -1,0 +1,69 @@
+"""End-to-end streaming pipeline assembly (SURVEY §3.1 Spark shape):
+
+readStream(socket|text) → parse/normalize (select/filter, SRC-3 +
+PRJ-1..4 + FLT-1/3) → groupByKey(hexident) → applyInPandasWithState
+(sessions + edges + debounce, streaming.state) → [events stream] →
+foreachBatch: runway attribution join (JOIN-5) + sinks (SNK-1 pacing
+via trigger processingTime='1 second').
+
+The reference's receiver thread + bounded queue + drop-all overflow
+(STATE-7) disappear: Spark's source buffering and micro-batch
+backpressure replace them; graceful shutdown is ``query.stop()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import parse
+from ..streaming.state import EVENT_OUTPUT_SCHEMA, sessionize_updates
+
+COMMIT_PERIOD = "1 second"  # flights.py:20 DB_COMMIT_PERIOD
+
+
+def parsed_stream(raw_lines: DataFrame, altitude_below: float = 10000.0) -> DataFrame:
+    """Parse + filter stage, identical for batch and streaming inputs
+    (run.py:28 wires AdsbMessageFilter(below=10000))."""
+    msgs = parse.parse_sbs1_lines(raw_lines)
+    msgs = parse.altitude_filter(msgs, below=altitude_below)
+    msgs = parse.dispatch_fields(msgs)
+    return msgs.select(
+        "hexident", "gen_date_time", "onground", "longitude", "latitude", "callsign"
+    )
+
+
+def event_stream(parsed: DataFrame) -> DataFrame:
+    """The stateful core: keyed session state emitting landing/takeoff
+    events and timeout flight summaries."""
+    return parsed.groupBy("hexident").applyInPandasWithState(
+        sessionize_updates,
+        outputStructType=EVENT_OUTPUT_SCHEMA,
+        stateStructType=(
+            "first_seen long, last_seen long, n_messages long, "
+            "onground boolean, last_event long, callsign string, "
+            "last_lon double, last_lat double, prev_lon double, prev_lat double"
+        ),
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
+def start_pipeline(
+    raw_stream: DataFrame,
+    sink_fn,
+    checkpoint_dir: str,
+    trigger: str = COMMIT_PERIOD,
+):
+    """Wire the stages and start the query.  ``sink_fn(batch_df,
+    epoch_id)`` receives each micro-batch of events (foreachBatch =
+    SNK-1's transactional batched writes; attribution joins belong
+    inside it, against broadcast runway dims)."""
+    events = event_stream(parsed_stream(raw_stream))
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=trigger)
+        .start()
+    )

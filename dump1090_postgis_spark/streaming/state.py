@@ -1,0 +1,149 @@
+"""Keyed stateful sessionization for streaming (SURVEY §2.8
+STATE-1..5; reference flights.py:14-137, models.py:110-270).
+
+One ``applyInPandasWithState`` handler per hexident implements the
+whole reference state machine:
+
+- STATE-1 session pool with inactivity timeout (MAX_AGE 300 s,
+  processing-time — GroupStateTimeout.ProcessingTimeTimeout, exactly
+  the reference's eviction semantics);
+- STATE-2 per-session accumulation (first/last_seen, last-non-null
+  field values per the MSG-type dispatch);
+- STATE-3 onground edge detection (False→True landing, True→False
+  takeoff; first observation initializes only);
+- STATE-4 2 s debounce against the last candidate event (clock
+  advances on suppressed candidates too);
+- STATE-5 emission of event rows for downstream attribution (the
+  dataflow edge replaces the reference's pub/sub callbacks, STATE-6).
+
+The handler emits one row per detected (debounced) event plus, on
+timeout, a final flight-summary row — mirroring SNK-1's batched
+upserts via foreachBatch on the caller side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+
+EVENT_OUTPUT_SCHEMA = (
+    "hexident string, kind string, event_time timestamp, "
+    "longitude double, latitude double, track double, "
+    "first_seen timestamp, last_seen timestamp, n_messages long, "
+    "callsign string"
+)
+
+STATE_SCHEMA = (
+    "first_seen long, last_seen long, n_messages long, "
+    "onground boolean, last_event long, callsign string, "
+    "last_lon double, last_lat double, prev_lon double, prev_lat double"
+)
+
+SESSION_TIMEOUT_MS = 300_000  # flights.py:18 MAX_AGE (300 s)
+DEBOUNCE_US = 2_000_000  # models.py:268 (2 s)
+
+
+def _interp_track(prev_lon, prev_lat, lon, lat) -> float | None:
+    """PRJ-7 (shared.py:36-50) — scalar form for the state handler."""
+    import math
+
+    if prev_lon is None or lon is None:
+        return None
+    dx, dy = lon - prev_lon, lat - prev_lat
+    if dx == 0 and dy == 0:
+        return None
+    return (450.0 - math.degrees(math.atan2(dy, dx))) % 360.0
+
+
+def sessionize_updates(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: Any
+) -> Iterable[pd.DataFrame]:
+    """applyInPandasWithState handler. Input rows: hexident,
+    gen_date_time, onground, longitude, latitude, callsign (the parsed
+    message projection, FLT-3 dispatch applied upstream)."""
+    hexident = key[0]
+
+    if state.hasTimedOut:
+        # STATE-1 eviction: emit the final flight summary row
+        if state.exists:
+            first_seen, last_seen, n, *_rest = state.get
+            cs = state.get[5]
+            yield pd.DataFrame(
+                {
+                    "hexident": [hexident],
+                    "kind": ["flight_summary"],
+                    "event_time": [pd.Timestamp(last_seen, unit="us")],
+                    "longitude": [None],
+                    "latitude": [None],
+                    "track": [None],
+                    "first_seen": [pd.Timestamp(first_seen, unit="us")],
+                    "last_seen": [pd.Timestamp(last_seen, unit="us")],
+                    "n_messages": [n],
+                    "callsign": [cs],
+                }
+            )
+        state.remove()
+        return
+
+    if state.exists:
+        (first_seen, last_seen, n, onground, last_event, callsign,
+         last_lon, last_lat, prev_lon, prev_lat) = state.get
+    else:
+        first_seen = last_seen = None
+        n = 0
+        onground = None
+        last_event = None
+        callsign = None
+        last_lon = last_lat = prev_lon = prev_lat = None
+
+    out_rows: list[dict] = []
+
+    for pdf in pdfs:
+        pdf = pdf.sort_values("gen_date_time")
+        for row in pdf.itertuples(index=False):
+            ts_us = int(pd.Timestamp(row.gen_date_time).value // 1_000)
+            if first_seen is None:
+                first_seen = ts_us
+            last_seen = max(last_seen or ts_us, ts_us)
+            n += 1
+            if row.callsign is not None and isinstance(row.callsign, str):
+                callsign = row.callsign
+            if row.longitude is not None and not pd.isna(row.longitude):
+                prev_lon, prev_lat = last_lon, last_lat
+                last_lon, last_lat = float(row.longitude), float(row.latitude)
+            og = row.onground
+            if og is not None and not (isinstance(og, float) and pd.isna(og)):
+                og = bool(og)
+                if onground is not None and og != onground:
+                    # STATE-3 edge; STATE-4 debounce vs last candidate
+                    if last_event is None or ts_us - last_event > DEBOUNCE_US:
+                        out_rows.append(
+                            {
+                                "hexident": hexident,
+                                "kind": "landing" if og else "takeoff",
+                                "event_time": pd.Timestamp(ts_us, unit="us"),
+                                "longitude": last_lon,
+                                "latitude": last_lat,
+                                "track": _interp_track(
+                                    prev_lon, prev_lat, last_lon, last_lat
+                                ),
+                                "first_seen": pd.Timestamp(first_seen, unit="us"),
+                                "last_seen": pd.Timestamp(last_seen, unit="us"),
+                                "n_messages": n,
+                                "callsign": callsign,
+                            }
+                        )
+                    # reference updates the clock even when suppressed
+                    last_event = ts_us
+                onground = og
+
+    state.update(
+        (first_seen, last_seen, n, onground, last_event, callsign,
+         last_lon, last_lat, prev_lon, prev_lat)
+    )
+    state.setTimeoutDuration(SESSION_TIMEOUT_MS)
+
+    if out_rows:
+        yield pd.DataFrame(out_rows)

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Local replica of the verification driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at the given scale
+factor AND its ``oracle_sql()`` in DuckDB over the same parquet
+tables, then compares row count, column-name set, and
+order-insensitive values.
+
+Usage:
+    python scripts/check_oracle.py              # all queries @ sf0.01
+    python scripts/check_oracle.py q1 q2        # subset
+    SF_DIR=/root/testdata/sf0.001 python scripts/check_oracle.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form: columns sorted by name, rows sorted by all
+    columns, values stringified (mirrors an order-insensitive value
+    hash)."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main(argv: list[str]) -> int:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = argv or list(qs)
+
+    from dump1090_postgis_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    n_pass = n_fail = 0
+    for name in names:
+        if name not in qs:
+            print(f"UNKNOWN {name}")
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark query raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if name not in oracles:
+            ok = len(sdf) >= 0
+            print(f"check {name}: rows-only (no oracle) rows={len(sdf)} "
+                  f"[{time.time()-t0:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception:
+            print(f"FAIL  {name}: oracle SQL raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        if not problems:
+            cs, co = canon(sdf), canon(odf)
+            if not cs.equals(co):
+                neq = (cs != co).any(axis=1)
+                idx = list(cs.index[neq])[:3]
+                detail = []
+                for i in idx:
+                    detail.append(f"row{i}: spark={cs.loc[i].to_dict()} oracle={co.loc[i].to_dict()}")
+                problems.append("values differ; " + " | ".join(detail))
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS  {name} rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail (sf_dir={SF_DIR})")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
