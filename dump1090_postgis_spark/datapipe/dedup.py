@@ -45,10 +45,20 @@ def exact_dedup(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> 
 def word_shingles(c: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a text column (array<string>).
 
-    Built with element_at per offset (O(1) array access) rather than
-    slice (O(n) copy per shingle — quadratic per document).
+    NOTE: prefer ``with_shingles`` (staged projection) in pipelines —
+    referencing this expression from inside another lambda re-evaluates
+    the embedded split() per array element (Catalyst does not hoist
+    loop invariants out of LambdaFunctions), which is quadratic per
+    document.
     """
     words = F.split(normalize_text(c), " ")
+    return _shingles_of(words, k)
+
+
+def _shingles_of(words: Column, k: int = 3) -> Column:
+    """Shingle expression over an (ideally already-materialized) words
+    column.  element_at per offset = O(1) access, no per-shingle array
+    copy."""
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
 
@@ -62,22 +72,41 @@ def word_shingles(c: Column, k: int = 3) -> Column:
     )
 
 
-def _seeded_md5(seed: int):
+def with_shingles(
+    df: DataFrame, text: str = "text", out: str = "_shingles", k: int = 3
+) -> DataFrame:
+    """Materialize the shingle array as a real column via staged
+    projections: normalize+split once per row, shingle from attribute
+    references.  The multi-reference aliases are non-cheap, so
+    CollapseProject keeps the stages separate — each row computes
+    split() exactly once regardless of how many downstream expressions
+    (16 MinHash seeds, Jaccard both sides) consume the shingles."""
+    return (
+        df.withColumn("_dd_words", F.split(normalize_text(F.col(text)), " "))
+        .withColumn(out, _shingles_of(F.col("_dd_words"), k))
+        .drop("_dd_words")
+    )
+
+
+def _seeded_hash(seed: int):
     """Single-parameter lambda factory for transform() — a two-parameter
     lambda would receive the array INDEX as its second argument (the
     PySpark higher-order-function convention), silently shadowing the
     seed."""
-    prefix = f"{seed}|"
-    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    return lambda s: F.xxhash64(F.lit(seed), s)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """MinHash signature: for seed i, min over shingles of
-    md5(i || '|' || shingle) — string minima of uniformly distributed
-    hex digests are a valid MinHash family, and md5 agrees across
-    engines (oracle-checkable)."""
+    xxhash64(i, shingle) — long minima of a seeded 64-bit hash family.
+
+    xxhash64 over (seed, shingle) beats md5-of-concat by an order of
+    magnitude here: higher-order functions evaluate interpreted (no
+    whole-stage codegen), so per-shingle cost is dominated by
+    allocation — xxhash64 produces a primitive long with no hex-string
+    materialization."""
     sigs = [
-        F.array_min(F.transform(shingles, _seeded_md5(i)))
+        F.array_min(F.transform(shingles, _seeded_hash(i)))
         for i in range(num_hashes)
     ]
     return F.array(*sigs)
@@ -98,24 +127,39 @@ def lsh_candidate_pairs(
     O(dups), so this scales linearly in corpus size.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(F.col(text)), num_hashes).alias("_sig"),
+    # Parquet splits by bytes, not CPU cost: a small file of long texts
+    # arrives as ONE partition, serializing the md5-heavy signature
+    # stage.  Spread rows across the cluster before hashing, and put an
+    # exchange AFTER the signature so the 16-hash computation happens
+    # exactly once per doc — without the barrier, the per-band explode
+    # downstream would re-evaluate the whole signature expression 4×.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        with_shingles(
+            docs.select(F.col(id_col).alias("_id"), text).repartition(n_parts),
+            text,
+        )
+        .withColumn("_sig", minhash_signature(F.col("_shingles"), num_hashes))
+        .select("_id", "_sig")
+        .repartition(n_parts, "_id")  # materialization barrier
     )
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.array_join(
-                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band), "|"
-                    ).alias("key"),
+    banded = (
+        sig.select(
+            "_id",
+            "_sig",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        )
+        .select(
+            "_id",
+            "band",
+            F.array_join(
+                F.slice(
+                    F.col("_sig"), F.col("band") * rows_per_band + 1, F.lit(rows_per_band)
                 ),
-            )
-        ).alias("bk"),
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+                "|",
+            ).alias("key"),
+        )
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -141,8 +185,19 @@ def jaccard_pairs(
     """Exact k-shingle Jaccard for candidate pairs; keeps pairs with
     jaccard > threshold. Two broadcast-or-shuffle hash joins to attach
     shingle sets, then a codegen'd set intersection per pair."""
-    sh = docs.select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text), k).alias("_sh")
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # Shingle once, then hash-partition by id: BOTH pair-side joins
+    # shuffle on the same key, so Catalyst reuses one exchange — the
+    # shingling runs once, not once per join side.
+    sh = (
+        with_shingles(
+            docs.select(F.col(id_col).alias("_id"), text).repartition(n_parts),
+            text,
+            k=k,
+        )
+        .withColumnRenamed("_shingles", "_sh")
+        .select("_id", "_sh")
+        .repartition(n_parts, "_id")
     )
     joined = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
@@ -161,6 +216,9 @@ def simhash16(text_col: Column) -> Column:
     """16-bit SimHash over words: bit j is the sign of the sum over
     words of ±1 according to hex digit j of md5(word).  Projection
     only; identical in any engine with md5."""
+    # NOTE: as an inline expression the hash array below is re-inlined
+    # into each of the 16 bit computations; use simhash16_df for the
+    # staged (hashes-materialized) pipeline form.
     words = F.array_distinct(F.split(normalize_text(text_col), " "))
     hashes = F.transform(words, lambda w: F.md5(w))
 
@@ -180,6 +238,40 @@ def simhash16(text_col: Column) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def simhash16_df(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id",
+    out: str = "simhash",
+) -> DataFrame:
+    """Staged SimHash: per-word md5 array materialized once, then the 16
+    bit sums read it by attribute reference — one split+hash pass per
+    row instead of 32."""
+    hashed = docs.select(
+        id_col,
+        F.transform(
+            F.array_distinct(F.split(normalize_text(F.col(text)), " ")),
+            lambda w: F.md5(w),
+        ).alias("_hs"),
+    )
+
+    def _bit(j: int) -> Column:
+        contrib = F.transform(
+            F.col("_hs"),
+            lambda h: F.when(
+                F.substring(h, j + 1, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                1,
+            ).otherwise(-1),
+        )
+        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        return F.when(total >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+    sig = _bit(0)
+    for j in range(1, 16):
+        sig = sig + _bit(j)
+    return hashed.select(id_col, sig.alias(out))
 
 
 def embedding_cosine(a: Column, b: Column) -> Column:

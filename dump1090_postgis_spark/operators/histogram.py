@@ -71,8 +71,15 @@ def events_histogram(
         lo = F.lit(starts).cast("timestamp_ntz")
         hi = F.lit(ends).cast("timestamp_ntz")
 
+    # Reference parity (create_public_schema.sql:182-200): the aggregate
+    # subquery has NO time predicate — the generated axis bounds the
+    # output via the join, so an event exactly at `ends` still lands in
+    # the final bin.  Equivalent pushdown-friendly filter: truncated
+    # bin within [trunc(starts), trunc(ends)].
     binned = (
-        events.filter((t >= lo) & (t < hi))
+        events.filter(
+            (t >= F.date_trunc(b, lo)) & (t < F.date_trunc(b, hi) + bin_interval(b))
+        )
         .groupBy(F.date_trunc(b, t).alias("interval"))
         .agg(
             F.count(id_col).alias("events"),

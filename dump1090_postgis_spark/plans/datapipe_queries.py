@@ -79,9 +79,10 @@ WHERE len(list_intersect(a.shingles, b.shingles)) > 0
 
 
 def q_dedup_simhash(spark, sf):
-    """16-bit SimHash fingerprint per document (projection-only)."""
+    """16-bit SimHash fingerprint per document (projection-only;
+    staged form — hash array materialized once per row)."""
     docs = load_table(spark, sf, "documents")
-    return docs.select("doc_id", dd.simhash16(F.col("text")).alias("simhash"))
+    return dd.simhash16_df(docs)
 
 
 _SIMHASH_BITS = " + ".join(

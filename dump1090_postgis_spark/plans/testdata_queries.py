@@ -143,7 +143,8 @@ WITH axis AS (
          count(event_id) AS events,
          array_to_string(list_sort(list(event_id)), ',') AS ids_csv
   FROM events
-  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+  WHERE ts >= date_trunc('hour', TIMESTAMP '2024-01-05 00:00:00')
+    AND ts < date_trunc('hour', TIMESTAMP '2024-01-12 00:00:00') + INTERVAL 1 HOUR
   GROUP BY 1
 )
 SELECT {_OFMT.format(c='axis.interval')} AS bin_start,
@@ -185,7 +186,8 @@ WITH loc AS (
          count(event_id) AS events,
          array_to_string(list_sort(list(event_id)), ',') AS ids_csv
   FROM loc
-  WHERE lts >= (SELECT lo FROM bounds) AND lts < (SELECT hi FROM bounds)
+  WHERE lts >= date_trunc('day', (SELECT lo FROM bounds))
+    AND lts < date_trunc('day', (SELECT hi FROM bounds)) + INTERVAL 1 DAY
   GROUP BY 1
 )
 SELECT {_OFMT.format(c='axis.interval')} AS bin_start,

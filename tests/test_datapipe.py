@@ -1,0 +1,150 @@
+"""Training-data operators: MinHash-LSH finds crafted near-dups and
+rejects unrelated docs; SimHash similarity; embedding LSH + cosine;
+IVF recall vs brute force; text analysis; multimodal decode plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dump1090_postgis_spark.datapipe import dedup as dd
+from dump1090_postgis_spark.datapipe import similarity as sim
+from dump1090_postgis_spark.datapipe import text as tx
+from dump1090_postgis_spark.datapipe.multimodal import (
+    attach_binary,
+    decode_metadata,
+    frame_sample_plan,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from the angry farmer")
+NEAR = BASE.replace("angry", "furious")  # one-word edit → high jaccard
+FAR = ("completely different content about spark query engines and "
+       "columnar execution with vectorized operators and shuffles")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)],  # 4 = exact dup of 1
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.keep_id: r.n_copies for r in dd.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1 and 4 collapse
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    cands = dd.lsh_candidate_pairs(docs)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # near dup collides in ≥1 band
+    verified = dd.jaccard_pairs(docs, cands, threshold=0.5)
+    v = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert v[(1, 4)] == 1.0
+    assert v[(1, 2)] > 0.8
+    assert (1, 3) not in v and (2, 3) not in v
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    out = {r.doc_id: r.simhash for r in
+           docs.select("doc_id", dd.simhash16(F.col("text")).alias("simhash"))
+           .collect()}
+    assert out[1] == out[4]
+    ham_near = bin(out[1] ^ out[2]).count("1")
+    ham_far = bin(out[1] ^ out[3]).count("1")
+    assert ham_near <= 3
+    assert ham_far > ham_near
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rnd.gauss(0, 1) for _ in range(16)]))
+    # 100/101: near-identical pair
+    base = [rnd.gauss(0, 1) for _ in range(16)]
+    rows.append((100, base))
+    rows.append((101, [x + 0.001 for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_dup_lsh(spark, emb):
+    out = dd.embedding_near_dup_pairs(emb, threshold=0.99, bucket_dims=4)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (100, 101) in pairs
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    centroids = sim.build_centroids(emb, num_centroids=4)
+    approx = sim.ivf_topk(emb, queries, centroids, k=5, probes=4)
+    # probes == num_centroids → IVF degenerates to exact: recall 1.0
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert a == e
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht das problem und die katze"),
+            (3, "le chat est dans la maison et les chiens"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang for r in
+           df.select("doc_id", tx.language_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_token_counts_and_fingerprint(spark):
+    df = spark.createDataFrame([(1, "hello, world! foo")], "doc_id long, text string")
+    row = df.select(
+        tx.token_count_ws(F.col("text")).alias("ws"),
+        tx.token_count_regex(F.col("text")).alias("re"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    ).collect()[0]
+    assert row.ws == 3
+    assert row.re == 5  # hello , world ! foo
+    assert row.fp > 0
+    # fingerprint is stable
+    row2 = df.select(tx.fingerprint(F.col("text")).alias("fp")).collect()[0]
+    assert row2.fp == row.fp
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat and it is a good day for all of us"),
+         (2, "!!! ??? ... ;;; :::")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.q for r in
+           df.select("doc_id", tx.quality_score(F.col("text")).alias("q")).collect()}
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "BMxyz payload"), (2, "plain bytes"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decode_metadata(attach_binary(docs)).collect()}
+    assert out[1].format == "bmp" and out[1].ok
+    assert out[2].format == "raw"
+    assert out[3].ok is False and out[3].width is None
+    assert out[2].byte_len == len("plain bytes")
+
+
+def test_frame_sample_plan(spark):
+    meta = spark.createDataFrame([(1, 90)], "doc_id long, width int")
+    out = frame_sample_plan(meta, every_n=30).collect()
+    assert [r.frame_idx for r in out] == [0, 30, 60]

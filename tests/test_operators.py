@@ -1,0 +1,213 @@
+"""Operator semantics: sessionization boundaries, edge detection
+transition matrix (mirrors the reference's test_models.py cases),
+debounce quiet-gap behavior, histogram zero-fill, peak-hour ranking,
+union-distinct parity, dedup keep-max-id."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dump1090_postgis_spark.operators.dedup import dedup_keep_max_id
+from dump1090_postgis_spark.operators.events import (
+    debounce_events,
+    detect_onground_edges,
+)
+from dump1090_postgis_spark.operators.histogram import events_histogram
+from dump1090_postgis_spark.operators.peak_hour import (
+    peak_hour,
+    peak_hour_scalable,
+    union_events,
+)
+from dump1090_postgis_spark.operators.sessionize import (
+    flight_summaries,
+    sessionize,
+)
+
+T0 = datetime.datetime(2024, 5, 1, 10, 0, 0)
+
+
+def ts(s):
+    return T0 + datetime.timedelta(seconds=s)
+
+
+def _msgs(spark, rows):
+    return spark.createDataFrame(
+        rows, "hexident string, gen_date_time timestamp, onground boolean"
+    )
+
+
+# --- sessionize -----------------------------------------------------------
+
+
+def test_session_gap_boundary(spark):
+    # gap == 300 s exactly does NOT start a new session (> semantics);
+    # 300.000001 s does.
+    df = _msgs(
+        spark,
+        [
+            ("A", ts(0), False),
+            ("A", ts(300), False),                       # == gap → same session
+            ("A", ts(300) + datetime.timedelta(microseconds=600_000_001), False),
+        ],
+    )
+    out = sessionize(df).orderBy("gen_date_time").collect()
+    assert [r.session_id for r in out] == [0, 0, 1]
+
+
+def test_sessions_independent_per_key(spark):
+    df = _msgs(spark, [("A", ts(0), False), ("B", ts(1000), False),
+                       ("A", ts(1000), False)])
+    out = {(r.hexident, r.gen_date_time): r.session_id
+           for r in sessionize(df).collect()}
+    assert out[("A", ts(0))] == 0 and out[("A", ts(1000))] == 1
+    assert out[("B", ts(1000))] == 0
+
+
+# --- edge detection (reference transition matrix, test_models.py) ---------
+
+
+@pytest.mark.parametrize(
+    "sequence,expected",
+    [
+        ([False, True], ["landing"]),                      # air → ground
+        ([True, False], ["takeoff"]),                      # ground → air
+        ([False, False], []),                              # enroute
+        ([True, True], []),                                # taxi
+        ([True], []),                                      # first observation
+        ([False, True, False, True], ["landing", "takeoff", "landing"]),
+    ],
+)
+def test_edge_transition_matrix(spark, sequence, expected):
+    rows = [("A", ts(10 * i), og) for i, og in enumerate(sequence)]
+    df = _msgs(spark, rows).withColumn("session_id", F.lit(0))
+    out = (
+        detect_onground_edges(df)
+        .orderBy("gen_date_time")
+        .select("event_type")
+        .collect()
+    )
+    assert [r.event_type for r in out] == expected
+
+
+def test_edges_ignore_null_onground(spark):
+    # messages not carrying onground (FLT-3) must not break a run
+    df = _msgs(
+        spark,
+        [("A", ts(0), False), ("A", ts(5), None), ("A", ts(10), True)],
+    ).withColumn("session_id", F.lit(0))
+    out = detect_onground_edges(df).collect()
+    assert len(out) == 1 and out[0].event_type == "landing"
+
+
+# --- debounce (models.py:256-270 quiet-gap semantics) ---------------------
+
+
+def test_debounce_quiet_gap(spark):
+    # candidates at 0, 1.5, 3.0, 6.0 s: the reference updates its clock
+    # on suppressed events, so 3.0 (gap 1.5 to the *suppressed* 1.5)
+    # is ALSO suppressed; 6.0 (gap 3.0) survives.
+    rows = [("A", T0 + datetime.timedelta(seconds=s), True)
+            for s in [0.0, 1.5, 3.0, 6.0]]
+    df = _msgs(spark, rows).withColumn("session_id", F.lit(0))
+    out = debounce_events(df).orderBy("gen_date_time").collect()
+    secs = [(r.gen_date_time - T0).total_seconds() for r in out]
+    assert secs == [0.0, 6.0]
+
+
+def test_debounce_exact_2s_suppressed(spark):
+    rows = [("A", T0, True), ("A", T0 + datetime.timedelta(seconds=2), True)]
+    df = _msgs(spark, rows).withColumn("session_id", F.lit(0))
+    assert debounce_events(df).count() == 1  # gap must be strictly > 2 s
+
+
+# --- flight summaries (AGG-6) --------------------------------------------
+
+
+def test_flight_summary_last_non_null(spark):
+    df = spark.createDataFrame(
+        [
+            ("A", ts(0), 3, None, 1000),
+            ("A", ts(10), 1, "CS1", None),
+            ("A", ts(20), 3, None, 2000),
+        ],
+        "hexident string, gen_date_time timestamp, transmission_type int,"
+        " callsign string, altitude int",
+    )
+    out = flight_summaries(
+        sessionize(df), last_value_fields=("callsign", "altitude")
+    ).collect()[0]
+    assert out.first_seen == ts(0) and out.last_seen == ts(20)
+    assert out.last_callsign == "CS1"       # null at ts20 doesn't overwrite
+    assert out.last_altitude == 2000
+    assert out.n_msg3 == 2 and out.n_msg1 == 1
+
+
+# --- histogram zero-fill ---------------------------------------------------
+
+
+def test_histogram_zero_fill_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, ts(0)), (2, ts(30)), (3, ts(7200))],
+        "flight_id long, time timestamp",
+    )
+    out = events_histogram(df, ts(0), ts(7200), "hour").collect()
+    assert len(out) == 3  # 10:00, 11:00, 12:00
+    # reference semantics: event exactly at `ends` lands in the last bin
+    assert [r.events for r in out] == [2, 0, 1]
+    assert out[0].ids == [1, 2] and out[1].ids == []
+
+
+def test_histogram_invalid_bin(spark):
+    df = spark.createDataFrame([(1, ts(0))], "flight_id long, time timestamp")
+    with pytest.raises(ValueError):
+        events_histogram(df, ts(0), ts(100), "fortnight")
+
+
+# --- peak hour -------------------------------------------------------------
+
+
+def _events_at(spark, seconds):
+    return spark.createDataFrame(
+        [(T0 + datetime.timedelta(seconds=s),) for s in seconds],
+        "time timestamp",
+    )
+
+
+def test_peak_hour_finds_densest_window(spark):
+    # cluster of 4 events within an hour, plus stragglers
+    ev = _events_at(spark, [0, 100, 200, 300, 50000, 80000])
+    out = peak_hour(ev).collect()
+    assert out[0].events == 4
+
+
+def test_peak_hour_scalable_matches_exact(spark):
+    import random
+
+    rnd = random.Random(7)
+    secs = sorted(rnd.uniform(0, 3 * 86400) for _ in range(300))
+    ev = _events_at(spark, secs)
+    exact = [(str(r.day), str(r.peak_hour), r.events)
+             for r in peak_hour(ev).collect()]
+    scalable = [(str(r.day), str(r.peak_hour), r.events)
+                for r in peak_hour_scalable(ev).collect()]
+    assert exact == scalable
+
+
+# --- set ops / dedup -------------------------------------------------------
+
+
+def test_union_events_distinct(spark):
+    a = spark.createDataFrame([(1, ts(0))], "flight_id long, time timestamp")
+    b = spark.createDataFrame(
+        [(1, ts(0)), (2, ts(5))], "flight_id long, time timestamp"
+    )
+    assert union_events(a, b).count() == 2  # SQL UNION removes the dup
+
+
+def test_dedup_keep_max_id(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "id long, flight_id long"
+    )
+    out = {r.flight_id: r.id for r in dedup_keep_max_id(df).collect()}
+    assert out == {10: 2, 20: 3}
