@@ -188,7 +188,7 @@ def test_peak_hour_scalable_matches_exact(spark):
     secs = sorted(rnd.uniform(0, 3 * 86400) for _ in range(300))
     ev = _events_at(spark, secs)
     exact = [(str(r.day), str(r.peak_hour), r.events)
-             for r in peak_hour(ev).collect()]
+             for r in peak_hour(ev, partitioned=False).collect()]
     scalable = [(str(r.day), str(r.peak_hour), r.events)
                 for r in peak_hour_scalable(ev).collect()]
     assert exact == scalable
