@@ -160,16 +160,31 @@ def lsh_candidate_pairs(
             ).alias("key"),
         )
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
+    # Bucket-groupBy instead of a self-join: one shuffle on the band
+    # key, signatures computed ONCE (a self-join would evaluate the
+    # whole hashing pipeline per side), pairs enumerated inside each
+    # bucket (bucket size ≈ duplicate-cluster size, so the O(b²)
+    # expansion is bounded by real duplication, not corpus size).
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    n = F.size(F.col("ids"))
+    pair_lists = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, n - i),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"), j.alias("id_b")
+                ),
+            ),
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_lists).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
