@@ -892,6 +892,49 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Full-pipeline end-to-end (rows-only: the multi-stage ETL is not one
+# SQL statement; unit tests pin its semantics on crafted captures)
+# ---------------------------------------------------------------------------
+
+
+def q_etl_full_pipeline(spark, sf):
+    """SURVEY §3.1 end-to-end: synthesize SBS-1 wire lines from the
+    events table, then run the complete batch ETL (gate → parse →
+    filter → dispatch → sessionize → admission → summaries → edges →
+    debounce) and return the flights table."""
+    from .etl import build_tables
+
+    ev = _ev(spark, sf)
+    # Wire-format lines: hexident from user_id, MSG3 with a synthetic
+    # position; every ~7th event goes onground (landing episodes).
+    line = F.concat_ws(
+        ",",
+        F.lit("MSG"), F.lit("3"), F.lit("1"), F.lit("1"),
+        F.concat(F.lit("UID"), F.col("user_id").cast("string")),
+        F.lit("1"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy/MM/dd"),
+        F.date_format(F.col("ts").cast("timestamp"), "HH:mm:ss.SSS"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy/MM/dd"),
+        F.date_format(F.col("ts").cast("timestamp"), "HH:mm:ss.SSS"),
+        F.lit(""),
+        F.round(F.col("value") * 10).cast("int").cast("string"),
+        F.lit(""), F.lit(""),
+        F.round(F.lit(47.0) + F.col("value") / 1000.0, 5).cast("string"),
+        F.round(F.lit(-1.6) + F.col("value") / 1000.0, 5).cast("string"),
+        F.lit(""), F.lit(""), F.lit("0"), F.lit(""), F.lit("0"),
+        F.when(F.col("event_id") % 7 == 0, "-1").otherwise("0"),
+    )
+    raw = ev.select(line.alias("value"))
+    tables = build_tables(raw, altitude_below=100000.0, session_gap_s=3600)
+    return tables["flights"].select(
+        "id", "hexident",
+        F.date_format(F.col("first_seen"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.col("last_seen"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        "intention", "n_messages",
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -924,4 +967,5 @@ REGISTRY: dict = {
     "snk4_geojson_paths": (q_snk4_geojson_paths, SQL_SNK4),
     "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),
     "tpch_q3_shipping": (q_tpch_q3_shipping, SQL_TPCH_Q3),
+    "etl_full_pipeline": (q_etl_full_pipeline, None),
 }

@@ -33,9 +33,17 @@ def parsed_stream(raw_lines: DataFrame, altitude_below: float = 10000.0) -> Data
     )
 
 
-def event_stream(parsed: DataFrame) -> DataFrame:
+def event_stream(parsed: DataFrame, watermark: str | None = None) -> DataFrame:
     """The stateful core: keyed session state emitting landing/takeoff
-    events and timeout flight summaries."""
+    events and timeout flight summaries.
+
+    ``watermark`` (e.g. '5 minutes') enables the event-time mode
+    (STATE-8) — the reference itself has NO watermark (its eviction is
+    processing-time), so the default stays None for parity; pass one
+    when composing with event-time windowed aggregations downstream.
+    """
+    if watermark is not None:
+        parsed = parsed.withWatermark("gen_date_time", watermark)
     return parsed.groupBy("hexident").applyInPandasWithState(
         sessionize_updates,
         outputStructType=EVENT_OUTPUT_SCHEMA,

@@ -1,0 +1,84 @@
+"""End-to-end batch ETL: a multi-aircraft synthetic capture through
+build_tables, then the reference query API over the produced tables."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dump1090_postgis_spark.plans import adsb
+from dump1090_postgis_spark.plans.etl import build_tables
+from dump1090_postgis_spark.sources.dims import nte_airport, nte_runways
+
+# Aircraft 1 (AAA111): MSG1 callsign, descent onto the NTE strip
+# heading ~32°, onground flip → landing on runway 03.
+# Aircraft 2 (BBB222): first message is MSG1 → session NOT admitted
+# (FLT-2). Aircraft 3 (CCC333): cruise above the 10000 ft filter —
+# messages dropped entirely by FLT-1.
+CAPTURE = [
+    "MSG,3,1,1,AAA111,1,2024/05/01,10:00:00.000,2024/05/01,10:00:00.000,,900,,,47.1417,-1.6198,,,0,,0,0",
+    "MSG,1,1,1,AAA111,1,2024/05/01,10:00:01.000,2024/05/01,10:00:01.000,AFR123 ,,,,,,,,0,,0,0",
+    "MSG,3,1,1,AAA111,1,2024/05/01,10:00:05.000,2024/05/01,10:00:05.000,,300,,,47.1460,-1.6162,,,0,,0,0",
+    "MSG,3,1,1,AAA111,1,2024/05/01,10:00:10.000,2024/05/01,10:00:10.000,,50,,,47.1523,-1.6114,,,0,,0,-1",
+    "MSG,1,1,1,BBB222,1,2024/05/01,10:00:02.000,2024/05/01,10:00:02.000,DLH456 ,,,,,,,,0,,0,0",
+    "MSG,3,1,1,BBB222,1,2024/05/01,10:00:04.000,2024/05/01,10:00:04.000,,8000,,,47.5000,-1.2000,,,0,,0,0",
+    "MSG,3,1,1,CCC333,1,2024/05/01,10:00:03.000,2024/05/01,10:00:03.000,,35000,,,48.0000,-1.0000,,,0,,0,0",
+    "not,a,valid,line",
+]
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    raw = spark.createDataFrame([(l,) for l in CAPTURE], "value string")
+    return build_tables(raw, nte_runways(spark), nte_airport(spark))
+
+
+def test_flights_admission_and_filter(tables):
+    flights = {r.hexident: r for r in tables["flights"].collect()}
+    assert "AAA111" in flights           # admitted (first msg = MSG3)
+    assert "BBB222" not in flights       # first msg MSG1 → rejected (FLT-2)
+    assert "CCC333" not in flights       # above altitude band (FLT-1)
+    f = flights["AAA111"]
+    assert f.callsign == "AFR123"
+    assert f.intention == "arrival"      # ends onground (STATE-9)
+    assert f.n_messages == 4
+
+
+def test_positions_table(tables):
+    pos = tables["positions"].orderBy("time").collect()
+    assert [p.flight_id for p in pos] == [1, 1, 1]   # only AAA111's MSG3s
+    assert pos[0].altitude_m == pytest.approx(900 * 0.3048)
+    assert pos[-1].onground is True
+    assert [p.id for p in pos] == [1, 2, 3]          # dense deterministic ids
+
+
+def test_landing_attributed_to_runway_03(tables):
+    landings = tables["landings"].collect()
+    assert len(landings) == 1
+    assert landings[0].runway == "03"
+    assert landings[0].time == datetime.datetime(2024, 5, 1, 10, 0, 10)
+    assert tables["takeoffs"].count() == 0
+
+
+def test_query_api_over_built_tables(tables, spark):
+    # the reference's user path: landings_on + histogram + flight_path
+    out = adsb.landings_on(tables["landings"], datetime.date(2024, 5, 1)).collect()
+    assert len(out) == 1
+    hist = adsb.landings_histogram(
+        tables["landings"],
+        datetime.datetime(2024, 5, 1, 9, 0),
+        datetime.datetime(2024, 5, 1, 12, 0),
+        "hour",
+        tz=None,
+    ).collect()
+    assert [r.events for r in hist] == [0, 1, 0, 0]
+    paths = adsb.flight_path(tables["positions"]).collect()
+    assert len(paths) == 1 and paths[0].wkt.startswith("LINESTRING")
+
+
+def test_rerun_is_deterministic(spark, tables):
+    raw = spark.createDataFrame([(l,) for l in CAPTURE], "value string")
+    again = build_tables(raw, nte_runways(spark), nte_airport(spark))
+    a = sorted(map(tuple, tables["positions"].collect()))
+    b = sorted(map(tuple, again["positions"].collect()))
+    assert a == b
