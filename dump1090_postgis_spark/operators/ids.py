@@ -1,0 +1,57 @@
+"""Dense, deterministic, fully-parallel surrogate ids.
+
+``Window.orderBy(...)`` row_number with no partition key funnels the
+whole table through one task — fine for unit fixtures, fatal at scale.
+This is the standard two-pass dense-id assignment instead:
+
+1. range-partition + sort by the (total) ordering key;
+2. number rows within each partition;
+3. offset each partition by the cumulative count of the partitions
+   before it (a driver-side array of per-partition counts — thousands
+   of longs, not data).
+
+Partition boundaries from repartitionByRange are sampling-based and
+may vary run-to-run, but the assigned ids depend only on the GLOBAL
+order (offsets absorb boundary placement), so ids are reproducible as
+long as the ordering is total — callers must include a tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "id",
+    offset: int = 0,
+) -> DataFrame:
+    """Add 1-based dense ids following the total order of `order_cols`."""
+    spark = df.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    arranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = arranged.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r._pid: r.cnt
+        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = offset
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _poff long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        with_pid.join(offset_df, "_pid")
+        .withColumn(id_col, F.row_number().over(w) + F.col("_poff"))
+        .drop("_pid", "_poff")
+    )

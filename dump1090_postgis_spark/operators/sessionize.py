@@ -62,6 +62,7 @@ def flight_summaries(
         "squawk",
         "onground",
     ),
+    extra_aggs: list | None = None,
 ) -> DataFrame:
     """AGG-6 (models.py:110-121,142-216): per (key, session_id) —
     first_seen = min(ts), last_seen = max(ts), last-non-null-wins for
@@ -91,6 +92,9 @@ def flight_summaries(
                 F.when(F.col("transmission_type") == t, 1).otherwise(0)
             ).alias(f"n_msg{t}")
         )
+    # callers fold additional per-session aggregates into the SAME
+    # groupBy rather than re-aggregating sessions separately
+    aggs.extend(extra_aggs or [])
     return sessions.groupBy(key, "session_id").agg(*aggs)
 
 

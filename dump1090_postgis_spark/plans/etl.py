@@ -14,15 +14,16 @@ raw SBS-1 lines
   → JOIN-5 runway attribution
   → the `landings` / `takeoffs` tables
 
-Surrogate ids are dense row_numbers over the natural ordering
-(hexident, session start) so re-runs are bit-reproducible — the
-reference's sequences are non-deterministic across runs, which its own
-oracle problem notes (SURVEY §7 "Non-deterministic ids").
+Surrogate ids are dense, deterministic, and assigned fully in
+parallel (operators.ids two-pass range-partition scheme) following the
+natural ordering — the reference's sequences are non-deterministic
+across runs, which its own oracle problem notes (SURVEY §7
+"Non-deterministic ids").
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.conversions import interpolated_track
@@ -33,6 +34,7 @@ from ..operators.events import (
     debounce_events,
     detect_onground_edges,
 )
+from ..operators.ids import with_dense_ids
 from ..operators.sessionize import flight_summaries, sessionize
 
 
@@ -51,33 +53,31 @@ def build_tables(
     msgs = parse.dispatch_fields(msgs)
     msgs = parse.with_altitude_m(msgs)
 
-    sess = sessionize(msgs, gap_s=session_gap_s)
+    # The session stream fans out into four output tables — persist it
+    # so parse+sessionize (one scan + one shuffle) run once, not per
+    # table.
+    sess = sessionize(msgs, gap_s=session_gap_s).persist()
 
+    # One groupBy produces the flight summaries AND the admission /
+    # intention inputs (no separate aggregations over the same key).
+    summaries = flight_summaries(
+        sess,
+        extra_aggs=[
+            F.min_by("transmission_type", F.struct("gen_date_time")).alias(
+                "first_transmission_type"
+            ),
+            F.min_by(
+                F.col("onground"),
+                F.when(F.col("onground").isNotNull(), F.col("gen_date_time")),
+            ).alias("first_onground"),
+        ],
+    )
     # FLT-2 admission: first message of the session must be MSG2/MSG3
-    first_type = F.min_by("transmission_type", F.struct("gen_date_time")).alias(
-        "_first_type"
+    admitted = summaries.filter(
+        parse.admission_predicate("first_transmission_type")
     )
-    admitted_keys = (
-        sess.groupBy("hexident", "session_id")
-        .agg(first_type)
-        .filter(F.col("_first_type").isin(2, 3))
-        .select("hexident", "session_id")
-    )
-    sess = sess.join(admitted_keys, ["hexident", "session_id"], "left_semi")
-
-    # flights table with dense deterministic ids
-    summaries = flight_summaries(sess)
-    # flight_summaries already carries last_onground (last-non-null
-    # wins, AGG-6); only the first observation is added here
-    onground_state = (
-        sess.filter(F.col("onground").isNotNull())
-        .groupBy("hexident", "session_id")
-        .agg(F.min_by("onground", "gen_date_time").alias("first_onground"))
-    )
-    flights_w = Window.orderBy("first_seen", "hexident", "session_id")
-    flights = (
-        summaries.join(onground_state, ["hexident", "session_id"], "left")
-        .withColumn("id", F.row_number().over(flights_w))
+    flights = with_dense_ids(
+        admitted, ["first_seen", "hexident", "session_id"], "id"
     )
     flights = classify_intention(flights).select(
         "id", "hexident", "session_id",
@@ -88,8 +88,8 @@ def build_tables(
     key = ["hexident", "session_id"]
     fid = flights.select(*key, F.col("id").alias("flight_id"))
 
-    # positions table (FLT-4 validity, meters altitude)
-    pos_w = Window.orderBy("time", "flight_id")
+    # positions table (FLT-4 validity, meters altitude); non-admitted
+    # sessions drop out via the inner join on fid
     positions = (
         parse.position_validity(sess)
         .join(fid, key)
@@ -101,25 +101,20 @@ def build_tables(
             F.col("track").cast("short").alias("track"),
             "onground",
         )
-        .withColumn("id", F.row_number().over(pos_w))
-        .select("id", "flight_id", "time", "longitude", "latitude",
-                "altitude_m", "verticalrate", "track", "onground")
+    )
+    positions = with_dense_ids(positions, ["time", "flight_id"], "id").select(
+        "id", "flight_id", "time", "longitude", "latitude",
+        "altitude_m", "verticalrate", "track", "onground",
     )
 
-    # events: edges on the session stream, debounced, with PRJ-7 track
-    tracked = interpolated_track(sess)
-    # carry the last known position forward so MSG1/8-triggered flips
-    # still have coordinates (reference uses the flight's last position)
-    carry_w = (
-        Window.partitionBy(*key)
-        .orderBy("gen_date_time")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tracked = (
-        tracked.withColumn("longitude", F.last("longitude", True).over(carry_w))
-        .withColumn("latitude", F.last("latitude", True).over(carry_w))
-        .withColumn("interp_track", F.last("interp_track", True).over(carry_w))
-    )
+    # Events fire ONLY from valid-position MSG2/MSG3 rows — the
+    # reference's update_onground is called solely from the
+    # append-position branches (models.py:196-215); onground carried by
+    # MSG1/4/8 updates state silently, never events.  PRJ-7 heading is
+    # therefore computed over consecutive POSITION rows, matching
+    # `interpolate_track(positions[-2:])` (models.py:134-140).
+    pos_rows = parse.position_validity(sess)
+    tracked = interpolated_track(pos_rows)
     edges = debounce_events(detect_onground_edges(tracked))
 
     if runways is not None:
@@ -128,8 +123,7 @@ def build_tables(
         edges = edges.withColumn("runway", F.lit("UNK"))
 
     edges = edges.join(fid, key)
-    ev_w = Window.orderBy("gen_date_time", "flight_id")
-    events = edges.withColumn("eid", F.row_number().over(ev_w)).select(
+    events = with_dense_ids(edges, ["gen_date_time", "flight_id"], "eid").select(
         F.col("eid").alias("id"),
         "flight_id",
         F.col("gen_date_time").alias("time"),

@@ -891,6 +891,71 @@ LIMIT 10
 """
 
 
+def q_tpch_q5_region_revenue(spark, sf):
+    """TPC-H Q5 shape: multi-way join chain fact→orders→customer→
+    nation→region with broadcast dims and a single aggregation."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(rev) * 100).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT r_name, n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_tpch_q6_forecast(spark, sf):
+    """TPC-H Q6 shape: highly selective scan-level predicates + one
+    global aggregate — the predicate-pushdown showcase."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(round(sum(l_extendedprice * l_discount) * 100) AS BIGINT) AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full-pipeline end-to-end (rows-only: the multi-stage ETL is not one
 # SQL statement; unit tests pin its semantics on crafted captures)
@@ -967,5 +1032,7 @@ REGISTRY: dict = {
     "snk4_geojson_paths": (q_snk4_geojson_paths, SQL_SNK4),
     "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),
     "tpch_q3_shipping": (q_tpch_q3_shipping, SQL_TPCH_Q3),
+    "tpch_q5_region_revenue": (q_tpch_q5_region_revenue, SQL_TPCH_Q5),
+    "tpch_q6_forecast": (q_tpch_q6_forecast, SQL_TPCH_Q6),
     "etl_full_pipeline": (q_etl_full_pipeline, None),
 }

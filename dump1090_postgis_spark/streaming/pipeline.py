@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import parse
-from ..streaming.state import EVENT_OUTPUT_SCHEMA, sessionize_updates
+from ..streaming.state import (
+    EVENT_OUTPUT_SCHEMA,
+    STATE_SCHEMA,
+    sessionize_updates,
+)
 
 COMMIT_PERIOD = "1 second"  # flights.py:20 DB_COMMIT_PERIOD
 
@@ -29,7 +33,8 @@ def parsed_stream(raw_lines: DataFrame, altitude_below: float = 10000.0) -> Data
     msgs = parse.altitude_filter(msgs, below=altitude_below)
     msgs = parse.dispatch_fields(msgs)
     return msgs.select(
-        "hexident", "gen_date_time", "onground", "longitude", "latitude", "callsign"
+        "hexident", "gen_date_time", "transmission_type", "onground",
+        "longitude", "latitude", "altitude", "callsign",
     )
 
 
@@ -47,11 +52,7 @@ def event_stream(parsed: DataFrame, watermark: str | None = None) -> DataFrame:
     return parsed.groupBy("hexident").applyInPandasWithState(
         sessionize_updates,
         outputStructType=EVENT_OUTPUT_SCHEMA,
-        stateStructType=(
-            "first_seen long, last_seen long, n_messages long, "
-            "onground boolean, last_event long, callsign string, "
-            "last_lon double, last_lat double, prev_lon double, prev_lat double"
-        ),
+        stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf="ProcessingTimeTimeout",
     )

@@ -61,8 +61,9 @@ def sessionize_updates(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: Any
 ) -> Iterable[pd.DataFrame]:
     """applyInPandasWithState handler. Input rows: hexident,
-    gen_date_time, onground, longitude, latitude, callsign (the parsed
-    message projection, FLT-3 dispatch applied upstream)."""
+    gen_date_time, transmission_type, onground, longitude, latitude,
+    altitude, callsign (the parsed message projection, FLT-3 dispatch
+    applied upstream)."""
     hexident = key[0]
 
     if state.hasTimedOut:
@@ -100,6 +101,9 @@ def sessionize_updates(
 
     out_rows: list[dict] = []
 
+    def _has(v) -> bool:
+        return v is not None and not (isinstance(v, float) and pd.isna(v))
+
     for pdf in pdfs:
         pdf = pdf.sort_values("gen_date_time")
         for row in pdf.itertuples(index=False):
@@ -110,11 +114,24 @@ def sessionize_updates(
             n += 1
             if row.callsign is not None and isinstance(row.callsign, str):
                 callsign = row.callsign
-            if row.longitude is not None and not pd.isna(row.longitude):
-                prev_lon, prev_lat = last_lon, last_lat
-                last_lon, last_lat = float(row.longitude), float(row.latitude)
+
+            # Edge state advances ONLY from valid position rows — the
+            # reference's update_onground is called solely from the
+            # MSG3-with-lon/lat/alt and MSG2-with-lon/lat branches
+            # (models.py:196-215); onground carried by MSG1/4/8 updates
+            # a plain attribute, never the event state (_onground).
+            tt = row.transmission_type
+            valid_position = _has(row.longitude) and _has(row.latitude) and (
+                tt == 2 or (tt == 3 and _has(row.altitude))
+            )
+            if not valid_position:
+                continue
+
+            prev_lon, prev_lat = last_lon, last_lat
+            last_lon, last_lat = float(row.longitude), float(row.latitude)
+
             og = row.onground
-            if og is not None and not (isinstance(og, float) and pd.isna(og)):
+            if _has(og):
                 og = bool(og)
                 if onground is not None and og != onground:
                     # STATE-3 edge; STATE-4 debounce vs last candidate

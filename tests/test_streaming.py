@@ -85,7 +85,9 @@ def test_stream_matches_batch_path(spark, stream_events):
 
     df = spark.createDataFrame([(l,) for l in LINES], "value string")
     msgs = parse.dispatch_fields(parse.parse_sbs1_lines(df))
-    sess = sessionize(msgs)
+    # events fire only from valid-position MSG2/MSG3 rows
+    # (models.py:196-215) — same rule the streaming handler applies
+    sess = parse.position_validity(sessionize(msgs))
     edges = debounce_events(detect_onground_edges(sess))
     batch = [
         (r.hexident, r.event_type, r.gen_date_time)
