@@ -48,21 +48,26 @@ def brute_force_topk(
     )
 
 
-def build_centroids(corpus: DataFrame, num_centroids: int = 16,
-                    vec: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Deterministic centroid seeding: average of hash-assigned groups
-    (a single k-means step — adequate for bucketing; iterate for
-    quality)."""
-    dim_count = F.size(F.col(vec))
-    assigned = corpus.select(
-        (F.pmod(F.col(id_col), F.lit(num_centroids))).alias("centroid_id"),
-        F.transform(F.col(vec), lambda x: x.cast("double")).alias("_v"),
-        dim_count.alias("_d"),
+def normalize_vectors(df: DataFrame, vec: str = "embedding",
+                      out: str | None = None) -> DataFrame:
+    """L2-normalize an embedding column (pure expressions).  After
+    normalization, cosine == dot product, halving the per-pair cost of
+    every downstream similarity join."""
+    out = out or vec
+    v = F.transform(F.col(vec), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
-    # element-wise mean via posexplode + groupBy (scales to any dim)
-    exploded = assigned.select(
-        "centroid_id", F.posexplode("_v").alias("pos", "x")
+    return df.withColumn(
+        out,
+        F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v),
     )
+
+
+def _mean_centroids(assigned: DataFrame) -> DataFrame:
+    """Element-wise mean per centroid via posexplode + groupBy (scales
+    to any dimensionality; shuffle keyed on (centroid, dim))."""
+    exploded = assigned.select("centroid_id", F.posexplode("_v").alias("pos", "x"))
     return (
         exploded.groupBy("centroid_id", "pos")
         .agg(F.avg("x").alias("m"))
@@ -73,6 +78,37 @@ def build_centroids(corpus: DataFrame, num_centroids: int = 16,
             F.transform(F.col("_pm"), lambda s: s["m"]).alias("centroid"),
         )
     )
+
+
+def build_centroids(corpus: DataFrame, num_centroids: int = 16,
+                    vec: str = "embedding", id_col: str = "vec_id",
+                    iterations: int = 0) -> DataFrame:
+    """Deterministic IVF centroids: hash-assigned seed means, then
+    `iterations` Lloyd (k-means) refinement steps — each step is one
+    broadcast-join assignment plus one mean aggregation, fully
+    distributed and reproducible (no RNG)."""
+    assigned = corpus.select(
+        (F.pmod(F.col(id_col), F.lit(num_centroids))).alias("centroid_id"),
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("_v"),
+    )
+    centroids = _mean_centroids(assigned)
+    for _ in range(iterations):
+        scored = (
+            corpus.select(
+                F.col(id_col).alias("_id"),
+                F.transform(F.col(vec), lambda x: x.cast("double")).alias("_v"),
+            )
+            .crossJoin(F.broadcast(centroids))
+            .withColumn("_sim", embedding_cosine(F.col("_v"), F.col("centroid")))
+        )
+        w = Window.partitionBy("_id").orderBy(F.desc("_sim"), F.asc("centroid_id"))
+        reassigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("centroid_id", "_v")
+        )
+        centroids = _mean_centroids(reassigned)
+    return centroids
 
 
 def ivf_topk(

@@ -73,7 +73,10 @@ def q_flt5_events_on_day(spark, sf):
     """FLT-5 landings_on(date) analog (create_public_schema.sql:331-339):
     time >= d AND time < d+1, ordered by time."""
     d = F.lit("2024-01-15").cast("date")
-    ev = _ev(spark, sf)
+    # raw-nanos prefilter reaches the parquet scan (the converted
+    # timestamp column blocks pushdown); exact predicate still applied
+    ev = load_table(spark, sf, "events",
+                    ts_range=("2024-01-15", "2024-01-16"))
     return (
         ev.filter(
             (F.col("ts") >= d.cast("timestamp_ntz"))
@@ -95,7 +98,10 @@ ORDER BY ts
 def q_flt6_fromto_paris(spark, sf):
     """FLT-6 takeoffs_fromto analog (create_materialized_views.sql:3-46):
     range filter on Europe/Paris local dates."""
-    ev = _ev(spark, sf)
+    # superset UTC prefilter (Paris is UTC+1 in January); the exact
+    # local-date predicate below is unchanged
+    ev = load_table(spark, sf, "events",
+                    ts_range=("2024-01-09", "2024-01-21"))
     local = to_local(F.col("ts").cast("timestamp_ntz"), "Europe/Paris")
     return (
         ev.filter(
@@ -121,7 +127,8 @@ WHERE CAST(timezone('Europe/Paris', timezone('UTC', ts)) AS DATE) >= DATE '2024-
 
 def q_agg1_histogram_hour_utc(spark, sf):
     """AGG-1/JOIN-3 events_histogram (create_public_schema.sql:182-200)."""
-    ev = _ev(spark, sf)
+    ev = load_table(spark, sf, "events",
+                    ts_range=("2024-01-05", "2024-01-12 01:00:00"))
     h = events_histogram(
         ev, "2024-01-05 00:00:00", "2024-01-12 00:00:00", "hour",
         ts="ts", id_col="event_id",
@@ -158,7 +165,8 @@ ORDER BY axis.interval
 def q_agg1_histogram_day_paris(spark, sf):
     """AGG-1 Europe/Paris local-day variant
     (create_public_schema.sql:286-307)."""
-    ev = _ev(spark, sf)
+    ev = load_table(spark, sf, "events",
+                    ts_range=("2023-12-30", "2024-02-01"))
     h = events_histogram(
         ev, "2024-01-01 00:00:00", "2024-01-31 00:00:00", "day",
         ts="ts", id_col="event_id", tz="Europe/Paris",

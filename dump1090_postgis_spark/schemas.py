@@ -209,20 +209,42 @@ TESTDATA_TABLES = [
 _NANOS_TS_COLS = {"events": ["ts"]}
 
 
-def load_table(spark, sf_dir: str, name: str):
+def load_table(spark, sf_dir: str, name: str, ts_range=None):
     """Read one driver-generated parquet table (predicate/column pushdown
     comes free from the parquet scan).
 
     Also pins the session timezone to UTC so timestamp_ntz conversions
     are wall-clock stable regardless of the host JVM timezone.
+
+    ``ts_range=(lo, hi)`` (UTC datetimes or ISO strings, half-open):
+    the derived timestamp column blocks predicate pushdown (Catalyst
+    cannot invert the nanos conversion), so range filters on converted
+    timestamps scan every row group.  This applies the equivalent
+    predicate on the RAW int64-nanos column BEFORE conversion, where it
+    reaches the parquet reader and prunes row groups via min/max stats.
     """
+    import datetime as _dt
+
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    def _nanos(v) -> int:
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        epoch = _dt.datetime(1970, 1, 1)
+        return int((v - epoch).total_seconds() * 1_000_000) * 1000
+
     for col in _NANOS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
+            if ts_range is not None:
+                lo, hi = ts_range
+                df = df.filter(
+                    (F.col(col) >= F.lit(_nanos(lo)))
+                    & (F.col(col) < F.lit(_nanos(hi)))
+                )
             df = df.withColumn(
                 col,
                 F.expr(f"cast(timestamp_micros({col} div 1000) as timestamp_ntz)"),
