@@ -56,13 +56,30 @@ def decode_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id") -> Dat
     """Arrow-batched decode: mapInPandas over (id, payload) batches.
 
     Partition-preserving; one Python worker round-trip per batch, not
-    per row."""
+    per row.  The worker closure is fully self-contained (the decode
+    stub is captured by value, not by module reference) so it runs on
+    executors that cannot import this package — e.g. a driver-created
+    session without the repo on the workers' PYTHONPATH.
+    """
     cols = docs_with_payload.select(id_col, "payload")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        # nested (pickled by value): keep in sync with
+        # _decode_image_bytes — a module-level reference would require
+        # the package on the executors' PYTHONPATH
+        def decode(payload):
+            if not payload:
+                return {"format": None, "width": None, "height": None, "ok": False}
+            w = 1 + payload[0] % 64
+            h = 1 + (payload[1] if len(payload) > 1 else 0) % 64
+            fmt = "bmp" if payload[:2] == b"BM" else "raw"
+            return {"format": fmt, "width": int(w), "height": int(h), "ok": True}
+
         for pdf in batches:
-            metas = [_decode_image_bytes(p) for p in pdf["payload"]]
-            out = pd.DataFrame(
+            metas = [decode(p) for p in pdf["payload"]]
+            out = _pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "byte_len": [len(p) if p is not None else 0 for p in pdf["payload"]],
