@@ -37,9 +37,13 @@ def _decode_image_bytes(payload: bytes) -> dict[str, Any]:
     """
     if not payload:
         return {"format": None, "width": None, "height": None, "ok": False}
-    # deterministic fake: interpret first bytes as dimensions
-    w = 1 + payload[0] % 64
-    h = 1 + (payload[1] if len(payload) > 1 else 0) % 64
+    # deterministic fake keyed on BYTE LENGTH (not content bytes) so an
+    # SQL oracle can restate it with octet_length alone — content-byte
+    # arithmetic would diverge from character-based SQL on multibyte
+    # UTF-8 payloads
+    n = len(payload)
+    w = 1 + n % 64
+    h = 1 + (n // 64) % 64
     fmt = "bmp" if payload[:2] == b"BM" else "raw"
     return {"format": fmt, "width": int(w), "height": int(h), "ok": True}
 
@@ -72,8 +76,9 @@ def decode_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id") -> Dat
         def decode(payload):
             if not payload:
                 return {"format": None, "width": None, "height": None, "ok": False}
-            w = 1 + payload[0] % 64
-            h = 1 + (payload[1] if len(payload) > 1 else 0) % 64
+            n = len(payload)
+            w = 1 + n % 64
+            h = 1 + (n // 64) % 64
             fmt = "bmp" if payload[:2] == b"BM" else "raw"
             return {"format": fmt, "width": int(w), "height": int(h), "ok": True}
 

@@ -29,14 +29,19 @@ def compass2angle(compass_deg: Column) -> Column:
 
 
 def winddir2angle(winddir: Column) -> Column:
-    """shared.py:17-24: wind direction (where wind comes FROM) → math
-    angle of the wind vector (where it blows TO): (270 - dir) % 360."""
-    return F.pmod(F.lit(270.0) - winddir, F.lit(360.0))
+    """shared.py:10-16 literal piecewise form: 270 - dir, +360 only when
+    negative (equals pmod on the documented [0,360] domain, but the
+    reference does NOT wrap values that stay positive)."""
+    a = F.lit(270.0) - winddir
+    return F.when(a < 0.0, a + 360.0).otherwise(a)
 
 
 def angle2winddir(angle: Column) -> Column:
-    """shared.py:27-33 (inverse of winddir2angle)."""
-    return F.pmod(F.lit(270.0) - angle, F.lit(360.0))
+    """shared.py:19-28 literal piecewise form: 270 - angle, -360 only
+    when ABOVE 360 — negative results pass through unwrapped (e.g.
+    angle 300° → -30, not 330), matching the reference exactly."""
+    a = F.lit(270.0) - angle
+    return F.when(a > 360.0, a - 360.0).otherwise(a)
 
 
 def interpolated_track(

@@ -3,28 +3,45 @@
 
 Reference logic per landing/takeoff event, at the event's position
 with the flight's interpolated track:
-1. try each runway: polygon contains point AND |direction − heading|
-   ≤ 20° (circular) → that runway's name;
-2. fallback: point inside the airport bbox AND heading matches some
-   runway → that runway, but only if no direct runway hit;
-3. else: no attribution (the reference drops the event; callers can
-   keep 'UNK' per models.py:283-286).
+1. iterate runways IN ORDER: polygon contains point AND
+   |direction − heading| ≤ 20° → return that runway (first match);
+2. fallback, again in order: point inside the airport bbox AND heading
+   matches the runway → that runway;
+3. else: no attribution (callers keep 'UNK' per models.py:283-286).
 
-Spark shape: events ⨯ broadcast(runways) theta join with the pure-SQL
-ray-casting predicate (functions.geo), then a priority pick
-(runway-hit beats bbox-fallback) via min_by over a rank column.  The
-runway table is tiny (2 rows at NTE) — the join is a broadcast
-nested-loop with a cheap codegen'd predicate; events never shuffle.
+Spark shape: the runway table is a tiny broadcast-class dimension
+(2 rows at NTE), so it is collected AT PLAN TIME and compiled into one
+``coalesce(first-match...)`` scalar expression over the event columns —
+no join, no shuffle, no row ids, whole-stage codegen'd, and exactly
+the reference's first-match-in-iteration-order semantics.  (An earlier
+join+groupBy formulation needed a synthetic row id, which is
+nondeterministic across plan branches under retries.)
+
+For genuinely large polygon tables, fall back to an explicit
+crossJoin(broadcast(...)) + deterministic-natural-key ranking — not
+needed for any airport-scale dimension.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.geo import point_in_polygon, same_heading
 
 HEADING_TOLERANCE_DEG = 20.0  # airports.py:51-67
+
+
+def _poly_literal(vertices) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(float(v["lon"])).alias("lon"),
+                F.lit(float(v["lat"])).alias("lat"),
+            )
+            for v in vertices
+        ]
+    )
 
 
 def attribute_runway(
@@ -39,54 +56,40 @@ def attribute_runway(
 ) -> DataFrame:
     """JOIN-5: attach `runway` (name) to each event.
 
-    `runways` columns: name, direction, polygon, airport_icao.
+    `runways` columns: name, direction, polygon (array<struct<lon,lat>>)
+    — collected at plan time (broadcast-dim size).
     `airport_bbox` columns: icao, bbox — enables the fallback tier.
     Unmatched events get runway='UNK' when keep_unmatched (the
     reference's models.py:283-286 default), else are dropped.
     """
-    ev = events.withColumn("_eid", F.monotonically_increasing_id())
+    rows = runways.select("name", "direction", "polygon").collect()
+    plon, plat, phead = F.col(lon), F.col(lat), F.col(heading)
 
-    r = F.broadcast(runways).alias("r")
-    direct = (
-        ev.alias("e")
-        .join(
-            r,
-            point_in_polygon(F.col(f"e.{lon}"), F.col(f"e.{lat}"), F.col("r.polygon"))
-            & same_heading(F.col("r.direction"), F.col(f"e.{heading}"), tolerance_deg),
-            "inner",
+    direct = [
+        F.when(
+            point_in_polygon(plon, plat, _poly_literal(r.polygon))
+            & same_heading(F.lit(float(r.direction)), phead, tolerance_deg),
+            F.lit(r.name),
         )
-        .select(F.col("e._eid").alias("_eid"), F.col("r.name").alias("_rw"),
-                F.lit(1).alias("_prio"))
-    )
+        for r in rows
+    ]
 
-    tiers = [direct]
+    tiers = list(direct)
     if airport_bbox is not None:
-        bbox = F.broadcast(airport_bbox).alias("b")
-        fallback = (
-            ev.alias("e")
-            .join(
-                bbox,
-                point_in_polygon(F.col(f"e.{lon}"), F.col(f"e.{lat}"), F.col("b.bbox")),
-                "inner",
+        bboxes = airport_bbox.select("bbox").collect()
+        for b in bboxes:
+            in_bbox = point_in_polygon(plon, plat, _poly_literal(b.bbox))
+            tiers.extend(
+                F.when(
+                    in_bbox
+                    & same_heading(F.lit(float(r.direction)), phead, tolerance_deg),
+                    F.lit(r.name),
+                )
+                for r in rows
             )
-            .join(
-                r,
-                same_heading(F.col("r.direction"), F.col(f"e.{heading}"), tolerance_deg),
-                "inner",
-            )
-            .select(F.col("e._eid").alias("_eid"), F.col("r.name").alias("_rw"),
-                    F.lit(2).alias("_prio"))
-        )
-        tiers.append(fallback)
 
-    candidates = tiers[0] if len(tiers) == 1 else tiers[0].unionByName(tiers[1])
-    best = candidates.groupBy("_eid").agg(
-        F.min_by("_rw", F.struct("_prio", "_rw")).alias("runway")
-    )
-
-    joined = ev.join(best, "_eid", "left")
+    best = F.coalesce(*tiers, F.lit(None).cast("string"))
+    out = events.withColumn("runway", best)
     if keep_unmatched:
-        joined = joined.withColumn("runway", F.coalesce(F.col("runway"), F.lit("UNK")))
-    else:
-        joined = joined.filter(F.col("runway").isNotNull())
-    return joined.drop("_eid")
+        return out.withColumn("runway", F.coalesce(F.col("runway"), F.lit("UNK")))
+    return out.filter(F.col("runway").isNotNull())

@@ -34,7 +34,12 @@ def with_dense_ids(
     arranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
         *order_cols
     )
-    with_pid = arranged.withColumn("_pid", F.spark_partition_id())
+    # Persist BEFORE counting: repartitionByRange samples per
+    # execution, so without pinning the layout the counting pass and
+    # the numbering pass could see different partition boundaries —
+    # colliding or gapping the ids.  The persist fixes one boundary
+    # set for both passes.
+    with_pid = arranged.withColumn("_pid", F.spark_partition_id()).persist()
     counts = {
         r._pid: r.cnt
         for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

@@ -56,10 +56,12 @@ def gate_malformed(lines: DataFrame, col: str = "value") -> DataFrame:
 
 
 def _bool_from_wire(c: Column) -> Column:
-    """Wire booleans: '-1' → true; any other parseable value → false;
-    unparseable/empty → NULL (adsb_parser.py:215-218, 256-261)."""
-    i = c.try_cast("int")
-    return F.when(i.isNull(), F.lit(None).cast("boolean")).otherwise(i == -1)
+    """Wire booleans: the reference's lambda is literally
+    ``True if v == "-1" else False`` (adsb_parser.py:215-218) — it can
+    never raise, so empty/garbage values are False, NOT NULL (the
+    NULL-on-ValueError path at :256-261 applies to numeric casts only).
+    """
+    return c == F.lit("-1")
 
 
 def parse_sbs1_lines(lines: DataFrame, col: str = "value") -> DataFrame:

@@ -305,9 +305,12 @@ def q_multimodal_decode(spark, sf):
 SQL_MULTIMODAL = """
 SELECT doc_id,
        octet_length(encode(text))::BIGINT AS byte_len,
-       CASE WHEN substring(text, 1, 2) = 'BM' THEN 'bmp' ELSE 'raw' END AS format,
-       1 + (ord(substring(text, 1, 1)) % 64) AS width,
-       1 + (CASE WHEN length(text) > 1 THEN ord(substring(text, 2, 1)) ELSE 0 END % 64) AS height,
+       CASE WHEN length(text) = 0 THEN NULL
+            WHEN substring(text, 1, 2) = 'BM' THEN 'bmp' ELSE 'raw' END AS format,
+       CASE WHEN length(text) = 0 THEN NULL
+            ELSE (1 + (octet_length(encode(text)) % 64))::INT END AS width,
+       CASE WHEN length(text) = 0 THEN NULL
+            ELSE (1 + ((octet_length(encode(text)) // 64) % 64))::INT END AS height,
        length(text) > 0 AS ok
 FROM documents
 """

@@ -49,32 +49,54 @@ def build_tables(
     'landings', 'takeoffs'} DataFrames with the reference's table
     shapes (FIXTURES.md §3)."""
     msgs = parse.parse_sbs1_lines(raw_lines)
-    msgs = parse.altitude_filter(msgs, below=altitude_below)
     msgs = parse.dispatch_fields(msgs)
     msgs = parse.with_altitude_m(msgs)
+
+    # FLT-1/FLT-2 admission (flights.py:86-108 CASE B): the altitude
+    # filter applies ONLY to the MSG3 admission test of an unknown
+    # aircraft — post-admission messages are never filtered.  The
+    # reference re-tries admission on every message, so a flight
+    # starts at the session's FIRST ADMISSIBLE message (MSG2, or MSG3
+    # with altitude present — the reference filter is strict — and in
+    # band) and everything before it is dropped; gap sessionization
+    # over ALL messages reproduces the pool's lifetime exactly
+    # (pre-admission rows only ever glue boundaries, which matches the
+    # reference's last_seen updates / unknown-aircraft drops in every
+    # constructible sequence).
+    admissible = (F.col("transmission_type") == 2) | (
+        (F.col("transmission_type") == 3)
+        & F.col("altitude").isNotNull()
+        & (F.col("altitude") > F.lit(-1000.0))
+        & (F.col("altitude") < F.lit(altitude_below))
+    )
 
     # The session stream fans out into four output tables — persist it
     # so parse+sessionize (one scan + one shuffle) run once, not per
     # table.
-    sess = sessionize(msgs, gap_s=session_gap_s).persist()
+    raw_sess = sessionize(msgs, gap_s=session_gap_s)
+    key0 = ["hexident", "session_id"]
+    admission_ts = (
+        raw_sess.filter(admissible)
+        .groupBy(*key0)
+        .agg(F.min("gen_date_time").alias("_adm_ts"))
+    )
+    sess = (
+        raw_sess.join(admission_ts, key0, "inner")  # drops never-admitted
+        .filter(F.col("gen_date_time") >= F.col("_adm_ts"))
+        .drop("_adm_ts")
+        .persist()
+    )
 
-    # One groupBy produces the flight summaries AND the admission /
-    # intention inputs (no separate aggregations over the same key).
-    summaries = flight_summaries(
+    # One groupBy produces the flight summaries AND the intention
+    # inputs (no separate aggregations over the same key).
+    admitted = flight_summaries(
         sess,
         extra_aggs=[
-            F.min_by("transmission_type", F.struct("gen_date_time")).alias(
-                "first_transmission_type"
-            ),
             F.min_by(
                 F.col("onground"),
                 F.when(F.col("onground").isNotNull(), F.col("gen_date_time")),
             ).alias("first_onground"),
         ],
-    )
-    # FLT-2 admission: first message of the session must be MSG2/MSG3
-    admitted = summaries.filter(
-        parse.admission_predicate("first_transmission_type")
     )
     flights = with_dense_ids(
         admitted, ["first_seen", "hexident", "session_id"], "id"

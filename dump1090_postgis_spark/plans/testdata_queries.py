@@ -211,6 +211,68 @@ ORDER BY axis.interval
 # ---------------------------------------------------------------------------
 
 
+def q_agg1_histogram_week_utc(spark, sf):
+    """AGG-1 week-bin variant (bin ∈ {hour,day,week,month,year},
+    create_public_schema.sql:189 CONCAT('1 ', bin)::interval)."""
+    ev = _ev(spark, sf)
+    h = events_histogram(
+        ev, "2024-01-01 00:00:00", "2024-01-30 00:00:00", "week",
+        ts="ts", id_col="event_id",
+    )
+    return h.select(
+        _fmt(F.col("interval")).alias("bin_start"),
+        F.col("events"),
+    )
+
+
+SQL_AGG1_WEEK = f"""
+WITH axis AS (
+  SELECT unnest(generate_series(date_trunc('week', TIMESTAMP '2024-01-01 00:00:00')::TIMESTAMP,
+                                date_trunc('week', TIMESTAMP '2024-01-30 00:00:00')::TIMESTAMP,
+                                INTERVAL 1 WEEK)) AS interval
+), binned AS (
+  SELECT date_trunc('week', ts)::TIMESTAMP AS interval, count(event_id) AS events
+  FROM events
+  WHERE ts >= date_trunc('week', TIMESTAMP '2024-01-01 00:00:00')
+    AND ts < date_trunc('week', TIMESTAMP '2024-01-30 00:00:00') + INTERVAL 1 WEEK
+  GROUP BY 1
+)
+SELECT {_OFMT.format(c='axis.interval')} AS bin_start,
+       COALESCE(binned.events, 0)::BIGINT AS events
+FROM axis LEFT OUTER JOIN binned ON axis.interval = binned.interval
+ORDER BY axis.interval
+"""
+
+
+def q_agg5_paths_selected(spark, sf):
+    """AGG-5 flight_paths(bigint[]) analog
+    (create_public_schema.sql:243-257): ordered per-key paths for an id
+    list — one pushed-down IN filter + one groupBy, not a per-id loop."""
+    ev = _ev(spark, sf).filter(F.col("user_id").isin(1, 2, 3))
+    pt = F.concat(
+        F.lit("["),
+        F.col("value").cast("decimal(12,2)").cast("string"),
+        F.lit(","),
+        F.col("event_id").cast("string"),
+        F.lit("]"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i"), pt.alias("p")))
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.transform(ordered, lambda s: s["p"]), ",").alias("path_csv")
+    )
+
+
+SQL_AGG5_SELECTED = """
+SELECT user_id,
+       string_agg('[' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || ',' ||
+                  CAST(event_id AS VARCHAR) || ']', ',' ORDER BY ts, event_id) AS path_csv
+FROM events WHERE user_id IN (1, 2, 3)
+GROUP BY user_id
+"""
+
+
 def q_agg2_sliding_hour_counts(spark, sf):
     """AGG-2 trailing-hour sliding count
     (create_public_schema.sql:352-372)."""
@@ -1017,6 +1079,8 @@ REGISTRY: dict = {
     "flt6_fromto_paris": (q_flt6_fromto_paris, SQL_FLT6),
     "agg1_histogram_hour_utc": (q_agg1_histogram_hour_utc, SQL_AGG1_HOUR),
     "agg1_histogram_day_paris": (q_agg1_histogram_day_paris, SQL_AGG1_PARIS),
+    "agg1_histogram_week_utc": (q_agg1_histogram_week_utc, SQL_AGG1_WEEK),
+    "agg5_paths_selected": (q_agg5_paths_selected, SQL_AGG5_SELECTED),
     "agg2_sliding_hour_counts": (q_agg2_sliding_hour_counts, SQL_AGG2),
     "agg3_peak_hour_paris": (q_agg3_peak_hour_paris, SQL_AGG3),
     "set1_union_distinct": (q_set1_union_distinct, SQL_SET1),

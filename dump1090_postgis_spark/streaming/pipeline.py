@@ -27,10 +27,15 @@ COMMIT_PERIOD = "1 second"  # flights.py:20 DB_COMMIT_PERIOD
 
 
 def parsed_stream(raw_lines: DataFrame, altitude_below: float = 10000.0) -> DataFrame:
-    """Parse + filter stage, identical for batch and streaming inputs
-    (run.py:28 wires AdsbMessageFilter(below=10000))."""
+    """Parse stage, identical for batch and streaming inputs.
+
+    No global altitude filter: the reference applies the filter ONLY to
+    the MSG3 admission test (flights.py:97-108 CASE B) — the stateful
+    handler enforces it at admission (run.py:28 wires below=10000,
+    which the handler's ADMISSION_* defaults mirror).
+    """
+    del altitude_below  # admission-time filtering lives in the handler
     msgs = parse.parse_sbs1_lines(raw_lines)
-    msgs = parse.altitude_filter(msgs, below=altitude_below)
     msgs = parse.dispatch_fields(msgs)
     return msgs.select(
         "hexident", "gen_date_time", "transmission_type", "onground",

@@ -43,17 +43,21 @@ STATE_SCHEMA = (
 
 SESSION_TIMEOUT_MS = 300_000  # flights.py:18 MAX_AGE (300 s)
 DEBOUNCE_US = 2_000_000  # models.py:268 (2 s)
+# run.py:28 admission filter bounds (AdsbMessageFilter(below=10000));
+# the reference filter is strict: MSG3 without altitude is rejected
+ADMISSION_ALT_BELOW = 10000.0
+ADMISSION_ALT_ABOVE = -1000.0
 
 
 def _interp_track(prev_lon, prev_lat, lon, lat) -> float | None:
-    """PRJ-7 (shared.py:36-50) — scalar form for the state handler."""
+    """PRJ-7 (shared.py:36-50) — scalar form for the state handler.
+    atan2(0, 0) == 0 → compass 90.0, matching numpy and the batch
+    path (the reference does not special-case identical points)."""
     import math
 
     if prev_lon is None or lon is None:
         return None
     dx, dy = lon - prev_lon, lat - prev_lat
-    if dx == 0 and dy == 0:
-        return None
     return (450.0 - math.degrees(math.atan2(dy, dx))) % 360.0
 
 
@@ -91,6 +95,7 @@ def sessionize_updates(
     if state.exists:
         (first_seen, last_seen, n, onground, last_event, callsign,
          last_lon, last_lat, prev_lon, prev_lat) = state.get
+        admitted = True
     else:
         first_seen = last_seen = None
         n = 0
@@ -98,6 +103,7 @@ def sessionize_updates(
         last_event = None
         callsign = None
         last_lon = last_lat = prev_lon = prev_lat = None
+        admitted = False
 
     out_rows: list[dict] = []
 
@@ -107,6 +113,20 @@ def sessionize_updates(
     for pdf in pdfs:
         pdf = pdf.sort_values("gen_date_time")
         for row in pdf.itertuples(index=False):
+            # FLT-2 admission (flights.py:86-108 CASE B): until a
+            # flight exists, only MSG2, or MSG3 passing the strict
+            # altitude filter, creates it; other messages are dropped.
+            if not admitted:
+                tt0 = row.transmission_type
+                ok = tt0 == 2 or (
+                    tt0 == 3
+                    and _has(row.altitude)
+                    and ADMISSION_ALT_ABOVE < row.altitude < ADMISSION_ALT_BELOW
+                )
+                if not ok:
+                    continue
+                admitted = True
+
             ts_us = int(pd.Timestamp(row.gen_date_time).value // 1_000)
             if first_seen is None:
                 first_seen = ts_us
@@ -156,11 +176,12 @@ def sessionize_updates(
                     last_event = ts_us
                 onground = og
 
-    state.update(
-        (first_seen, last_seen, n, onground, last_event, callsign,
-         last_lon, last_lat, prev_lon, prev_lat)
-    )
-    state.setTimeoutDuration(SESSION_TIMEOUT_MS)
+    if admitted:  # never create state for unadmitted hexidents
+        state.update(
+            (first_seen, last_seen, n, onground, last_event, callsign,
+             last_lon, last_lat, prev_lon, prev_lat)
+        )
+        state.setTimeoutDuration(SESSION_TIMEOUT_MS)
 
     if out_rows:
         yield pd.DataFrame(out_rows)

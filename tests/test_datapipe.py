@@ -142,6 +142,7 @@ def test_multimodal_decode_plumbing(spark):
     assert out[2].format == "raw"
     assert out[3].ok is False and out[3].width is None
     assert out[2].byte_len == len("plain bytes")
+    assert out[2].width == 1 + len("plain bytes") % 64
 
 
 def test_frame_sample_plan(spark):

@@ -12,9 +12,11 @@ from dump1090_postgis_spark.sources.dims import nte_airport, nte_runways
 
 # Aircraft 1 (AAA111): MSG1 callsign, descent onto the NTE strip
 # heading ~32°, onground flip → landing on runway 03.
-# Aircraft 2 (BBB222): first message is MSG1 → session NOT admitted
-# (FLT-2). Aircraft 3 (CCC333): cruise above the 10000 ft filter —
-# messages dropped entirely by FLT-1.
+# Aircraft 2 (BBB222): first message is MSG1 (not admissible — dropped,
+# reference CASE B retries per message) but its MSG3 at 8000 ft IS
+# admitted → flight starts there, without the pre-admission callsign.
+# Aircraft 3 (CCC333): only message is MSG3 at 35000 ft — fails the
+# admission-time altitude filter → never becomes a flight.
 CAPTURE = [
     "MSG,3,1,1,AAA111,1,2024/05/01,10:00:00.000,2024/05/01,10:00:00.000,,900,,,47.1417,-1.6198,,,0,,0,0",
     "MSG,1,1,1,AAA111,1,2024/05/01,10:00:01.000,2024/05/01,10:00:01.000,AFR123 ,,,,,,,,0,,0,0",
@@ -35,21 +37,27 @@ def tables(spark):
 
 def test_flights_admission_and_filter(tables):
     flights = {r.hexident: r for r in tables["flights"].collect()}
-    assert "AAA111" in flights           # admitted (first msg = MSG3)
-    assert "BBB222" not in flights       # first msg MSG1 → rejected (FLT-2)
-    assert "CCC333" not in flights       # above altitude band (FLT-1)
+    assert "AAA111" in flights           # admitted (first msg = MSG3 @900ft)
+    assert "CCC333" not in flights       # 35000 ft fails admission filter
     f = flights["AAA111"]
     assert f.callsign == "AFR123"
     assert f.intention == "arrival"      # ends onground (STATE-9)
     assert f.n_messages == 4
+    # BBB222: MSG1 dropped pre-admission, MSG3 admitted → flight exists
+    # starting at the MSG3, with no callsign (reference CASE B retry)
+    b = flights["BBB222"]
+    assert b.callsign is None
+    assert b.first_seen.isoformat() == "2024-05-01T10:00:04"
+    assert b.n_messages == 1
 
 
 def test_positions_table(tables):
     pos = tables["positions"].orderBy("time").collect()
-    assert [p.flight_id for p in pos] == [1, 1, 1]   # only AAA111's MSG3s
+    # AAA111 (id 1) three MSG3s + BBB222 (id 2) one admitted MSG3
+    assert [p.flight_id for p in pos] == [1, 2, 1, 1]
     assert pos[0].altitude_m == pytest.approx(900 * 0.3048)
     assert pos[-1].onground is True
-    assert [p.id for p in pos] == [1, 2, 3]          # dense deterministic ids
+    assert [p.id for p in pos] == [1, 2, 3, 4]       # dense deterministic ids
 
 
 def test_landing_attributed_to_runway_03(tables):
@@ -73,7 +81,7 @@ def test_query_api_over_built_tables(tables, spark):
     ).collect()
     assert [r.events for r in hist] == [0, 1, 0, 0]
     paths = adsb.flight_path(tables["positions"]).collect()
-    assert len(paths) == 1 and paths[0].wkt.startswith("LINESTRING")
+    assert len(paths) == 2 and all(p.wkt.startswith("LINESTRING") for p in paths)
 
 
 def test_rerun_is_deterministic(spark, tables):

@@ -48,8 +48,9 @@ def test_callsign_trim_and_null(parsed_ok):
 def test_wire_booleans(parsed_ok):
     assert parsed_ok[2].onground is True  # wire -1
     assert parsed_ok[0].onground is False  # wire 0
-    # MSG4 emergency field empty → NULL
-    assert parsed_ok[3].emergency is None
+    # the reference's boolean lambda is `v == "-1"` — it never raises,
+    # so an empty field is False, NOT NULL (adsb_parser.py:215-218)
+    assert parsed_ok[3].emergency is False
 
 
 def test_negative_verticalrate(parsed_ok):
