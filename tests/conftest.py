@@ -12,7 +12,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="tests", shuffle_partitions=4)
+    import tempfile
+
+    spark = get_spark(
+        app_name="tests",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="wh")},
+    )
     yield spark
 
 
