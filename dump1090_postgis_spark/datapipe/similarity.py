@@ -80,33 +80,89 @@ def _mean_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _centroid_array(centroids: DataFrame):
+    """Collapse the (tiny) centroid table into ONE row holding
+    array<struct<centroid_id, centroid>> sorted by id — broadcast-able
+    as a single-row nested-loop join that amounts to attaching a
+    literal array column to every row."""
+    return F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(F.struct("centroid_id", "centroid"))
+            ).alias("_cen")
+        )
+    )
+
+
+def _ranked_centroids(vec_col, cen_arr) -> "F.Column":
+    """array<struct<neg_sim, centroid_id>> sorted ascending — i.e.
+    similarity DESC with centroid_id ASC tiebreak — computed entirely
+    inside one projection (no shuffle, no window)."""
+    sims = F.transform(
+        cen_arr,
+        lambda c: F.struct(
+            (-embedding_cosine(vec_col, c["centroid"])).alias("neg_sim"),
+            c["centroid_id"].alias("centroid_id"),
+        ),
+    )
+    return F.array_sort(sims)
+
+
+def with_nearest_centroid(
+    df: DataFrame, centroids: DataFrame, vec: str, out: str = "list_id"
+) -> DataFrame:
+    """Nearest-centroid assignment as a PURE PROJECTION: the centroid
+    set rides along as a broadcast single-row array, and the argmax is
+    an array_sort+element_at expression — zero shuffle of the corpus.
+
+    (The round-1 plan crossJoined corpus×C and ran a
+    row_number().over(partitionBy(id)) — a full shuffle+sort of the
+    expanded corpus just to take an argmax.)"""
+    best = F.element_at(_ranked_centroids(F.col(vec), F.col("_cen")), 1)
+    return (
+        df.crossJoin(_centroid_array(centroids))
+        .withColumn(out, best["centroid_id"])
+        .drop("_cen")
+    )
+
+
+def with_probed_centroids(
+    df: DataFrame, centroids: DataFrame, probes: int, vec: str,
+    out: str = "list_id",
+) -> DataFrame:
+    """Top-`probes` nearest centroids per row: the same projection
+    ranking, sliced and exploded (×probes only on the small query
+    side)."""
+    top = F.slice(_ranked_centroids(F.col(vec), F.col("_cen")), 1, probes)
+    return (
+        df.crossJoin(_centroid_array(centroids))
+        .withColumn("_probe", F.explode(top))
+        .withColumn(out, F.col("_probe")["centroid_id"])
+        .drop("_cen", "_probe")
+    )
+
+
 def build_centroids(corpus: DataFrame, num_centroids: int = 16,
                     vec: str = "embedding", id_col: str = "vec_id",
                     iterations: int = 0) -> DataFrame:
     """Deterministic IVF centroids: hash-assigned seed means, then
     `iterations` Lloyd (k-means) refinement steps — each step is one
-    broadcast-join assignment plus one mean aggregation, fully
-    distributed and reproducible (no RNG)."""
+    projection-argmax assignment (no shuffle) plus one mean
+    aggregation, fully distributed and reproducible (no RNG)."""
     assigned = corpus.select(
         (F.pmod(F.col(id_col), F.lit(num_centroids))).alias("centroid_id"),
         F.transform(F.col(vec), lambda x: x.cast("double")).alias("_v"),
     )
     centroids = _mean_centroids(assigned)
     for _ in range(iterations):
-        scored = (
+        reassigned = with_nearest_centroid(
             corpus.select(
-                F.col(id_col).alias("_id"),
-                F.transform(F.col(vec), lambda x: x.cast("double")).alias("_v"),
-            )
-            .crossJoin(F.broadcast(centroids))
-            .withColumn("_sim", embedding_cosine(F.col("_v"), F.col("centroid")))
-        )
-        w = Window.partitionBy("_id").orderBy(F.desc("_sim"), F.asc("centroid_id"))
-        reassigned = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("centroid_id", "_v")
-        )
+                F.transform(F.col(vec), lambda x: x.cast("double")).alias("_v")
+            ),
+            centroids,
+            vec="_v",
+            out="centroid_id",
+        ).select("centroid_id", "_v")
         centroids = _mean_centroids(reassigned)
     return centroids
 
@@ -121,22 +177,15 @@ def ivf_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their nearest
-    centroid's list; each query scans only its `probes` nearest lists."""
-    cen = F.broadcast(centroids)
+    centroid's list; each query scans only its `probes` nearest lists.
 
-    def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
-        scored = df.crossJoin(cen).withColumn(
-            "_sim", embedding_cosine(F.col(vec), F.col("centroid"))
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n)
-            .select(df["*"], F.col("centroid_id").alias(out))
-        )
-
-    corpus_assigned = nearest(corpus, 1, "list_id")
-    query_probes = nearest(queries, probes, "list_id")
+    Plan shape: assignment is a projection (see with_nearest_centroid),
+    the probe join broadcasts the exploded query side, so the only
+    exchange downstream of the parquet scan is the final per-query
+    ranking over the CANDIDATE set (|candidates| ≈ probes/C of the
+    corpus per query — not the corpus itself)."""
+    corpus_assigned = with_nearest_centroid(corpus, centroids, vec, "list_id")
+    query_probes = with_probed_centroids(queries, centroids, probes, vec, "list_id")
 
     q = query_probes.select(
         F.col(id_col).alias("query_id"), F.col(vec).alias("_qv"), "list_id"

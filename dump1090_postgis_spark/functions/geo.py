@@ -83,10 +83,13 @@ def same_heading(
 
 def _fmt(c: Column, decimals: int) -> Column:
     """Fixed-decimal formatting (ST_AsGeoJSON's maxdecimaldigits), with
-    trailing-zero trim to match PostGIS output style."""
+    trailing-zero trim to match PostGIS output style.
+
+    Zeros are only trimmed AFTER a decimal point — a bare ``0+$`` trim
+    would corrupt integer renderings (decimals=0: '150' → '15')."""
     s = F.format_number(c.cast("double"), decimals)
     s = F.regexp_replace(s, ",", "")           # format_number groups thousands
-    s = F.regexp_replace(s, r"0+$", "")         # trim trailing zeros
+    s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")  # trim zeros after the point
     s = F.regexp_replace(s, r"\.$", "")         # trim bare point
     return s
 

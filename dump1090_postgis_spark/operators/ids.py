@@ -20,6 +20,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def release_caches(caches: list[DataFrame]) -> None:
+    """Unpersist every DataFrame collected in a cache registry (see
+    ``with_dense_ids(caches=...)``) and clear the list.  Call after the
+    dependent outputs have been materialized (written / collected) —
+    at 100× scale a lingering pinned table competes with the shuffle
+    for executor memory for the rest of the job."""
+    for df in caches:
+        df.unpersist()
+    caches.clear()
 
 
 def with_dense_ids(
@@ -27,8 +39,15 @@ def with_dense_ids(
     order_cols: list[str],
     id_col: str = "id",
     offset: int = 0,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
-    """Add 1-based dense ids following the total order of `order_cols`."""
+    """Add 1-based dense ids following the total order of `order_cols`.
+
+    The internal persist (DISK_ONLY — this is a layout pin, not a hot
+    cache; it must not evict executor heap at scale) is appended to
+    ``caches`` when given so the caller can ``release_caches`` once the
+    numbered output is materialized.
+    """
     spark = df.sparkSession
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     arranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
@@ -39,7 +58,11 @@ def with_dense_ids(
     # the numbering pass could see different partition boundaries —
     # colliding or gapping the ids.  The persist fixes one boundary
     # set for both passes.
-    with_pid = arranged.withColumn("_pid", F.spark_partition_id()).persist()
+    with_pid = arranged.withColumn("_pid", F.spark_partition_id()).persist(
+        StorageLevel.DISK_ONLY
+    )
+    if caches is not None:
+        caches.append(with_pid)
     counts = {
         r._pid: r.cnt
         for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

@@ -55,6 +55,47 @@ def gate_malformed(lines: DataFrame, col: str = "value") -> DataFrame:
     )
 
 
+# The reference's REGEXP_MSG (adsb_parser.py:176-195) transliterated:
+# same anchors, same per-field character classes, positional instead of
+# named groups.  A line that fails ANY field's class is rejected whole —
+# the reference returns an empty dict and never reaches the cast stage
+# (adsb_parser.py:247-254).  NULL-on-ValueError (:256-261) only ever
+# fires for values that PASS the class but fail the cast (empty string,
+# bare '-', out-of-calendar dates).
+REFERENCE_LINE_REGEX = (
+    r"^MSG,"
+    r"\d,"            # transmission_type
+    r"\d+,"           # session
+    r"\d+,"           # aircraft
+    r"[0-9A-F]+,"     # hexident (uppercase hex only)
+    r"\d+,"           # flight
+    r"[0-9/]+,[0-9:.]+,"   # gen date,time
+    r"[0-9/]+,[0-9:.]+,"   # log date,time
+    r"[\w\s]*,"       # callsign
+    r"[\d-]*,"        # altitude
+    r"\d*,"           # speed
+    r"[\d-]*,"        # track
+    r"[\d.-]*,"       # latitude
+    r"[\d.-]*,"       # longitude
+    r"[\d-]*,"        # verticalrate
+    r"\d*,"           # squawk
+    r"[\d-]*,[\d-]*,[\d-]*,[\d-]*$"  # alert,emergency,spi,onground
+)
+
+
+def validity_gate(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Reference-regex validity gate: drop any line whose fields don't
+    all match REGEXP_MSG's character classes (adsb_parser.py:176-195).
+
+    One `rlike` per line — scan-level, codegen'd, no shuffle.  Note the
+    reference, on a failed match, yields a stale copy of the PREVIOUS
+    message's attributes (adsb_parser.py:286-287 updates with an empty
+    dict but still yields) — a bug we deliberately do not replicate;
+    failed lines are dropped here.
+    """
+    return lines.filter(F.col(col).rlike(REFERENCE_LINE_REGEX))
+
+
 def _bool_from_wire(c: Column) -> Column:
     """Wire booleans: the reference's lambda is literally
     ``True if v == "-1" else False`` (adsb_parser.py:215-218) — it can
@@ -64,15 +105,25 @@ def _bool_from_wire(c: Column) -> Column:
     return c == F.lit("-1")
 
 
-def parse_sbs1_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+def parse_sbs1_lines(
+    lines: DataFrame, col: str = "value", validate: bool = True
+) -> DataFrame:
     """PRJ-1..4: one SBS-1 CSV line → normalized typed message row.
 
-    Applies the SRC-3 gate, splits positionally (the reference's named
-    regex groups are positional CSV fields), casts each field with
+    Applies the SRC-3 gate and (by default) the reference-regex
+    validity gate, splits positionally (the reference's named regex
+    groups are positional CSV fields), casts each field with
     NULL-on-failure, parses the split date/time pairs into UTC
     timestamps, trims the callsign (empty → NULL).
+
+    ``validate=True`` (parity default) rejects whole lines the way
+    REGEXP_MSG does — e.g. altitude 'notanumber', lowercase hexident,
+    non-'MSG' record types.  ``validate=False`` is a lenient engine
+    extension that keeps such rows with NULL for the failing field.
     """
     gated = gate_malformed(lines, col)
+    if validate:
+        gated = validity_gate(gated, col)
     parts = F.split(F.col(col), ",", -1)
     fields = {name: parts.getItem(i) for i, name in enumerate(SBS1_FIELDS)}
 
@@ -127,14 +178,15 @@ def altitude_filter(
     df: DataFrame,
     above: float = -1000.0,
     below: float = 100000.0,
-    strict: bool = False,
+    strict: bool = True,
     col: str = "altitude",
 ) -> DataFrame:
     """FLT-1 (adsb_parser.py:294-357): keep above < altitude < below.
 
-    Non-strict mode passes NULL altitudes through (the reference's
-    filter returns True when the message carries no altitude); strict
-    mode rejects them.
+    The reference hard-codes ``self.strict = True``
+    (adsb_parser.py:322), so NULL altitudes are REJECTED — that is the
+    default here.  ``strict=False`` (an engine extension, not
+    reference behavior) passes NULL altitudes through.
     """
     alt = F.col(col)
     in_band = (alt > F.lit(above)) & (alt < F.lit(below))

@@ -34,7 +34,16 @@ PEAK_WINDOW_S = 3600
 
 
 def union_events(landings: DataFrame, takeoffs: DataFrame) -> DataFrame:
-    """SET-1: SQL UNION (dedup) of the two event streams."""
+    """SET-1: SQL UNION (dedup) of the two event streams.
+
+    The reference unions FULL rows — ``select * from landings union
+    select * from takeoffs`` (create_public_schema.sql peak_hour_all
+    body) — with ids drawn from separate per-table sequences, so the
+    distinct() practically never collapses cross-table rows; it exists
+    for SQL-UNION parity.  Our ETL likewise numbers landings/takeoffs
+    independently (plans/etl.py), matching that id regime.  Callers
+    wanting instant-level dedup should project to (time, flight_id)
+    before calling."""
     return landings.unionByName(takeoffs).distinct()
 
 

@@ -132,11 +132,63 @@ FROM embeddings a JOIN embeddings b
 
 def q_dedup_minhash_lsh(spark, sf):
     """Full MinHash-LSH near-dup pipeline (16 hashes, 4 bands →
-    candidates → exact Jaccard ≥ 0.5).  No SQL oracle (the banded
-    self-join is impractical to restate in one oracle query);
-    correctness is pinned by unit tests on crafted near-duplicates."""
+    candidates → exact Jaccard > 0.5), in the md5 hash family so the
+    DuckDB oracle replays candidate generation byte-for-byte
+    (lexicographic minima of identical hex strings).  The xxhash64
+    family (same plan, primitive-long minima, ~10× cheaper signatures)
+    is the production path, benched as dedup_minhash_lsh_fast."""
     docs = load_table(spark, sf, "documents")
-    cands = dd.lsh_candidate_pairs(docs)
+    cands = dd.lsh_candidate_pairs(docs, hash_family="md5")
+    return dd.jaccard_pairs(docs, cands, threshold=0.5)
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH prep AS (
+  SELECT doc_id, {_OWORDS} AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE list_distinct([array_to_string(words, ' ')]) END AS shingles
+  FROM prep
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(shingles,
+                  s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, b.band AS band,
+         array_to_string(sig[b.band*4+1 : b.band*4+4], '|') AS key
+  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND b.doc_id > a.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles)))::DOUBLE, 6) AS jaccard
+FROM cand c
+JOIN sh a ON a.doc_id = c.id_a
+JOIN sh b ON b.doc_id = c.id_b
+WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles)))::DOUBLE, 6) > 0.5
+"""
+
+
+def q_dedup_minhash_lsh_fast(spark, sf):
+    """The production MinHash-LSH path: xxhash64 signature family —
+    identical plan shape to dedup_minhash_lsh, primitive-long minima
+    instead of hex strings.  xxhash64 has no DuckDB twin, so this
+    entry is verified structurally: unit tests pin recall on planted
+    near-duplicates, and the md5 twin above hash-checks the whole
+    pipeline logic against the oracle."""
+    docs = load_table(spark, sf, "documents")
+    cands = dd.lsh_candidate_pairs(docs, hash_family="xxhash64")
     return dd.jaccard_pairs(docs, cands, threshold=0.5)
 
 
@@ -172,12 +224,115 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 
 def q_ann_topk_ivf(spark, sf):
     """IVF-bucketed approximate top-5 (scale path; recall measured
-    against the brute-force baseline in tests).  No SQL oracle —
-    rows-only check."""
+    against the brute-force baseline in tests).  The whole pipeline is
+    deterministic — pmod seed assignment, element-wise means,
+    projection-argmax list assignment — so the oracle restates it as
+    CTEs."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     centroids = sim.build_centroids(emb, num_centroids=8)
     return sim.ivf_topk(emb, queries, centroids, k=5, probes=3)
+
+
+_SQL_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+SQL_ANN_IVF = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeded AS (
+  SELECT vec_id % 8 AS centroid_id, unnest(v) AS x,
+         unnest(range(1, len(v) + 1)) AS pos
+  FROM corpus
+), cent_elems AS (
+  SELECT centroid_id, pos, avg(x) AS m FROM seeded GROUP BY centroid_id, pos
+), cent AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS centroid
+  FROM cent_elems GROUP BY centroid_id
+), scored_c AS (
+  SELECT c.vec_id, c.v, ct.centroid_id,
+         {_SQL_COS.format(a='c.v', b='ct.centroid')} AS sim
+  FROM corpus c CROSS JOIN cent ct
+), corpus_assigned AS (
+  SELECT vec_id, v, centroid_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored_c)
+  WHERE rn = 1
+), query_probes AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored_c WHERE vec_id < 5)
+  WHERE rn <= 3
+), pairs AS (
+  SELECT q.query_id, ca.vec_id AS neighbor_id,
+         round({_SQL_COS.format(a='q.qv', b='ca.v')}, 4) + 0.0 AS cosine
+  FROM query_probes q JOIN corpus_assigned ca USING (list_id)
+  WHERE ca.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+def q_dedup_embedding_lsh(spark, sf):
+    """Banded random-hyperplane LSH near-dup over embeddings (the
+    scale-path candidate generator), end to end: 4 bands × 8 sign bits
+    from seeded ±1 hyperplanes → bucket-groupBy candidates → exact
+    cosine.  The driver testdata has no planted near-duplicates (max
+    pairwise cosine ≈ 0.47), so the demo threshold is 0.25 to exercise
+    the full path; unit tests pin recall at 0.9+ on planted dups.  The
+    hyperplanes are plan-time literals shared with the oracle SQL, and
+    the sign dot products are order-identical left folds — bucket keys
+    match bitwise across engines."""
+    emb = load_table(spark, sf, "embeddings")
+    return dd.embedding_near_dup_pairs(emb, threshold=0.25)
+
+
+def _sql_embedding_lsh() -> str:
+    planes = dd.hyperplane_weights(64, 4, 8, 7)
+
+    def lit(ws):
+        return "[" + ", ".join(f"{w:.1f}" for w in ws) + "]"
+
+    def band_key(b):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {lit(planes[b * 8 + i])}) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+            for i in range(8)
+        )
+        return f"({bits})"
+
+    banded = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, {band_key(b)} AS key FROM emb2"
+        for b in range(4)
+    )
+    return f"""
+WITH emb2 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), banded AS (
+{banded}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND b.vec_id > a.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round({_SQL_COS.format(a='a.v', b='b.v')}, 4) + 0.0 AS cosine
+FROM cand c
+JOIN emb2 a ON a.vec_id = c.id_a
+JOIN emb2 b ON b.vec_id = c.id_b
+WHERE round({_SQL_COS.format(a='a.v', b='b.v')}, 4) >= 0.25
+"""
+
+
+SQL_DEDUP_EMB_LSH = _sql_embedding_lsh()
 
 
 # ---------------------------------------------------------------------------
@@ -321,9 +476,11 @@ REGISTRY: dict = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMB_LSH),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_minhash_lsh_fast": (q_dedup_minhash_lsh_fast, None),
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_TOPK),
-    "ann_topk_ivf": (q_ann_topk_ivf, None),
+    "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_IVF),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_token_counts": (q_text_token_counts, SQL_TEXT_TOKENS),

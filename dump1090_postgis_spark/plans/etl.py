@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.conversions import interpolated_track
 from ..operators import parse
@@ -34,7 +35,7 @@ from ..operators.events import (
     debounce_events,
     detect_onground_edges,
 )
-from ..operators.ids import with_dense_ids
+from ..operators.ids import release_caches, with_dense_ids
 from ..operators.sessionize import flight_summaries, sessionize
 
 
@@ -44,10 +45,27 @@ def build_tables(
     airport: DataFrame | None = None,
     altitude_below: float = 10000.0,
     session_gap_s: int = 300,
+    output_path: str | None = None,
+    caches: list[DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns {'flights', 'positions',
     'landings', 'takeoffs'} DataFrames with the reference's table
-    shapes (FIXTURES.md §3)."""
+    shapes (FIXTURES.md §3).
+
+    Cache lifecycle (the session stream + each dense-id layout pin are
+    persisted DISK_ONLY):
+
+    - ``output_path`` given — the scale path: each table is written to
+      ``{output_path}/{name}`` as parquet, every internal cache is
+      unpersisted, and the returned DataFrames read back from parquet.
+      Nothing stays pinned after the call (asserted in tests).
+    - ``caches`` given — lazy mode for composition: internal persists
+      are appended; call ``operators.ids.release_caches(caches)`` after
+      materializing the outputs.
+    - neither — legacy lazy mode; caches stay pinned for the session
+      (fine for short-lived jobs/tests, leaks in long-lived drivers).
+    """
+    registry: list[DataFrame] = caches if caches is not None else []
     msgs = parse.parse_sbs1_lines(raw_lines)
     msgs = parse.dispatch_fields(msgs)
     msgs = parse.with_altitude_m(msgs)
@@ -84,8 +102,9 @@ def build_tables(
         raw_sess.join(admission_ts, key0, "inner")  # drops never-admitted
         .filter(F.col("gen_date_time") >= F.col("_adm_ts"))
         .drop("_adm_ts")
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
+    registry.append(sess)
 
     # One groupBy produces the flight summaries AND the intention
     # inputs (no separate aggregations over the same key).
@@ -99,7 +118,7 @@ def build_tables(
         ],
     )
     flights = with_dense_ids(
-        admitted, ["first_seen", "hexident", "session_id"], "id"
+        admitted, ["first_seen", "hexident", "session_id"], "id", caches=registry
     )
     flights = classify_intention(flights).select(
         "id", "hexident", "session_id",
@@ -124,7 +143,9 @@ def build_tables(
             "onground",
         )
     )
-    positions = with_dense_ids(positions, ["time", "flight_id"], "id").select(
+    positions = with_dense_ids(
+        positions, ["time", "flight_id"], "id", caches=registry
+    ).select(
         "id", "flight_id", "time", "longitude", "latitude",
         "altitude_m", "verticalrate", "track", "onground",
     )
@@ -145,22 +166,40 @@ def build_tables(
         edges = edges.withColumn("runway", F.lit("UNK"))
 
     edges = edges.join(fid, key)
-    events = with_dense_ids(edges, ["gen_date_time", "flight_id"], "eid").select(
-        F.col("eid").alias("id"),
+    # Landings and takeoffs are numbered INDEPENDENTLY — the reference
+    # draws from separate per-table sequences (landings_id_seq /
+    # takeoffs_id_seq, create_public_schema.sql:606-683), so each table
+    # gets its own dense 1..n id space.
+    event_cols = [
         "flight_id",
         F.col("gen_date_time").alias("time"),
         "runway",
-        "event_type",
-    )
-    landings = events.filter(F.col("event_type") == "landing").drop("event_type")
-    takeoffs = events.filter(F.col("event_type") == "takeoff").drop("event_type")
+    ]
+    landings = with_dense_ids(
+        edges.filter(F.col("event_type") == "landing"),
+        ["gen_date_time", "flight_id"], "id", caches=registry,
+    ).select("id", *event_cols)
+    takeoffs = with_dense_ids(
+        edges.filter(F.col("event_type") == "takeoff"),
+        ["gen_date_time", "flight_id"], "id", caches=registry,
+    ).select("id", *event_cols)
 
-    return {
+    tables = {
         "flights": flights.drop("session_id"),
         "positions": positions,
         "landings": landings,
         "takeoffs": takeoffs,
     }
+    if output_path is not None:
+        spark = raw_lines.sparkSession
+        out: dict[str, DataFrame] = {}
+        for name, df in tables.items():
+            path = f"{output_path}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            out[name] = spark.read.parquet(path)
+        release_caches(registry)
+        return out
+    return tables
 
 
 def refresh_materialized(df: DataFrame, path: str) -> None:

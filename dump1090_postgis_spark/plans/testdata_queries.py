@@ -1027,25 +1027,32 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-0
 
 
 # ---------------------------------------------------------------------------
-# Full-pipeline end-to-end (rows-only: the multi-stage ETL is not one
-# SQL statement; unit tests pin its semantics on crafted captures)
+# Full-pipeline end-to-end, oracle-paired: the DuckDB side restates the
+# whole parse→sessionize→admission→summaries→id chain as CTEs.
 # ---------------------------------------------------------------------------
 
 
 def q_etl_full_pipeline(spark, sf):
     """SURVEY §3.1 end-to-end: synthesize SBS-1 wire lines from the
-    events table, then run the complete batch ETL (gate → parse →
-    filter → dispatch → sessionize → admission → summaries → edges →
-    debounce) and return the flights table."""
+    events table, then run the complete batch ETL (gate → regex
+    validity → parse → filter → dispatch → sessionize → admission →
+    summaries → edges → debounce) and return the flights table.
+
+    Output tables are materialized to a scratch dir (build_tables
+    output_path mode), so every internal cache is released before
+    return — the returned DataFrame is a plain parquet scan."""
+    import os
+
     from .etl import build_tables
 
     ev = _ev(spark, sf)
-    # Wire-format lines: hexident from user_id, MSG3 with a synthetic
+    # Wire-format lines: hexident 'A'+user_id (uppercase-hex alphabet,
+    # so the REGEXP_MSG validity gate admits it), MSG3 with a synthetic
     # position; every ~7th event goes onground (landing episodes).
     line = F.concat_ws(
         ",",
         F.lit("MSG"), F.lit("3"), F.lit("1"), F.lit("1"),
-        F.concat(F.lit("UID"), F.col("user_id").cast("string")),
+        F.concat(F.lit("A"), F.col("user_id").cast("string")),
         F.lit("1"),
         F.date_format(F.col("ts").cast("timestamp"), "yyyy/MM/dd"),
         F.date_format(F.col("ts").cast("timestamp"), "HH:mm:ss.SSS"),
@@ -1060,13 +1067,70 @@ def q_etl_full_pipeline(spark, sf):
         F.when(F.col("event_id") % 7 == 0, "-1").otherwise("0"),
     )
     raw = ev.select(line.alias("value"))
-    tables = build_tables(raw, altitude_below=100000.0, session_gap_s=3600)
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".etl_scratch",
+        os.path.basename(sf.rstrip("/")),
+    )
+    tables = build_tables(
+        raw, altitude_below=100000.0, session_gap_s=3600, output_path=scratch
+    )
     return tables["flights"].select(
         "id", "hexident",
         F.date_format(F.col("first_seen"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
         F.date_format(F.col("last_seen"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
         "intention", "n_messages",
     )
+
+
+# The same pipeline as DuckDB SQL.  The wire-format string roundtrip
+# reduces to: hexident = 'A'||user_id, gen_date_time = ts truncated to
+# milliseconds, altitude = round(value*10)::INT, onground =
+# (event_id % 7 = 0); every line passes the 22-field and regex gates
+# by construction.  Sessionize → admission → summaries → intention →
+# dense ids mirror plans/etl.py stage for stage.
+SQL_ETL = """
+WITH msgs AS (
+  SELECT 'A' || CAST(user_id AS VARCHAR) AS hexident,
+         date_trunc('milliseconds', ts) AS gdt,
+         CAST(round(value * 10) AS INTEGER) AS altitude,
+         (event_id % 7 = 0) AS onground
+  FROM events
+), gaps AS (
+  SELECT *, CASE WHEN epoch_us(gdt) - lag(epoch_us(gdt)) OVER w IS NULL
+                   OR epoch_us(gdt) - lag(epoch_us(gdt)) OVER w > 3600000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM msgs WINDOW w AS (PARTITION BY hexident ORDER BY gdt)
+), sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY hexident ORDER BY gdt
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM gaps
+), adm AS (
+  SELECT hexident, session_id, min(gdt) AS adm_ts
+  FROM sess
+  WHERE altitude IS NOT NULL AND altitude > -1000.0 AND altitude < 100000.0
+  GROUP BY hexident, session_id
+), kept AS (
+  SELECT s.* FROM sess s JOIN adm a USING (hexident, session_id)
+  WHERE s.gdt >= a.adm_ts
+), summ AS (
+  SELECT hexident, session_id,
+         min(gdt) AS first_seen, max(gdt) AS last_seen,
+         count(*) AS n_messages,
+         arg_min(onground, gdt) AS first_onground,
+         arg_max(onground, gdt) AS last_onground
+  FROM kept GROUP BY hexident, session_id
+)
+SELECT row_number() OVER (ORDER BY first_seen, hexident, session_id) AS id,
+       hexident,
+       strftime(first_seen, '%Y-%m-%d %H:%M:%S') AS first_seen,
+       strftime(last_seen, '%Y-%m-%d %H:%M:%S') AS last_seen,
+       CASE WHEN first_onground AND NOT last_onground THEN 'departure'
+            WHEN last_onground AND NOT first_onground THEN 'arrival'
+            ELSE 'enroute' END AS intention,
+       n_messages::BIGINT AS n_messages
+FROM summ
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1106,5 +1170,5 @@ REGISTRY: dict = {
     "tpch_q3_shipping": (q_tpch_q3_shipping, SQL_TPCH_Q3),
     "tpch_q5_region_revenue": (q_tpch_q5_region_revenue, SQL_TPCH_Q5),
     "tpch_q6_forecast": (q_tpch_q6_forecast, SQL_TPCH_Q6),
-    "etl_full_pipeline": (q_etl_full_pipeline, None),
+    "etl_full_pipeline": (q_etl_full_pipeline, SQL_ETL),
 }

@@ -179,8 +179,20 @@ AIRPORT_SCHEMA = T.StructType(
         T.StructField("lat", T.DoubleType(), True),
         T.StructField("altitude", T.DoubleType(), True),
         T.StructField("country", T.StringType(), True),
+        T.StructField("locale", T.StringType(), True),
         T.StructField("timezone", T.StringType(), True),
         T.StructField("bbox", T.ArrayType(POINT2D), True),
+    ]
+)
+
+# meta.range_rings (create_meta_schema.sql:144-149): MultiLineString
+# geometry → array of line parts, each an array of (lon,lat) vertices.
+RANGE_RING_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("radius", T.DoubleType(), False),   # km
+        T.StructField("icao", T.StringType(), False),
+        T.StructField("geom", T.ArrayType(T.ArrayType(POINT2D)), False),
     ]
 )
 

@@ -91,7 +91,7 @@ def nte_runways(spark: SparkSession) -> DataFrame:
 
 
 def nte_airport(spark: SparkSession) -> DataFrame:
-    """Seed meta.airports LFRS row (create_meta_schema.sql:243)."""
+    """Seed meta.airports LFRS row (create_meta_schema.sql:40-52,243)."""
     rows = [
         (
             "LFRS",
@@ -102,8 +102,52 @@ def nte_airport(spark: SparkSession) -> DataFrame:
             47.156944,
             27.0,
             "France",
+            "fr_FR",
             "Europe/Paris",
             _poly_rows(_NTE_BBOX),
         )
     ]
     return spark.createDataFrame(rows, AIRPORT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# meta.range_rings seed (create_meta_schema.sql:144-149): concentric
+# distance rings around the airport for QGIS range display.  The
+# reference loads them externally (no generator in the repo); ours are
+# generated deterministically — N-point circles in WGS84, radius in km,
+# each ring one closed MultiLineString part.
+# ---------------------------------------------------------------------------
+
+_KM_PER_DEG_LAT = 110.574
+_KM_PER_DEG_LON_EQ = 111.320
+
+
+def range_ring_vertices(
+    clon: float, clat: float, radius_km: float, points: int = 36
+) -> list[dict]:
+    """Closed circle ring (first vertex repeated last), WGS84 degrees."""
+    import math
+
+    lat_rad = math.radians(clat)
+    out = []
+    for k in range(points + 1):
+        theta = 2.0 * math.pi * (k % points) / points
+        lon = clon + (radius_km / (_KM_PER_DEG_LON_EQ * math.cos(lat_rad))) * math.cos(theta)
+        lat = clat + (radius_km / _KM_PER_DEG_LAT) * math.sin(theta)
+        out.append({"lon": lon, "lat": lat})
+    return out
+
+
+NTE_RING_RADII_KM = (5.0, 10.0, 25.0, 50.0)
+
+
+def nte_range_rings(spark: SparkSession, points: int = 36) -> DataFrame:
+    """Seed meta.range_rings: one MultiLineString (single closed part)
+    per radius around LFRS."""
+    from ..schemas import RANGE_RING_SCHEMA
+
+    rows = [
+        (i + 1, r, "LFRS", [range_ring_vertices(-1.607778, 47.156944, r, points)])
+        for i, r in enumerate(NTE_RING_RADII_KM)
+    ]
+    return spark.createDataFrame(rows, RANGE_RING_SCHEMA)

@@ -74,9 +74,36 @@ def emb(spark):
 
 
 def test_embedding_near_dup_lsh(spark, emb):
-    out = dd.embedding_near_dup_pairs(emb, threshold=0.99, bucket_dims=4)
+    out = dd.embedding_near_dup_pairs(emb, threshold=0.99, dim=16)
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
     assert (100, 101) in pairs
+
+
+def test_embedding_lsh_skewed_bucket(spark):
+    """A pathological hot bucket (many identical vectors) must yield
+    exactly the true duplicate pairs — the banded bucket-groupBy
+    enumerates within-cluster pairs without an all-pairs corpus join,
+    and cross-band duplicates collapse via distinct."""
+    import random
+
+    rnd = random.Random(3)
+    base = [rnd.gauss(0, 1) for _ in range(8)]
+    rows = [(i, base) for i in range(25)]  # 25 exact copies
+    rows += [(100 + i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(15)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dd.embedding_near_dup_pairs(df, threshold=0.999, dim=8)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    expected = {(a, b) for a in range(25) for b in range(25) if a < b}
+    assert expected <= pairs  # all 300 true-dup pairs found exactly once
+
+
+def test_minhash_md5_family_matches_xxhash(spark, docs):
+    """The oracle-portable md5 family finds the same crafted near-dups
+    as the production xxhash64 family (same plan, different leaf
+    hash)."""
+    cands = dd.lsh_candidate_pairs(docs, hash_family="md5")
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 4) in pairs and (1, 2) in pairs
 
 
 def test_ivf_recall_vs_bruteforce(spark, emb):

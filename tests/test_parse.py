@@ -58,21 +58,43 @@ def test_negative_verticalrate(parsed_ok):
     assert parsed_ok[4].verticalrate == -640
 
 
-def test_failed_cast_is_null_not_error(spark):
+def test_validity_gate_rejects_whole_lines(spark):
+    """REGEXP_MSG parity (adsb_parser.py:176-195): altitude
+    'notanumber' and non-hex hexidents (BADALT, NOPOS0) fail their
+    character classes, so the reference drops the whole line — it
+    never reaches the NULL-on-cast path for those."""
     rows = parse.parse_sbs1_lines(spark.read.text(FAULTY)).collect()
+    hexes = {r.hexident for r in rows}
+    assert hexes == {"3C6589"}  # BADALT/NOPOS0 lines rejected whole
+    assert len(rows) == 2
+
+
+def test_lenient_mode_failed_cast_is_null(spark):
+    """validate=False (engine extension): keep the row, NULL the
+    failing field — the reference's ValueError→None path
+    (adsb_parser.py:256-261) generalized past its regex."""
+    rows = parse.parse_sbs1_lines(spark.read.text(FAULTY), validate=False).collect()
     bad = [r for r in rows if r.hexident == "BADALT"][0]
-    assert bad.altitude is None  # 'notanumber' → NULL (adsb_parser.py:256-261)
+    assert bad.altitude is None
     assert bad.latitude == pytest.approx(47.33)
 
 
+def test_empty_field_is_null_within_valid_line(parsed_ok):
+    """The cast-fail→NULL path the reference DOES reach: an empty
+    altitude ('' passes [\\d-]*, int('') raises → None)."""
+    msg1 = [r for r in parsed_ok if r.transmission_type == 1][0]
+    assert msg1.altitude is None
+
+
 def test_altitude_filter_modes(spark):
-    df = parse.parse_sbs1_lines(spark.read.text(FAULTY))
-    # default band: -1000 < alt < 100000 → -25 passes, -1000 rejected
-    loose = parse.altitude_filter(df, above=-1000, below=100000)
+    df = parse.parse_sbs1_lines(spark.read.text(FAULTY), validate=False)
+    # band: -1000 < alt < 100000 → -25 passes, -1000 rejected
+    loose = parse.altitude_filter(df, above=-1000, below=100000, strict=False)
     alts = [r.altitude for r in loose.collect()]
     assert -25 in alts and -1000 not in alts
     assert None in alts  # non-strict passes NULL altitude through
-    strict = parse.altitude_filter(df, above=-1000, below=100000, strict=True)
+    # strict is the DEFAULT (adsb_parser.py:322 hard-codes strict=True)
+    strict = parse.altitude_filter(df, above=-1000, below=100000)
     assert all(r.altitude is not None for r in strict.collect())
 
 
@@ -88,7 +110,7 @@ def test_field_dispatch(spark):
 
 
 def test_position_validity(spark):
-    df = parse.parse_sbs1_lines(spark.read.text(FAULTY))
+    df = parse.parse_sbs1_lines(spark.read.text(FAULTY), validate=False)
     pos = parse.position_validity(df).collect()
     # NOPOS0 has altitude but no lat/lon → excluded
     assert all(r.hexident != "NOPOS0" for r in pos)

@@ -10,10 +10,10 @@ import time
 import pytest
 
 LINES = [
-    "MSG,3,1,1,SOCK01,1,2024/05/01,10:00:00.000,2024/05/01,10:00:00.000,,4500,,,47.3,-1.7,,,0,,0,0",
-    "MSG,3,1,1,SOCK01,1,2024/05/01,10:00:01.000,2024/05/01,10:00:01.000,,4400,,,47.31,-1.71,,,0,,0,0",
+    "MSG,3,1,1,50CC01,1,2024/05/01,10:00:00.000,2024/05/01,10:00:00.000,,4500,,,47.3,-1.7,,,0,,0,0",
+    "MSG,3,1,1,50CC01,1,2024/05/01,10:00:01.000,2024/05/01,10:00:01.000,,4400,,,47.31,-1.71,,,0,,0,0",
     "garbage line",
-    "MSG,1,1,1,SOCK02,1,2024/05/01,10:00:02.000,2024/05/01,10:00:02.000,CALL12 ,,,,,,,,0,,0,0",
+    "MSG,1,1,1,50CC02,1,2024/05/01,10:00:02.000,2024/05/01,10:00:02.000,CALL12 ,,,,,,,,0,,0,0",
 ]
 
 
@@ -64,5 +64,5 @@ def test_socket_stream_parses_live_feed(spark, feed_port, tmp_path):
     q.stop()
     assert n >= 3  # garbage line gated out, 3 valid messages through
     by_hex = {(r.hexident, r.transmission_type): r for r in rows}
-    assert ("SOCK01", 3) in by_hex
-    assert by_hex[("SOCK02", 1)].callsign == "CALL12"
+    assert ("50CC01", 3) in by_hex
+    assert by_hex[("50CC02", 1)].callsign == "CALL12"
