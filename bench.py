@@ -23,6 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the scale-path datapipe operators.
 BENCH_QUERIES = [
     "agg1_histogram_hour_utc",
+    "agg1_histogram_noids",
     "agg2_sliding_hour_counts",
     "agg3_peak_hour_paris",
     "state1_sessions",
@@ -35,8 +36,10 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",  # production xxhash64 family (md5 twin is the oracle path)
+    "dedup_embedding_lsh",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
     "text_quality",
     "text_fingerprint",
     "multimodal_decode",

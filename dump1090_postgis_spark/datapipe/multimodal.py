@@ -56,14 +56,21 @@ def attach_binary(docs: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
-def decode_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def decode_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id",
+                    decoder=None) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (id, payload) batches.
 
     Partition-preserving; one Python worker round-trip per batch, not
     per row.  The worker closure is fully self-contained (the decode
-    stub is captured by value, not by module reference) so it runs on
+    fn is captured by value, not by module reference) so it runs on
     executors that cannot import this package — e.g. a driver-created
     session without the repo on the workers' PYTHONPATH.
+
+    ``decoder`` is the real-codec seam: a picklable callable
+    ``bytes -> {'format','width','height','ok'}`` (wrap PIL /
+    turbojpeg / libav here).  None (default) uses the deterministic
+    stub — the oracle path.  The output schema is fixed either way, so
+    swapping codecs never touches the surrounding pipeline.
     """
     cols = docs_with_payload.select(id_col, "payload")
 
@@ -73,7 +80,7 @@ def decode_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id") -> Dat
         # nested (pickled by value): keep in sync with
         # _decode_image_bytes — a module-level reference would require
         # the package on the executors' PYTHONPATH
-        def decode(payload):
+        def _stub(payload):
             if not payload:
                 return {"format": None, "width": None, "height": None, "ok": False}
             n = len(payload)
@@ -81,6 +88,8 @@ def decode_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id") -> Dat
             h = 1 + (n // 64) % 64
             fmt = "bmp" if payload[:2] == b"BM" else "raw"
             return {"format": fmt, "width": int(w), "height": int(h), "ok": True}
+
+        decode = decoder if decoder is not None else _stub
 
         for pdf in batches:
             metas = [decode(p) for p in pdf["payload"]]

@@ -49,6 +49,32 @@ def language_id(text: Column) -> Column:
     return F.when(best.isNull(), F.lit("und")).otherwise(best["lang"])
 
 
+def language_id_batch(df, text: str = "text", out: str = "pred_lang",
+                      model=None):
+    """Language-ID with a pluggable real-model seam.
+
+    ``model`` is a batch callable ``pandas.Series[str] ->
+    pandas.Series[str]`` (the natural shape for fastText / CLD3 /
+    transformers batch predict).  When given, it runs as an
+    Arrow-batched pandas_udf — vectorized transfer, one Python call
+    per batch.  When None (default), the deterministic marker-word
+    expression is used — the oracle path stays pure-JVM and
+    hash-checkable.  Either way the output schema is identical, so
+    swapping models never touches the surrounding pipeline.
+    """
+    if model is None:
+        return df.withColumn(out, language_id(F.col(text)))
+
+    import pandas as pd  # noqa: F401  (documents the seam contract)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _predict(s):
+        return model(s)
+
+    return df.withColumn(out, _predict(F.col(text)))
+
+
 def token_count_ws(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(F.split(F.trim(text), r"\s+"))

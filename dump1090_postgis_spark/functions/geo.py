@@ -126,3 +126,29 @@ def polygon_geojson(ring: Column, decimals: int = 6) -> Column:
         F.array_join(F.transform(closed, pair), ","),
         F.lit("]]}"),
     )
+
+
+_CRS_JSON = '"crs":{"type":"name","properties":{"name":"EPSG:4326"}},'
+
+
+def multilinestring_geojson(
+    parts: Column, decimals: int = 6, crs: bool = False
+) -> Column:
+    """parts: array<array<struct<lon,lat>>> → GeoJSON MultiLineString.
+
+    ``crs=True`` mirrors ST_AsGeoJSON's options=2 short-CRS flag used
+    by meta.range_rings_geojson (create_meta_schema.sql:159-164:
+    st_asgeojson(rr.geom, 6, 2))."""
+    pair = lambda p: F.concat(
+        F.lit("["), _fmt(p["lon"], decimals), F.lit(","), _fmt(p["lat"], decimals), F.lit("]")
+    )
+    line = lambda ln: F.concat(
+        F.lit("["), F.array_join(F.transform(ln, pair), ","), F.lit("]")
+    )
+    return F.concat(
+        F.lit('{"type":"MultiLineString",'),
+        F.lit(_CRS_JSON if crs else ""),
+        F.lit('"coordinates":['),
+        F.array_join(F.transform(parts, line), ","),
+        F.lit("]}"),
+    )

@@ -51,6 +51,7 @@ def events_histogram(
     ts: str = "time",
     id_col: str = "flight_id",
     tz: str | None = None,
+    include_ids: bool = True,
 ) -> DataFrame:
     """AGG-1: zero-filled histogram of events between `starts`/`ends`.
 
@@ -58,6 +59,12 @@ def events_histogram(
     bins), ids (sorted id list; empty for empty bins). When ``tz``
     is given, binning happens in that timezone's local wall-clock
     (reference's Europe/Paris variants).
+
+    ``include_ids=False`` is the scale variant: reference parity
+    requires ``array_agg(flight_id)`` per bin, but a hot bin at 100×
+    scale makes one giant array row — callers that only chart counts
+    should skip id collection (pure count aggregate, fully map-side
+    combinable, constant-size rows).
     """
     b = validate_bin(bin_)
     spark = events.sparkSession
@@ -76,15 +83,15 @@ def events_histogram(
     # output via the join, so an event exactly at `ends` still lands in
     # the final bin.  Equivalent pushdown-friendly filter: truncated
     # bin within [trunc(starts), trunc(ends)].
+    aggs = [F.count(id_col).alias("events")]
+    if include_ids:
+        aggs.append(F.array_sort(F.collect_list(id_col)).alias("ids"))
     binned = (
         events.filter(
             (t >= F.date_trunc(b, lo)) & (t < F.date_trunc(b, hi) + bin_interval(b))
         )
         .groupBy(F.date_trunc(b, t).alias("interval"))
-        .agg(
-            F.count(id_col).alias("events"),
-            F.array_sort(F.collect_list(id_col)).alias("ids"),
-        )
+        .agg(*aggs)
     )
 
     axis = (
@@ -101,12 +108,16 @@ def events_histogram(
         )
     )
 
+    out_cols = [
+        F.col("interval"),
+        F.coalesce(F.col("events"), F.lit(0)).cast("long").alias("events"),
+    ]
+    if include_ids:
+        out_cols.append(
+            F.coalesce(F.col("ids"), F.array().cast("array<bigint>")).alias("ids")
+        )
     return (
         axis.join(binned, "interval", "left")
-        .select(
-            F.col("interval"),
-            F.coalesce(F.col("events"), F.lit(0)).cast("long").alias("events"),
-            F.coalesce(F.col("ids"), F.array().cast("array<bigint>")).alias("ids"),
-        )
+        .select(*out_cols)
         .orderBy("interval")
     )

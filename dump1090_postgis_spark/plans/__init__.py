@@ -15,9 +15,10 @@ from __future__ import annotations
 
 def full_registry():
     """name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql|None)."""
-    from . import datapipe_queries, testdata_queries
+    from . import datapipe_queries, meta_queries, testdata_queries
 
     reg: dict = {}
     reg.update(testdata_queries.REGISTRY)
     reg.update(datapipe_queries.REGISTRY)
+    reg.update(meta_queries.REGISTRY)
     return reg

@@ -48,6 +48,9 @@ __all__ = [
     "flight_path_geojson",
     "landings_on_details",
     "takeoffs_on_details",
+    "airports_geojson",
+    "runways_geojson",
+    "range_rings_geojson",
 ]
 
 
@@ -145,6 +148,41 @@ def takeoffs_on_details(takeoffs: DataFrame, flights: DataFrame,
                         day: datetime.date) -> DataFrame:
     """JOIN-2 (create_graphql_functions.sql:69-104)."""
     return event_details(_on_day(takeoffs, day), flights, airlines, countries)
+
+
+def airports_geojson(airports: DataFrame) -> DataFrame:
+    """meta.airports_geojson view (create_meta_schema.sql:108-119):
+    airport descriptors with bbox Polygon + latlon Point as GeoJSON
+    (ST_AsGeoJSON(geom, 6))."""
+    from ..functions.geo import point_geojson, polygon_geojson
+
+    return airports.select(
+        "icao", "iata", "name", "city", "altitude", "country", "locale",
+        "timezone",
+        polygon_geojson(F.col("bbox"), 6).alias("bbox"),
+        point_geojson(F.col("lon"), F.col("lat"), 6).alias("latlon"),
+    )
+
+
+def runways_geojson(runways: DataFrame) -> DataFrame:
+    """meta.runways_geojson view (create_meta_schema.sql:191-198)."""
+    from ..functions.geo import polygon_geojson
+
+    return runways.select(
+        "id", "airport_icao", "name", "direction", "length",
+        polygon_geojson(F.col("polygon"), 6).alias("geom"),
+    )
+
+
+def range_rings_geojson(rings: DataFrame) -> DataFrame:
+    """meta.range_rings_geojson view (create_meta_schema.sql:159-164):
+    ST_AsGeoJSON(geom, 6, 2) — 6 decimals, short-CRS option."""
+    from ..functions.geo import multilinestring_geojson
+
+    return rings.select(
+        "id", "radius", "icao",
+        multilinestring_geojson(F.col("geom"), 6, crs=True).alias("geom"),
+    )
 
 
 def takeoff_paths_period(takeoffs: DataFrame, positions: DataFrame,

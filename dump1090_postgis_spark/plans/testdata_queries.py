@@ -244,6 +244,42 @@ ORDER BY axis.interval
 """
 
 
+def q_agg1_histogram_noids(spark, sf):
+    """AGG-1 scale variant: include_ids=False drops the per-bin
+    array_agg — pure count aggregate with constant-size rows (the
+    parity-bound id list makes one giant row per hot bin at 100×
+    scale)."""
+    ev = load_table(spark, sf, "events",
+                    ts_range=("2024-01-05", "2024-01-12 01:00:00"))
+    h = events_histogram(
+        ev, "2024-01-05 00:00:00", "2024-01-12 00:00:00", "hour",
+        ts="ts", id_col="event_id", include_ids=False,
+    )
+    return h.select(
+        _fmt(F.col("interval")).alias("bin_start"),
+        F.col("events"),
+    )
+
+
+SQL_AGG1_NOIDS = f"""
+WITH axis AS (
+  SELECT unnest(generate_series(date_trunc('hour', TIMESTAMP '2024-01-05 00:00:00'),
+                                date_trunc('hour', TIMESTAMP '2024-01-12 00:00:00'),
+                                INTERVAL 1 HOUR)) AS interval
+), binned AS (
+  SELECT date_trunc('hour', ts) AS interval, count(event_id) AS events
+  FROM events
+  WHERE ts >= date_trunc('hour', TIMESTAMP '2024-01-05 00:00:00')
+    AND ts < date_trunc('hour', TIMESTAMP '2024-01-12 00:00:00') + INTERVAL 1 HOUR
+  GROUP BY 1
+)
+SELECT {_OFMT.format(c='axis.interval')} AS bin_start,
+       COALESCE(binned.events, 0)::BIGINT AS events
+FROM axis LEFT OUTER JOIN binned ON axis.interval = binned.interval
+ORDER BY axis.interval
+"""
+
+
 def q_agg5_paths_selected(spark, sf):
     """AGG-5 flight_paths(bigint[]) analog
     (create_public_schema.sql:243-257): ordered per-key paths for an id
@@ -1144,6 +1180,7 @@ REGISTRY: dict = {
     "agg1_histogram_hour_utc": (q_agg1_histogram_hour_utc, SQL_AGG1_HOUR),
     "agg1_histogram_day_paris": (q_agg1_histogram_day_paris, SQL_AGG1_PARIS),
     "agg1_histogram_week_utc": (q_agg1_histogram_week_utc, SQL_AGG1_WEEK),
+    "agg1_histogram_noids": (q_agg1_histogram_noids, SQL_AGG1_NOIDS),
     "agg5_paths_selected": (q_agg5_paths_selected, SQL_AGG5_SELECTED),
     "agg2_sliding_hour_counts": (q_agg2_sliding_hour_counts, SQL_AGG2),
     "agg3_peak_hour_paris": (q_agg3_peak_hour_paris, SQL_AGG3),

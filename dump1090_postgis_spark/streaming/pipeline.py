@@ -63,6 +63,34 @@ def event_stream(parsed: DataFrame, watermark: str | None = None) -> DataFrame:
     )
 
 
+def windowed_event_counts(
+    parsed: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    ts: str = "gen_date_time",
+) -> DataFrame:
+    """STATE-8: event-time tumbling-window message counts per aircraft
+    with late-data handling (engine extension — the reference has NO
+    watermark; its eviction is processing-time, flights.py:111-117).
+
+    ``withWatermark`` bounds the aggregation state: a window finalizes
+    (and, in append mode, emits exactly once) when the watermark passes
+    its end, and rows later than the watermark are DROPPED rather than
+    reopening emitted windows — the divergence-from-reference behavior
+    SURVEY §2.8 says to document, here pinned by tests/test_streaming.
+    """
+    return (
+        parsed.withWatermark(ts, watermark)
+        .groupBy(F.window(ts, window).alias("win"), "hexident")
+        .agg(F.count(F.lit(1)).alias("n_messages"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "hexident",
+            "n_messages",
+        )
+    )
+
+
 def start_pipeline(
     raw_stream: DataFrame,
     sink_fn,

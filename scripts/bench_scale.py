@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Scale bench: synthesize an sf1-equivalent dataset (×10 replication
+of sf0.1 with shifted keys) under the repo scratch dir, then run the
+bench headline queries against it.
+
+sf0.1 (~600k lineitem rows) finishes in seconds per query — mostly
+fixed overhead; regressions in shuffle structure hide below the noise
+floor.  This ×10 set (~6M lineitem / ~1M events / 50k docs) is where
+exchanges start to dominate, so round-over-round comparisons at this
+scale actually measure plan quality.
+
+Replication semantics (deterministic, seed-free):
+- fact tables (events, lineitem, orders, documents, embeddings) are
+  unioned ×N with key offsets — new users/orders/docs, same value
+  distributions, timestamps unchanged (so time-bounded queries see ×N
+  density, the realistic scale-up);
+- dimension tables are copied as-is (facts reference copy-0 keys).
+
+Usage:
+    python scripts/bench_scale.py            # generate if missing + bench
+    SPARK_GRAFT_SCALE=20 python scripts/bench_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE = int(os.environ.get("SPARK_GRAFT_SCALE", "10"))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DST = os.path.join(REPO, f".bench_sf1_x{SCALE}")
+
+# fact table -> columns to offset per copy (key-space shift)
+FACT_OFFSETS = {
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+BENCH_QUERIES = [
+    "agg1_histogram_hour_utc",
+    "agg1_histogram_noids",
+    "agg2_sliding_hour_counts",
+    "state1_sessions",
+    "agg6_session_summaries",
+    "join2_details_star",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "dedup_exact",
+    "dedup_minhash_lsh_fast",
+    "dedup_embedding_lsh",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "text_fingerprint",
+]
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.schemas import load_table
+
+    os.makedirs(DST, exist_ok=True)
+    for name in DIMS:
+        out = f"{DST}/{name}.parquet"
+        if not os.path.exists(out):
+            spark.read.parquet(f"{SRC}/{name}.parquet").write.mode(
+                "overwrite"
+            ).parquet(out)
+    for name, keys in FACT_OFFSETS.items():
+        out = f"{DST}/{name}.parquet"
+        if os.path.exists(out):
+            continue
+        base = load_table(spark, SRC, name)
+        maxes = base.agg(*[F.max(k).alias(k) for k in keys]).collect()[0]
+        copies = []
+        for i in range(SCALE):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * (maxes[k] + 1)))
+            copies.append(c)
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.repartition(32).write.mode("overwrite").parquet(out)
+        print(f"generated {name} x{SCALE}", file=sys.stderr)
+
+
+def main() -> int:
+    from dump1090_postgis_spark.plans import full_registry
+    from dump1090_postgis_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_scale")
+    generate(spark)
+
+    registry = full_registry()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = registry[name]
+        df = fn(spark, DST)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_scale_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1 * SCALE,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

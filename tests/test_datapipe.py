@@ -148,6 +148,41 @@ def test_token_counts_and_fingerprint(spark):
     assert row2.fp == row.fp
 
 
+def test_language_id_model_seam(spark):
+    """Injecting a 'real' model (batch pd.Series->pd.Series) swaps the
+    prediction without touching pipeline shape or schema."""
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "der hund")], "doc_id long, text string"
+    )
+    stub = tx.language_id_batch(df)
+    assert dict(stub.dtypes)["pred_lang"] == "string"
+
+    def fake_model(texts):
+        return texts.str.len().map(lambda n: "en" if n > 10 else "xx")
+
+    out = {r.doc_id: r.pred_lang
+           for r in tx.language_id_batch(df, model=fake_model).collect()}
+    assert out[1] == "en" and out[2] == "xx"
+
+
+def test_multimodal_decoder_seam(spark):
+    """Injecting a 'real' codec keeps the plumbing (schema, batching,
+    error rows) while replacing decode results."""
+    docs = spark.createDataFrame(
+        [(1, "BMxyz payload"), (2, "")], "doc_id long, text string"
+    )
+
+    def fake_codec(payload):
+        if not payload:
+            return {"format": None, "width": None, "height": None, "ok": False}
+        return {"format": "png", "width": 640, "height": 480, "ok": True}
+
+    out = {r.doc_id: r for r in
+           decode_metadata(attach_binary(docs), decoder=fake_codec).collect()}
+    assert out[1].format == "png" and out[1].width == 640
+    assert out[2].ok is False and out[2].format is None
+
+
 def test_quality_score_ranges(spark):
     df = spark.createDataFrame(
         [(1, "the cat is on the mat and it is a good day for all of us"),

@@ -90,3 +90,42 @@ def test_rerun_is_deterministic(spark, tables):
     a = sorted(map(tuple, tables["positions"].collect()))
     b = sorted(map(tuple, again["positions"].collect()))
     assert a == b
+
+
+def test_output_path_mode_releases_all_caches(spark, tmp_path):
+    """build_tables(output_path=...) writes all four tables and
+    unpersists every internal layout pin — nothing stays cached
+    (VERDICT r1: lingering DISK/MEMORY pins compete with shuffle
+    memory at scale)."""
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    raw = spark.createDataFrame([(l,) for l in CAPTURE], "value string")
+    out = build_tables(
+        raw, nte_runways(spark), nte_airport(spark),
+        output_path=str(tmp_path / "etl_out"),
+    )
+    assert out["flights"].count() == 2
+    assert out["positions"].count() == 4
+    # no NEW pins survive the call (the module fixture's legacy-lazy
+    # build may hold its own)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+    # read-back tables are plain parquet scans — re-collect is stable
+    assert sorted(r.id for r in out["positions"].collect()) == [1, 2, 3, 4]
+
+
+def test_caches_registry_mode(spark):
+    """Lazy mode with a caller-held registry: pins accumulate during
+    the build, release_caches() drops them all."""
+    from dump1090_postgis_spark.operators.ids import release_caches
+
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    raw = spark.createDataFrame([(l,) for l in CAPTURE], "value string")
+    caches = []
+    t = build_tables(raw, nte_runways(spark), nte_airport(spark), caches=caches)
+    t["flights"].count()
+    t["positions"].count()
+    t["landings"].count()
+    t["takeoffs"].count()
+    assert len(caches) >= 4  # sess + per-table id pins
+    release_caches(caches)
+    assert caches == []
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline

@@ -158,6 +158,18 @@ def test_histogram_zero_fill_and_bounds(spark):
     assert out[0].ids == [1, 2] and out[1].ids == []
 
 
+def test_histogram_ids_free_scale_variant(spark):
+    """include_ids=False: same zero-filled counts, no per-bin id array
+    (constant-size rows — the hot-bin-safe variant for 100× scale)."""
+    df = spark.createDataFrame(
+        [(1, ts(0)), (2, ts(30)), (3, ts(7200))],
+        "flight_id long, time timestamp",
+    )
+    out = events_histogram(df, ts(0), ts(7200), "hour", include_ids=False)
+    assert out.columns == ["interval", "events"]
+    assert [r.events for r in out.collect()] == [2, 0, 1]
+
+
 def test_histogram_invalid_bin(spark):
     df = spark.createDataFrame([(1, ts(0))], "flight_id long, time timestamp")
     with pytest.raises(ValueError):

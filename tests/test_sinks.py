@@ -16,8 +16,8 @@ from dump1090_postgis_spark.streaming.pipeline import (
 from dump1090_postgis_spark.streaming.sinks import parquet_event_sink
 
 LINES = [
-    "MSG,3,1,1,SNK001,1,2024/05/01,10:00:00.000,2024/05/01,10:00:00.000,,500,,,47.10,-1.60,,,0,,0,0",
-    "MSG,3,1,1,SNK001,1,2024/05/01,10:00:05.000,2024/05/01,10:00:05.000,,20,,,47.11,-1.61,,,0,,0,-1",
+    "MSG,3,1,1,5AC001,1,2024/05/01,10:00:00.000,2024/05/01,10:00:00.000,,500,,,47.10,-1.60,,,0,,0,0",
+    "MSG,3,1,1,5AC001,1,2024/05/01,10:00:05.000,2024/05/01,10:00:05.000,,20,,,47.11,-1.61,,,0,,0,-1",
 ]
 
 
@@ -44,7 +44,7 @@ def test_parquet_event_sink_end_to_end(spark, tmp_path):
         time.sleep(2)
     q.stop()
     assert len(rows) == 1
-    assert rows[0].kind == "landing" and rows[0].hexident == "SNK001"
+    assert rows[0].kind == "landing" and rows[0].hexident == "5AC001"
     assert rows[0].epoch >= 0  # epoch tag present for idempotence auditing
 
 

@@ -71,6 +71,79 @@ def test_stream_event_attributes(stream_events):
     assert landing.track is not None and 0 <= landing.track < 360
 
 
+def _run_windowed(spark, drop, ckpt, out):
+    """One availableNow run of the watermarked windowed counts over the
+    text-file drop dir into a parquet sink (file sinks support
+    checkpoint recovery, unlike memory); returns ALL rows emitted so
+    far."""
+    from dump1090_postgis_spark.streaming.pipeline import (
+        parsed_stream,
+        windowed_event_counts,
+    )
+
+    raw = spark.readStream.text(drop)
+    counts = windowed_event_counts(
+        parsed_stream(raw), window="1 minute", watermark="5 minutes"
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out).collect()
+
+
+def _wm_line(hhmmss, hexident="AAA111"):
+    return (
+        f"MSG,3,1,1,{hexident},1,2024/05/01,{hhmmss}.000,"
+        f"2024/05/01,{hhmmss}.000,,500,,,47.10000,-1.60000,,,0,,0,0"
+    )
+
+
+def test_watermark_drops_late_rows(spark):
+    """STATE-8: a row older than the watermark must not reopen an
+    already-finalized window; fresh windows keep emitting.  Run 1
+    advances the watermark past the 10:00 window and emits it; run 2
+    (same checkpoint → persisted watermark) feeds a late 10:00 row —
+    dropped — plus a fresh 11:00 row."""
+    drop = tempfile.mkdtemp(prefix="wmdrop")
+    ckpt = tempfile.mkdtemp(prefix="wmckpt")
+    out = tempfile.mkdtemp(prefix="wmout")
+    try:
+        # run 1: three rows in [10:00,10:01) + one at 10:30 that pushes
+        # the watermark to 10:25 → the 10:00 window finalizes
+        with open(os.path.join(drop, "a.txt"), "w") as f:
+            f.write("\n".join([
+                _wm_line("10:00:01"), _wm_line("10:00:02"),
+                _wm_line("10:00:59"), _wm_line("10:30:00"),
+            ]))
+        rows1 = _run_windowed(spark, drop, ckpt, out)
+        emitted1 = sorted((str(r.window_start), r.n_messages) for r in rows1)
+        assert emitted1 == [("2024-05-01 10:00:00", 3)]  # 10:30 still open
+
+        # run 2: a LATE row back in the finalized 10:00 window plus a
+        # fresh 11:00 row advancing the watermark past 10:30
+        with open(os.path.join(drop, "b.txt"), "w") as f:
+            f.write("\n".join([_wm_line("10:00:30"), _wm_line("11:00:00")]))
+        rows2 = _run_windowed(spark, drop, ckpt, out)
+        emitted2 = sorted((str(r.window_start), r.n_messages) for r in rows2)
+        # late 10:00 row dropped: window count unchanged, no re-emit,
+        # no new 10:00 row; the 10:30 window finalizes with only its
+        # original row
+        assert emitted2 == [
+            ("2024-05-01 10:00:00", 3),
+            ("2024-05-01 10:30:00", 1),
+        ]
+    finally:
+        shutil.rmtree(drop, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_stream_matches_batch_path(spark, stream_events):
     """The deterministic batch analog (sessionize→edges→debounce) must
     find the same events on the same input."""
