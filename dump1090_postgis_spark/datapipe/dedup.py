@@ -345,19 +345,6 @@ def hyperplane_weights(
     ]
 
 
-def _sign_bit(vec: Column, weights: list[float]) -> Column:
-    """'1'/'0' for sign(<vec, w>) — a left-fold dot product in array
-    order (bitwise-reproducible across engines: same doubles, same
-    IEEE addition sequence as DuckDB's list_dot_product)."""
-    lit_w = F.array(*[F.lit(w) for w in weights])
-    dot = F.aggregate(
-        F.zip_with(vec, lit_w, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-
 def embedding_near_dup_pairs(
     emb: DataFrame,
     vec: str = "embedding",
@@ -393,15 +380,32 @@ def embedding_near_dup_pairs(
     base = emb.select(
         F.col(id_col).alias("_id"), F.col(vec).alias("_v")
     ).repartition(n_parts, "_id")
+    # All bands*bits dot products in ONE transform over a literal plane
+    # matrix (single expression instance; 32 separate fold expressions
+    # cost ~2× in interpreted higher-order-function overhead).  Each
+    # dot is still the left fold zip_with product — bitwise identical
+    # to the oracle's list_dot_product.
+    planes_lit = F.array(*[
+        F.array(*[F.lit(w) for w in p]) for p in planes
+    ])
+    vd = F.transform(F.col("_v"), lambda x: x.cast("double"))
+    dots = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(vd, p, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        ),
+    )
+    bits = F.transform(
+        dots, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))
+    )
     key_cols = [
-        F.concat(
-            *[_sign_bit(F.col("_v"), planes[b * bits_per_band + i])
-              for i in range(bits_per_band)]
+        F.array_join(
+            F.slice(F.col("_bits"), b * bits_per_band + 1, bits_per_band), ""
         ).alias(f"_key{b}")
         for b in range(bands)
     ]
     # signatures once per row (projection), then unpivot to (id, band, key)
-    sigs = base.select("_id", *key_cols)
+    sigs = base.withColumn("_bits", bits).select("_id", *key_cols)
     banded = sigs.select(
         "_id",
         F.explode(

@@ -94,6 +94,32 @@ def _centroid_array(centroids: DataFrame):
     )
 
 
+# Above this many scalar literals (C × dim), compiling centroids into
+# the plan would bloat the expression tree — fall back to the
+# broadcast single-row array join.
+_LITERAL_COMPILE_LIMIT = 20_000
+
+
+def _centroid_literal(centroids: DataFrame):
+    """Plan-time compile of a broadcast-class centroid table into a
+    LITERAL array<struct<centroid_id, centroid>> column (the
+    operators/attribution.py pattern): the centroid-build pipeline runs
+    exactly once (driver collect of C rows), and every consumer plan
+    embeds the values — no recompute per branch, no exchange at all on
+    the corpus side.  Returns None when the table exceeds the literal
+    budget (caller then uses _centroid_array)."""
+    rows = centroids.select("centroid_id", "centroid").collect()
+    if not rows or len(rows) * len(rows[0].centroid) > _LITERAL_COMPILE_LIMIT:
+        return None
+    return F.array(*[
+        F.struct(
+            F.lit(int(r.centroid_id)).alias("centroid_id"),
+            F.array(*[F.lit(float(x)) for x in r.centroid]).alias("centroid"),
+        )
+        for r in sorted(rows, key=lambda r: r.centroid_id)
+    ])
+
+
 def _ranked_centroids(vec_col, cen_arr) -> "F.Column":
     """array<struct<neg_sim, centroid_id>> sorted ascending — i.e.
     similarity DESC with centroid_id ASC tiebreak — computed entirely
@@ -109,15 +135,22 @@ def _ranked_centroids(vec_col, cen_arr) -> "F.Column":
 
 
 def with_nearest_centroid(
-    df: DataFrame, centroids: DataFrame, vec: str, out: str = "list_id"
+    df: DataFrame, centroids: DataFrame, vec: str, out: str = "list_id",
+    _cen_lit=None,
 ) -> DataFrame:
     """Nearest-centroid assignment as a PURE PROJECTION: the centroid
-    set rides along as a broadcast single-row array, and the argmax is
-    an array_sort+element_at expression — zero shuffle of the corpus.
+    set is compiled into the plan as a literal array (or, past the
+    literal budget, rides along as a broadcast single-row array), and
+    the argmax is an array_sort+element_at expression — zero shuffle
+    and zero join on the corpus side in the literal case.
 
     (The round-1 plan crossJoined corpus×C and ran a
     row_number().over(partitionBy(id)) — a full shuffle+sort of the
     expanded corpus just to take an argmax.)"""
+    cen = _cen_lit if _cen_lit is not None else _centroid_literal(centroids)
+    if cen is not None:
+        best = F.element_at(_ranked_centroids(F.col(vec), cen), 1)
+        return df.withColumn(out, best["centroid_id"])
     best = F.element_at(_ranked_centroids(F.col(vec), F.col("_cen")), 1)
     return (
         df.crossJoin(_centroid_array(centroids))
@@ -128,11 +161,19 @@ def with_nearest_centroid(
 
 def with_probed_centroids(
     df: DataFrame, centroids: DataFrame, probes: int, vec: str,
-    out: str = "list_id",
+    out: str = "list_id", _cen_lit=None,
 ) -> DataFrame:
     """Top-`probes` nearest centroids per row: the same projection
     ranking, sliced and exploded (×probes only on the small query
     side)."""
+    cen = _cen_lit if _cen_lit is not None else _centroid_literal(centroids)
+    if cen is not None:
+        top = F.slice(_ranked_centroids(F.col(vec), cen), 1, probes)
+        return (
+            df.withColumn("_probe", F.explode(top))
+            .withColumn(out, F.col("_probe")["centroid_id"])
+            .drop("_probe")
+        )
     top = F.slice(_ranked_centroids(F.col(vec), F.col("_cen")), 1, probes)
     return (
         df.crossJoin(_centroid_array(centroids))
@@ -179,13 +220,20 @@ def ivf_topk(
     """IVF approximate top-k: corpus rows live in their nearest
     centroid's list; each query scans only its `probes` nearest lists.
 
-    Plan shape: assignment is a projection (see with_nearest_centroid),
-    the probe join broadcasts the exploded query side, so the only
-    exchange downstream of the parquet scan is the final per-query
-    ranking over the CANDIDATE set (|candidates| ≈ probes/C of the
-    corpus per query — not the corpus itself)."""
-    corpus_assigned = with_nearest_centroid(corpus, centroids, vec, "list_id")
-    query_probes = with_probed_centroids(queries, centroids, probes, vec, "list_id")
+    Plan shape: assignment is a projection (see with_nearest_centroid;
+    the centroid pipeline is collected ONCE and compiled into both
+    branches as literals — not recomputed per consumer), the probe
+    join broadcasts the exploded query side, so the only exchange
+    downstream of the parquet scan is the final per-query ranking over
+    the CANDIDATE set (|candidates| ≈ probes/C of the corpus per query
+    — not the corpus itself)."""
+    cen_lit = _centroid_literal(centroids)
+    corpus_assigned = with_nearest_centroid(
+        corpus, centroids, vec, "list_id", _cen_lit=cen_lit
+    )
+    query_probes = with_probed_centroids(
+        queries, centroids, probes, vec, "list_id", _cen_lit=cen_lit
+    )
 
     q = query_probes.select(
         F.col(id_col).alias("query_id"), F.col(vec).alias("_qv"), "list_id"

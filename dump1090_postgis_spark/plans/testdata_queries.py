@@ -924,6 +924,56 @@ FROM events GROUP BY user_id
 """
 
 
+def q_matview_paths_period(spark, sf):
+    """Materialized-view refresh body end-to-end
+    (create_materialized_views.sql:51-76 takeoff_paths_currentmonth):
+    FLT-6 local-date selection ⋈ per-key AGG-5 paths, AGG-7 DISTINCT —
+    via the real adsb.takeoff_paths_period API, which inverts the
+    reference's per-row flight_path() nested loop into one groupBy.
+    'purchase' events play takeoffs; (value, event_id) plays the
+    position track."""
+    from . import adsb
+
+    ev = load_table(spark, sf, "events")
+    takeoffs = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("flight_id"),
+        F.col("ts").alias("time"),
+        F.lit("UNK").alias("runway"),
+    )
+    positions = ev.select(
+        F.col("user_id").alias("flight_id"),
+        F.col("ts").alias("time"),
+        F.col("value").alias("longitude"),
+        F.col("event_id").cast("double").alias("latitude"),
+    )
+    out = adsb.takeoff_paths_period(
+        takeoffs, positions, "2024-01-10", "2024-01-20"
+    )
+    return out.select(
+        "flight_id", _fmt(F.col("time")).alias("ts_s"), "runway", "wkt"
+    )
+
+
+SQL_MATVIEW_PATHS = f"""
+WITH paths AS (
+  SELECT user_id AS flight_id,
+         'LINESTRING (' ||
+         string_agg(CAST(value AS VARCHAR) || ' ' ||
+                    CAST(CAST(event_id AS DOUBLE) AS VARCHAR),
+                    ', ' ORDER BY ts) || ')' AS wkt
+  FROM events GROUP BY user_id
+), sel AS (
+  SELECT user_id AS flight_id, ts FROM events
+  WHERE event_type = 'purchase'
+    AND CAST(timezone('Europe/Paris', timezone('UTC', ts)) AS DATE) >= DATE '2024-01-10'
+    AND CAST(timezone('Europe/Paris', timezone('UTC', ts)) AS DATE) <  DATE '2024-01-20'
+)
+SELECT DISTINCT s.flight_id, {_OFMT.format(c='s.ts')} AS ts_s,
+       'UNK' AS runway, p.wkt
+FROM sel s JOIN paths p USING (flight_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H shapes (bench headliners; AGG/JOIN coverage at lineitem scale)
 # ---------------------------------------------------------------------------
@@ -1202,6 +1252,7 @@ REGISTRY: dict = {
     "prj56_unit_compass": (q_prj56_unit_compass, SQL_PRJ56),
     "prj7_track_interpolation": (q_prj7_track_interpolation, SQL_PRJ7),
     "snk23_live_retention": (q_snk23_live_retention, SQL_SNK23),
+    "matview_paths_period": (q_matview_paths_period, SQL_MATVIEW_PATHS),
     "snk4_geojson_paths": (q_snk4_geojson_paths, SQL_SNK4),
     "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),
     "tpch_q3_shipping": (q_tpch_q3_shipping, SQL_TPCH_Q3),

@@ -1,0 +1,140 @@
+"""Physical-plan regression tests: the scale properties the engine
+claims (pushdown reaching the scan, broadcast dim joins, no
+single-partition windows, projection-only assignment, no corpus
+self-joins) are asserted on `.explain`-style plan text so a future
+refactor cannot silently reintroduce a scale-killer.
+
+These pin PLAN SHAPE, not timings — shapes are stable across data
+sizes, so sf0.001 suffices.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_raw_nanos_prefilter_reaches_parquet_scan(spark):
+    """flt5: the ts range predicate must be pushed to the parquet scan
+    on the RAW int64-nanos column (the converted timestamp blocks
+    pushdown)."""
+    from dump1090_postgis_spark.plans.testdata_queries import q_flt5_events_on_day
+
+    plan = plan_of(q_flt5_events_on_day(spark, SF))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "GreaterThanOrEqual(ts" in m.group(1)
+    assert "LessThan(ts" in m.group(1)
+
+
+def test_tpch_q6_predicates_pushed(spark):
+    from dump1090_postgis_spark.plans.testdata_queries import q_tpch_q6_forecast
+
+    plan = plan_of(q_tpch_q6_forecast(spark, SF))
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_histogram_axis_join_is_broadcast(spark):
+    """AGG-1/JOIN-3: the generated time axis must build-side broadcast
+    — a shuffled axis join would move the aggregate for nothing."""
+    from dump1090_postgis_spark.plans.testdata_queries import (
+        q_agg1_histogram_hour_utc,
+    )
+
+    plan = plan_of(q_agg1_histogram_hour_utc(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_histogram_noids_has_no_collect_list(spark):
+    from dump1090_postgis_spark.plans.testdata_queries import (
+        q_agg1_histogram_noids,
+    )
+
+    plan = plan_of(q_agg1_histogram_noids(spark, SF))
+    assert "collect_list" not in plan
+
+
+def test_sliding_counts_no_single_partition_window(spark):
+    """AGG-2 scale path: the day-partitioned window must NOT plan an
+    Exchange SinglePartition (the reference's global ORDER BY frame)."""
+    from dump1090_postgis_spark.operators.peak_hour import sliding_hour_counts
+    from dump1090_postgis_spark.schemas import load_table
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts")
+    plan = plan_of(sliding_hour_counts(ev, ts="ts"))
+    assert "SinglePartition" not in plan
+    # the literal reference plan DOES have one — kept only for testing
+    plan_ref = plan_of(sliding_hour_counts(ev, ts="ts", partitioned=False))
+    assert "SinglePartition" in plan_ref
+
+
+def test_runway_attribution_plans_no_join(spark):
+    """JOIN-5: the broadcast-class runway dim is compiled into a
+    coalesce expression — the events plan must contain no join at all."""
+    from dump1090_postgis_spark.operators.attribution import attribute_runway
+    from dump1090_postgis_spark.schemas import load_table
+    from dump1090_postgis_spark.sources.dims import nte_runways
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id",
+        (F.col("value") / 100).alias("longitude"),
+        (F.col("value") / 100).alias("latitude"),
+        F.lit(30.0).alias("interp_track"),
+    )
+    plan = plan_of(attribute_runway(ev, nte_runways(spark)))
+    assert "Join" not in plan
+
+
+def test_ivf_assignment_is_projection(spark):
+    """Corpus list assignment must be a pure projection: literal
+    centroids, zero Exchange, zero Join, zero Window in the assigned
+    corpus plan."""
+    from dump1090_postgis_spark.datapipe.similarity import (
+        build_centroids,
+        with_nearest_centroid,
+    )
+    from dump1090_postgis_spark.schemas import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    centroids = build_centroids(emb, num_centroids=4)
+    assigned = with_nearest_centroid(emb, centroids, "embedding")
+    plan = plan_of(assigned)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_embedding_lsh_no_bucket_self_join(spark):
+    """Banded LSH candidates come from a bucket groupBy — the plan must
+    not contain a nested-loop/cartesian self-join (the round-1 64-
+    bucket design), and row_number-free ranking."""
+    from dump1090_postgis_spark.datapipe.dedup import embedding_near_dup_pairs
+    from dump1090_postgis_spark.schemas import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(embedding_near_dup_pairs(emb, threshold=0.25))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dense_ids_no_global_window(spark):
+    """with_dense_ids must number via range partitions + offsets —
+    never a partition-less row_number window."""
+    from dump1090_postgis_spark.operators.ids import with_dense_ids
+    from dump1090_postgis_spark.schemas import load_table
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts")
+    out = with_dense_ids(ev, ["ts", "event_id"], "id")
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan

@@ -1,0 +1,159 @@
+"""Property-based tests (hypothesis): engine expressions vs independent
+Python references on randomized inputs — formatting, sessionization,
+geometry, and dense-id assignment hold their contracts on inputs no
+hand-written fixture would cover.
+
+Each example round-trips one small Spark job, so max_examples stays
+low; the per-example DataFrames carry many generated rows, which is
+where the case volume comes from.
+"""
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(max_examples=5, deadline=None)
+
+
+# --- _fmt vs decimal reference ---------------------------------------------
+
+
+def _py_fmt(x: float, decimals: int) -> str:
+    q = Decimal(repr(x)).quantize(Decimal(1).scaleb(-decimals), ROUND_HALF_UP)
+    s = f"{q:f}"
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.floats(min_value=-1000, max_value=1000,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=50,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_fmt_matches_decimal_half_up(spark, xs, decimals):
+    from dump1090_postgis_spark.functions.geo import _fmt
+
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [r.s for r in df.select(_fmt(F.col("x"), decimals).alias("s")).collect()]
+    want = [_py_fmt(x, decimals) for x in xs]
+    assert got == want
+
+
+# --- sessionize vs reference splitter --------------------------------------
+
+
+def _py_sessions(ts_list, gap_s):
+    out, sid, prev = [], -1, None
+    for t in sorted(ts_list):
+        if prev is None or t - prev > gap_s:
+            sid += 1
+        out.append((t, sid))
+        prev = t
+    return dict(out)
+
+
+@settings(**SETTINGS)
+@given(
+    st.dictionaries(
+        st.sampled_from(["A", "B", "C"]),
+        st.lists(st.integers(min_value=0, max_value=10_000),
+                 min_size=1, max_size=40, unique=True),
+        min_size=1, max_size=3,
+    ),
+    st.integers(min_value=1, max_value=600),
+)
+def test_sessionize_matches_gap_reference(spark, data, gap_s):
+    import datetime
+
+    from dump1090_postgis_spark.operators.sessionize import sessionize
+
+    epoch = datetime.datetime(2024, 1, 1)
+    rows = [
+        (k, epoch + datetime.timedelta(seconds=t))
+        for k, ts in data.items() for t in ts
+    ]
+    df = spark.createDataFrame(rows, "hexident string, gen_date_time timestamp")
+    got = {
+        (r.hexident, int((r.gen_date_time - epoch).total_seconds())): r.session_id
+        for r in sessionize(df, gap_s=gap_s).collect()
+    }
+    for k, ts in data.items():
+        ref = _py_sessions(ts, gap_s)
+        for t, sid in ref.items():
+            assert got[(k, t)] == sid, (k, t, gap_s)
+
+
+# --- point_in_polygon vs convex ground truth --------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.integers(min_value=3, max_value=8),          # vertices
+    st.floats(min_value=0.1, max_value=5.0),        # radius
+    st.floats(min_value=0.0, max_value=2 * math.pi),  # rotation
+    st.lists(
+        st.tuples(st.floats(min_value=-6, max_value=6),
+                  st.floats(min_value=-6, max_value=6)),
+        min_size=1, max_size=30,
+    ),
+)
+def test_point_in_convex_polygon(spark, n, radius, rot, points):
+    """Ray casting must agree with the half-plane test on convex
+    (regular, rotated) polygons for points not on the boundary."""
+    from dump1090_postgis_spark.functions.geo import point_in_polygon
+
+    verts = [
+        (radius * math.cos(rot + 2 * math.pi * i / n),
+         radius * math.sin(rot + 2 * math.pi * i / n))
+        for i in range(n)
+    ]
+
+    def inside_convex(px, py):
+        signs = []
+        for i in range(n):
+            ax, ay = verts[i]
+            bx, by = verts[(i + 1) % n]
+            signs.append((bx - ax) * (py - ay) - (by - ay) * (px - ax))
+        if any(abs(s) < 1e-9 for s in signs):
+            return None  # boundary-ish: implementation-defined, skip
+        return all(s > 0 for s in signs) or all(s < 0 for s in signs)
+
+    expected = [inside_convex(px, py) for px, py in points]
+    rows = [
+        (float(px), float(py)) for (px, py), e in zip(points, expected)
+        if e is not None
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "px double, py double")
+    poly = F.array(*[
+        F.struct(F.lit(x).alias("lon"), F.lit(y).alias("lat")) for x, y in verts
+    ])
+    got = [
+        r.inside
+        for r in df.select(
+            point_in_polygon(F.col("px"), F.col("py"), poly).alias("inside")
+        ).collect()
+    ]
+    want = [e for e in expected if e is not None]
+    assert got == want
+
+
+# --- dense ids: input-order invariance --------------------------------------
+
+
+@settings(**SETTINGS)
+@given(st.permutations(list(range(60))))
+def test_dense_ids_follow_total_order(spark, perm):
+    from dump1090_postgis_spark.operators.ids import with_dense_ids
+
+    df = spark.createDataFrame([(k,) for k in perm], "k long")
+    out = {r.k: r.id for r in with_dense_ids(df, ["k"], "id").collect()}
+    assert out == {k: k + 1 for k in range(60)}
