@@ -924,6 +924,38 @@ FROM events GROUP BY user_id
 """
 
 
+def q_skew_salted_rollup(spark, sf):
+    """Skew extension: event_type has a handful of hot values holding
+    all rows — the canonical straggler key.  Two-stage salted groupBy
+    (operators/skew.py) spreads each hot key over 16 reducers then
+    merges partials; results are EXACTLY the direct groupBy (the
+    oracle is the plain GROUP BY)."""
+    from ..operators.skew import salted_aggregate
+
+    ev = _ev(spark, sf)
+    out = salted_aggregate(
+        ev.withColumn("_cents", F.round(F.col("value") * 100).cast("bigint")),
+        key="event_type",
+        counts=[("n_events", None)],
+        sums=[("sum_cents", "_cents")],
+        mins=[("min_event_id", "event_id")],
+        maxs=[("max_event_id", "event_id")],
+    )
+    return out.select(
+        "event_type", "n_events", "sum_cents", "min_event_id", "max_event_id"
+    )
+
+
+SQL_SKEW_ROLLUP = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM events GROUP BY event_type
+"""
+
+
 def q_matview_paths_period(spark, sf):
     """Materialized-view refresh body end-to-end
     (create_materialized_views.sql:51-76 takeoff_paths_currentmonth):
@@ -1253,6 +1285,7 @@ REGISTRY: dict = {
     "prj7_track_interpolation": (q_prj7_track_interpolation, SQL_PRJ7),
     "snk23_live_retention": (q_snk23_live_retention, SQL_SNK23),
     "matview_paths_period": (q_matview_paths_period, SQL_MATVIEW_PATHS),
+    "skew_salted_rollup": (q_skew_salted_rollup, SQL_SKEW_ROLLUP),
     "snk4_geojson_paths": (q_snk4_geojson_paths, SQL_SNK4),
     "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),
     "tpch_q3_shipping": (q_tpch_q3_shipping, SQL_TPCH_Q3),

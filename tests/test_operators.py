@@ -223,3 +223,43 @@ def test_dedup_keep_max_id(spark):
     )
     out = {r.flight_id: r.id for r in dedup_keep_max_id(df).collect()}
     assert out == {10: 2, 20: 3}
+
+
+# --- salted skew aggregation ------------------------------------------------
+
+
+def test_salted_aggregate_matches_direct(spark):
+    """Two-stage salted groupBy must equal the direct groupBy exactly,
+    and spread each key over multiple stage-1 partials."""
+    import pyspark.sql.functions as F
+
+    from dump1090_postgis_spark.operators.skew import salted_aggregate
+
+    rows = [("hot", i, float(i % 7)) for i in range(500)]
+    rows += [("cold", i, float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, v long, x double")
+    out = {r.k: r for r in salted_aggregate(
+        df, "k",
+        counts=[("n", None)],
+        sums=[("sv", "v")],
+        mins=[("mn", "v")],
+        maxs=[("mx", "v")],
+        n_salts=8,
+    ).collect()}
+    assert out["hot"].n == 500 and out["cold"].n == 5
+    assert out["hot"].sv == sum(range(500))
+    assert out["hot"].mn == 0 and out["hot"].mx == 499
+    # deterministic salt column → verifiable spread across partials
+    spread = salted_aggregate(
+        df, "k", counts=[("n", None)], n_salts=8,
+        salt_source=F.col("v"),
+    )
+    assert {r.n for r in spread.collect()} == {500, 5}
+
+
+def test_salted_aggregate_requires_aggs(spark):
+    from dump1090_postgis_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError):
+        salted_aggregate(df, "k")
