@@ -1114,6 +1114,67 @@ GROUP BY r_name, n_name
 """
 
 
+def q_tpch_q4_semi_join(spark, sf):
+    """TPC-H Q4 shape (engine extension — the reference has no
+    semi/anti joins, SURVEY §2.3): orders having at least one returned
+    line item, counted by priority.  LEFT SEMI join = EXISTS — the
+    probe side streams, the build side keeps only the key set, and no
+    order row duplicates however many matching lineitems it has."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
+        .join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join_quiet_customers(spark, sf):
+    """LEFT ANTI join = NOT EXISTS (engine extension): customers with
+    no orders in 1995H1, counted per market segment.  The date filter
+    prunes the build side BEFORE the anti join (and reaches the
+    parquet scan), so the anti probe carries only the keys that can
+    disqualify."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    active = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    return (
+        cust.join(active, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_ANTI_QUIET = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1995-01-01'
+                    AND o_orderdate < TIMESTAMP '1995-07-01')
+GROUP BY c_mktsegment
+"""
+
+
 def q_tpch_q6_forecast(spark, sf):
     """TPC-H Q6 shape: highly selective scan-level predicates + one
     global aggregate — the predicate-pushdown showcase."""
@@ -1291,5 +1352,7 @@ REGISTRY: dict = {
     "tpch_q3_shipping": (q_tpch_q3_shipping, SQL_TPCH_Q3),
     "tpch_q5_region_revenue": (q_tpch_q5_region_revenue, SQL_TPCH_Q5),
     "tpch_q6_forecast": (q_tpch_q6_forecast, SQL_TPCH_Q6),
+    "tpch_q4_semi_join": (q_tpch_q4_semi_join, SQL_TPCH_Q4),
+    "anti_join_quiet_customers": (q_anti_join_quiet_customers, SQL_ANTI_QUIET),
     "etl_full_pipeline": (q_etl_full_pipeline, SQL_ETL),
 }
