@@ -443,6 +443,52 @@ FROM documents
 """
 
 
+def q_curate_documents(spark, sf):
+    """One-pass corpus curation (datapipe/curate.py): language ID +
+    quality + token counts + exact-dup canonical flag — all features
+    fused into one scan, one shuffle (the dup-group min)."""
+    from ..datapipe.curate import curate_documents
+
+    return curate_documents(load_table(spark, sf, "documents"))
+
+
+SQL_CURATE = f"""
+WITH prep AS (
+  SELECT doc_id, {_ONORM} AS norm, {_OWORDS} AS words,
+         length(text) AS n_chars, text
+  FROM documents
+), hits AS (
+  SELECT *,
+         {_hits_sql(tx.LANG_MARKERS['de'])} AS h_de,
+         {_hits_sql(tx.LANG_MARKERS['en'])} AS h_en,
+         {_hits_sql(tx.LANG_MARKERS['es'])} AS h_es,
+         {_hits_sql(tx.LANG_MARKERS['fr'])} AS h_fr,
+         len(words) AS n_words,
+         round(len(list_filter(words, w -> list_contains([{_STOP_LIST}], w)))::DOUBLE
+               / len(words), 4) AS stopword_ratio,
+         round(len(regexp_extract_all(norm, '[^\\w\\s]'))::DOUBLE
+               / greatest(n_chars, 1), 4) AS punct_ratio
+  FROM prep
+), feat AS (
+  SELECT doc_id,
+         CASE WHEN h_fr > 0 AND h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+              WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_de THEN 'es'
+              WHEN h_en > 0 AND h_en >= h_de THEN 'en'
+              WHEN h_de > 0 THEN 'de'
+              ELSE 'und' END AS pred_lang,
+         round((least(n_words::DOUBLE / 100.0, 1.0)
+                + least(stopword_ratio * 5.0, 1.0)
+                + greatest(1.0 - punct_ratio * 10.0, 0.0)) / 3.0, 4) AS quality,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS re_tokens,
+         md5(norm) AS h
+  FROM hits
+)
+SELECT doc_id, pred_lang, quality, re_tokens,
+       doc_id = min(doc_id) OVER (PARTITION BY h) AS is_canonical
+FROM feat
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -485,5 +531,6 @@ REGISTRY: dict = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_token_counts": (q_text_token_counts, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "curate_documents": (q_curate_documents, SQL_CURATE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL),
 }

@@ -1114,6 +1114,65 @@ GROUP BY r_name, n_name
 """
 
 
+def q_rollup_region_revenue(spark, sf):
+    """ROLLUP hierarchy totals (engine extension — the reference has no
+    grouping sets, SURVEY §2.4): revenue per (region, nation) plus
+    per-region and grand totals in ONE aggregation pass (Catalyst
+    expands the grouping sets map-side; one shuffle)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(rev) * 100).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT r_name, n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_percentile_value_by_type(spark, sf):
+    """Exact percentiles per group (engine extension): p50/p90/p99 of
+    `value` per event_type.  Spark's `percentile` and DuckDB's
+    `quantile_cont` share the (n-1)·p linear-interpolation definition;
+    4-dp rounding absorbs float noise."""
+    ev = _ev(spark, sf)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_PERCENTILE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_tpch_q4_semi_join(spark, sf):
     """TPC-H Q4 shape (engine extension — the reference has no
     semi/anti joins, SURVEY §2.3): orders having at least one returned
@@ -1354,5 +1413,7 @@ REGISTRY: dict = {
     "tpch_q6_forecast": (q_tpch_q6_forecast, SQL_TPCH_Q6),
     "tpch_q4_semi_join": (q_tpch_q4_semi_join, SQL_TPCH_Q4),
     "anti_join_quiet_customers": (q_anti_join_quiet_customers, SQL_ANTI_QUIET),
+    "rollup_region_revenue": (q_rollup_region_revenue, SQL_ROLLUP),
+    "percentile_value_by_type": (q_percentile_value_by_type, SQL_PERCENTILE),
     "etl_full_pipeline": (q_etl_full_pipeline, SQL_ETL),
 }

@@ -211,3 +211,22 @@ def test_frame_sample_plan(spark):
     meta = spark.createDataFrame([(1, 90)], "doc_id long, width int")
     out = frame_sample_plan(meta, every_n=30).collect()
     assert [r.frame_idx for r in out] == [0, 30, 60]
+
+
+def test_curate_documents_one_pass(spark, docs):
+    """Curation fuses langid/quality/tokens/dup-flag: doc 4 (exact dup
+    of 1) is non-canonical; all features present."""
+    from dump1090_postgis_spark.datapipe.curate import curate_documents
+
+    out = {r.doc_id: r for r in curate_documents(docs).collect()}
+    assert out[1].is_canonical and not out[4].is_canonical
+    assert out[2].is_canonical and out[3].is_canonical
+    assert out[1].pred_lang == "en"
+    assert 0.0 <= out[1].quality <= 1.0 and out[1].re_tokens > 0
+    # exactly one shuffle: the dup-group window over the content hash
+    # (formatted output repeats operators in the detail section — count
+    # the tree only)
+    plan = curate_documents(docs)._sc._jvm.PythonSQLUtils.explainString(
+        curate_documents(docs)._jdf.queryExecution(), "formatted"
+    )
+    assert plan.split("\n\n")[0].count("Exchange") == 1
