@@ -24,6 +24,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Default cap on LSH bucket size before pair enumeration.  A bucket of
+#: b ids expands to b·(b-1)/2 pairs in ONE task; a degenerate hot bucket
+#: (boilerplate/empty docs minhashing identically, zero vectors sharing
+#: a sign pattern) would turn that task quadratic at 100 TB.  Standard
+#: LSH practice is to drop (or secondary-hash) oversized buckets — they
+#: carry almost no near-dup signal per pair anyway.  1024 ids ⇒ ≤523k
+#: pairs per task, a bounded worst case.
+DEFAULT_MAX_BUCKET_SIZE = 1024
+
 
 def normalize_text(c: Column) -> Column:
     """Lowercase, collapse whitespace — canonical form for hashing."""
@@ -135,18 +144,36 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: equal band (rows-per-band minhash
     slice) in at least one of `bands` buckets.
 
     Returns (id_a, id_b) with id_a < id_b, deduplicated across bands.
     The explode+self-join shuffles on the band key — bucket sizes stay
-    O(dups), so this scales linearly in corpus size.
+    O(dups), so this scales linearly in corpus size; ``max_bucket_size``
+    drops degenerate hot buckets before pair expansion (see
+    :func:`_bucket_pairs`).
 
     ``hash_family='md5'`` selects the engine-portable signature family
     (same plan, string minima) so a DuckDB oracle can replay candidate
     generation exactly; xxhash64 stays the production/bench path.
     """
+    banded = minhash_banded(docs, text, id_col, num_hashes, bands, hash_family)
+    return _bucket_pairs(banded, max_bucket_size)
+
+
+def minhash_banded(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(_id, band, key) banded MinHash rows — the input both to
+    :func:`_bucket_pairs` (candidates) and :func:`oversize_buckets`
+    (hot-bucket audit)."""
     rows_per_band = num_hashes // bands
     # Parquet splits by bytes, not CPU cost: a small file of long texts
     # arrives as ONE partition, serializing the md5-heavy signature
@@ -166,7 +193,7 @@ def lsh_candidate_pairs(
         .select("_id", "_sig")
         .repartition(n_parts, "_id")  # materialization barrier
     )
-    banded = (
+    return (
         sig.select(
             "_id",
             "_sig",
@@ -183,22 +210,44 @@ def lsh_candidate_pairs(
             ).alias("key"),
         )
     )
-    return _bucket_pairs(banded)
 
 
-def _bucket_pairs(banded: DataFrame) -> DataFrame:
+def oversize_buckets(
+    banded: DataFrame, max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE
+) -> DataFrame:
+    """Audit side-output: (band, key, bucket_size) for buckets the cap
+    drops.  Count-only groupBy (map-side partial aggregation, no
+    collect_list), so auditing a pathological corpus is itself cheap."""
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def _bucket_pairs(
+    banded: DataFrame, max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE
+) -> DataFrame:
     """(id, band, key) rows → distinct candidate (id_a < id_b) pairs.
 
     Bucket-groupBy instead of a self-join: one shuffle on the band
     key, upstream projections computed ONCE (a self-join would evaluate
     the whole hashing pipeline per side), pairs enumerated inside each
     bucket (bucket size ≈ duplicate-cluster size, so the O(b²)
-    expansion is bounded by real duplication, not corpus size)."""
+    expansion is bounded by real duplication, not corpus size).
+
+    ``max_bucket_size`` guards the degenerate case where that
+    assumption fails (hot buckets): buckets above the cap are dropped
+    BEFORE pair expansion — use :func:`oversize_buckets` on the same
+    banded input to count/log what was dropped.  ``None`` disables the
+    cap (oracle-exactness mode for tiny corpora)."""
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     n = F.size(F.col("ids"))
     pair_lists = F.flatten(
         F.transform(
@@ -354,6 +403,7 @@ def embedding_near_dup_pairs(
     bands: int = 4,
     bits_per_band: int = 8,
     seed: int = 7,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Embedding near-dup: banded random-hyperplane LSH candidates +
     exact cosine verification.
@@ -372,13 +422,32 @@ def embedding_near_dup_pairs(
     - exact cosine then verifies candidates via two hash joins on the
       same id partitioning (exchange reused).
 
-    `dim` must cover the embedding length (weights are plan-time
-    literals so the signature stays a pure projection).
+    `dim` must EQUAL the embedding length exactly (weights are
+    plan-time literals so the signature stays a pure projection).  A
+    mismatch would null-pad the zip_with dots, rendering every bit '0'
+    and collapsing all rows into one bucket per band — O(n²) candidates
+    with no error — so the plan fails fast (raise_error) on the first
+    row whose vector length differs from `dim`.
     """
     planes = hyperplane_weights(dim, bands, bits_per_band, seed)
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
     base = emb.select(
-        F.col(id_col).alias("_id"), F.col(vec).alias("_v")
+        F.col(id_col).alias("_id"),
+        F.when(F.size(F.col(vec)) == dim, F.col(vec))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "embedding_near_dup_pairs: vector length "
+                    ),
+                    F.size(F.col(vec)).cast("string"),
+                    F.lit(f" != dim={dim} (id="),
+                    F.col(id_col).cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
+        .alias("_v"),
     ).repartition(n_parts, "_id")
     # All bands*bits dot products in ONE transform over a literal plane
     # matrix (single expression instance; 32 separate fold expressions
@@ -415,7 +484,7 @@ def embedding_near_dup_pairs(
             ])
         ).alias("bk"),
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    pairs = _bucket_pairs(banded)
+    pairs = _bucket_pairs(banded, max_bucket_size)
     va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     cos = embedding_cosine(F.col("_va"), F.col("_vb"))

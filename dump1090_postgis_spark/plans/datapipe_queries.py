@@ -162,10 +162,15 @@ WITH prep AS (
   SELECT doc_id, b.band AS band,
          array_to_string(sig[b.band*4+1 : b.band*4+4], '|') AS key
   FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+), bsz AS (
+  -- mirror of the engine's max_bucket_size hot-bucket guard
+  SELECT band, key, count(*) AS n FROM banded GROUP BY band, key
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.key = b.key AND b.doc_id > a.doc_id
+  JOIN bsz s ON s.band = a.band AND s.key = a.key
+    AND s.n <= {dd.DEFAULT_MAX_BUCKET_SIZE}
 )
 SELECT c.id_a, c.id_b,
        round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
@@ -318,10 +323,15 @@ WITH emb2 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), banded AS (
 {banded}
+), bsz AS (
+  -- mirror of the engine's max_bucket_size hot-bucket guard
+  SELECT band, key, count(*) AS n FROM banded GROUP BY band, key
 ), cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.key = b.key AND b.vec_id > a.vec_id
+  JOIN bsz s ON s.band = a.band AND s.key = a.key
+    AND s.n <= {dd.DEFAULT_MAX_BUCKET_SIZE}
 )
 SELECT c.id_a, c.id_b,
        round({_SQL_COS.format(a='a.v', b='b.v')}, 4) + 0.0 AS cosine

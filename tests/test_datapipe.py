@@ -97,6 +97,67 @@ def test_embedding_lsh_skewed_bucket(spark):
     assert expected <= pairs  # all 300 true-dup pairs found exactly once
 
 
+def test_lsh_bucket_cap_drops_hot_bucket(spark):
+    """A degenerate hot bucket above max_bucket_size is dropped before
+    pair expansion (no O(b²) blow-up task), and oversize_buckets
+    reports it; normal-sized clusters are unaffected."""
+    import random
+
+    rnd = random.Random(5)
+    base = [rnd.gauss(0, 1) for _ in range(8)]
+    hot = [(i, base) for i in range(30)]          # 30 identical → hot bucket
+    small_base = [rnd.gauss(0, 1) for _ in range(8)]
+    small = [(200, small_base), (201, small_base)]  # legit dup pair
+    df = spark.createDataFrame(
+        hot + small, "vec_id long, embedding array<double>"
+    )
+    out = dd.embedding_near_dup_pairs(
+        df, threshold=0.999, dim=8, max_bucket_size=10
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (200, 201) in pairs               # small cluster survives
+    assert not any(a < 30 and b < 30 for a, b in pairs)  # hot bucket dropped
+
+    # capped pairs are a subset of the uncapped result (cap only drops)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_near_dup_pairs(
+            df, threshold=0.999, dim=8, max_bucket_size=None
+        ).collect()
+    }
+    assert pairs <= uncapped and (0, 1) in uncapped
+
+
+def test_minhash_bucket_cap_and_audit(spark):
+    """MinHash path honors the cap too; the audit side-output counts
+    exactly the dropped buckets."""
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(20)] + [(100, FAR), (101, FAR)],
+        "doc_id long, text string",
+    )
+    capped = dd.lsh_candidate_pairs(docs, max_bucket_size=5)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 20 and b < 20 for a, b in pairs)
+    # audit: the 20-copy cluster shows up as one oversized bucket per band
+    audit = dd.oversize_buckets(dd.minhash_banded(docs), max_bucket_size=5).collect()
+    assert len(audit) == 4 and all(r.bucket_size == 20 for r in audit)
+
+
+def test_embedding_lsh_dim_mismatch_raises(spark):
+    """dim != actual vector length must fail fast, not silently
+    collapse every row into one bucket (null-padded zip_with)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)) as ei:
+        dd.embedding_near_dup_pairs(df, dim=16).collect()
+    assert "!= dim=16" in str(ei.value)
+
+
 def test_minhash_md5_family_matches_xxhash(spark, docs):
     """The oracle-portable md5 family finds the same crafted near-dups
     as the production xxhash64 family (same plan, different leaf
