@@ -4,15 +4,26 @@ pipeline actually runs — language ID + quality scoring + token counts
 
 Plan shape: every per-document feature is a projection fused into the
 SAME scan (language markers, quality ratios, token regexes, content
-hash are all Column expressions — whole-stage codegen'd together);
-the ONLY shuffle is the dup-group min over the content hash.  At
-100 TB that is the minimum possible movement for "annotate every doc
-and pick one canonical copy per duplicate cluster".
+hash are all Column expressions — whole-stage codegen'd together).
+The canonical-copy flag comes from groupBy(content hash) → min(id)
+joined back on the hash, NOT a window min:
+
+- the groupBy does map-side PARTIAL aggregation, so only
+  (hash, min id) pairs cross the wire for the agg side — a window
+  min would shuffle and sort every full annotated row of a duplicate
+  cluster into one task (a corpus that is 30% one boilerplate doc
+  sends 30% of the data to one partition);
+- the agg-side scan is pruned to (hash, id) by Catalyst, so the
+  expensive language/quality expressions run once, on the annotated
+  side only;
+- AQE can split a skewed join partition (OptimizeSkewedJoin) and can
+  broadcast the min-id side when the distinct-hash count is small —
+  neither escape hatch exists for WindowExec.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
@@ -24,20 +35,23 @@ def curate_documents(
 ) -> DataFrame:
     """Annotate every document and flag the canonical copy per exact-dup
     cluster (min id wins — the dedup.exact_dedup rule, inlined so the
-    corpus is scanned once)."""
+    annotated corpus is scanned once and only (hash, min id) pairs move
+    for the duplicate-cluster reduction)."""
     t = F.col(text)
+    content_hash = F.md5(normalize_text(t))
     annotated = docs.select(
         id_col,
         language_id(t).alias("pred_lang"),
         quality_score(t).alias("quality"),
         token_count_regex(t).cast("bigint").alias("re_tokens"),
-        F.md5(normalize_text(t)).alias("_h"),
+        content_hash.alias("_h"),
     )
-    w = Window.partitionBy("_h")
-    return (
-        annotated.withColumn("_keep", F.min(id_col).over(w))
-        .select(
-            id_col, "pred_lang", "quality", "re_tokens",
-            (F.col(id_col) == F.col("_keep")).alias("is_canonical"),
-        )
+    mins = (
+        docs.select(content_hash.alias("_h"), F.col(id_col).alias("_keep"))
+        .groupBy("_h")
+        .agg(F.min("_keep").alias("_keep"))
+    )
+    return annotated.join(mins, "_h").select(
+        id_col, "pred_lang", "quality", "re_tokens",
+        (F.col(id_col) == F.col("_keep")).alias("is_canonical"),
     )

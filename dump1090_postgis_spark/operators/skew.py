@@ -37,9 +37,9 @@ def salted_counts(
 ) -> DataFrame:
     """COUNT(*) per key via two salted stages.
 
-    ``salt_source`` defaults to a per-row spark_partition_id-derived
-    value (cheap, already uniform across input splits); pass any
-    integer column expression for deterministic tests.
+    ``salt_source`` defaults to a deterministic xxhash64 over every
+    input column (see salted_aggregate); pass any integer column
+    expression to override.
     """
     return salted_aggregate(
         df, key, counts=[("rows", None)], n_salts=n_salts,
@@ -64,11 +64,23 @@ def salted_aggregate(
     to the direct single-stage groupBy (asserted in tests) — only the
     shuffle distribution changes: stage 1 spreads each hot key over
     ``n_salts`` reducers, stage 2 merges ``n_salts`` partials per key.
+
+    The default salt is xxhash64 over EVERY input column — fully
+    deterministic per row content.  A nondeterministic salt
+    (monotonically_increasing_id / rand / spark_partition_id) is a
+    correctness hazard used as a grouping key: when a task retries
+    after a partial shuffle fetch, recomputed map tasks re-salt rows
+    differently and partials are double-counted or dropped.  Identical
+    rows sharing a salt is fine — the salt only needs to spread a hot
+    KEY's rows, and hot keys with varied payloads spread by payload
+    hash; a pathological corpus of byte-identical rows still lands on
+    one salt, in which case pass an explicit ``salt_source`` (e.g. a
+    unique id column's hash).
     """
     keys = [key] if isinstance(key, str) else list(key)
     salt = (
         salt_source if salt_source is not None
-        else F.spark_partition_id() + F.monotonically_increasing_id()
+        else F.xxhash64(*[F.col(c) for c in df.columns])
     )
     salted = df.withColumn("_salt", F.pmod(salt, F.lit(n_salts)))
 

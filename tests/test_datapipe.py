@@ -284,10 +284,11 @@ def test_curate_documents_one_pass(spark, docs):
     assert out[2].is_canonical and out[3].is_canonical
     assert out[1].pred_lang == "en"
     assert 0.0 <= out[1].quality <= 1.0 and out[1].re_tokens > 0
-    # exactly one shuffle: the dup-group window over the content hash
-    # (formatted output repeats operators in the detail section — count
-    # the tree only)
+    # canonical flag must come from a map-side-partial groupBy min
+    # joined back on the hash, never a window min (window aggregation
+    # shuffles full rows of a duplicate cluster into ONE task)
     plan = curate_documents(docs)._sc._jvm.PythonSQLUtils.explainString(
         curate_documents(docs)._jdf.queryExecution(), "formatted"
     )
-    assert plan.split("\n\n")[0].count("Exchange") == 1
+    assert "partial_min" in plan
+    assert "Window" not in plan.split("\n\n")[0]
