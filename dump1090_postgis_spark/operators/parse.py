@@ -62,8 +62,15 @@ def gate_malformed(lines: DataFrame, col: str = "value") -> DataFrame:
 # (adsb_parser.py:247-254).  NULL-on-ValueError (:256-261) only ever
 # fires for values that PASS the class but fail the cast (empty string,
 # bare '-', out-of-calendar dates).
+#
+# (?U) = Java UNICODE_CHARACTER_CLASS: \w/\d/\s match Unicode word
+# chars/digits exactly like the reference's Python `re` defaults (Java
+# is otherwise ASCII-only — a callsign with non-ASCII letters would
+# diverge).  Residual divergence, documented: a Unicode DIGIT passing
+# the gate in a numeric field casts to NULL here, while Python's
+# int()/float() accept it — unreachable for real ADS-B feeds.
 REFERENCE_LINE_REGEX = (
-    r"^MSG,"
+    r"(?U)^MSG,"
     r"\d,"            # transmission_type
     r"\d+,"           # session
     r"\d+,"           # aircraft

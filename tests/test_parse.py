@@ -69,6 +69,18 @@ def test_validity_gate_rejects_whole_lines(spark):
     assert len(rows) == 2
 
 
+def test_unicode_callsign_passes_gate(spark):
+    """Python `re`'s \\w is Unicode-aware; (?U) gives the Java regex
+    the same semantics — a non-ASCII callsign must survive the gate
+    exactly as it does in the reference."""
+    line = ("MSG,1,1,1,3C6589,1,2024/05/01,06:00:02.000,2024/05/01,"
+            "06:00:02.100,ÖSTÛ12 ,,,,,,,,0,,0,0")
+    rows = parse.parse_sbs1_lines(
+        spark.createDataFrame([(line,)], "value string")
+    ).collect()
+    assert len(rows) == 1 and rows[0].callsign == "ÖSTÛ12"
+
+
 def test_lenient_mode_failed_cast_is_null(spark):
     """validate=False (engine extension): keep the row, NULL the
     failing field — the reference's ValueError→None path
