@@ -15,12 +15,16 @@ Semantics matched:
 
 Scale design: the reference's global ``ORDER BY time`` range frame is
 a single-partition window — a hard bottleneck at scale.  The default
-implementation here partitions by day with a bounded overlap copy: an
-event within `window_s` of midnight is replicated into the NEXT day's
-partition as a non-emitting contributor, so every trailing window is
-complete while the computation parallelizes across days.  Results are
-identical to the global window (asserted in tests); the row blow-up
-is bounded by window/86400 (~4% for the 1 h window).
+implementation partitions by a configurable time bucket
+(``granularity_s``, default 1 hour) with bounded overlap copies: an
+event whose trailing windows cross a bucket boundary is replicated
+into the following bucket(s) as a non-emitting contributor, so every
+trailing window is complete while the computation parallelizes across
+buckets.  Results are identical to the global window (asserted in
+tests); the copy factor is ceil(window/granularity) on the trailing
+fraction of each bucket.  Hour granularity keeps the largest window
+task at ~2 hours of events even when a single DAY would be one task's
+worth of skew at 100×.
 """
 
 from __future__ import annotations
@@ -47,18 +51,33 @@ def union_events(landings: DataFrame, takeoffs: DataFrame) -> DataFrame:
     return landings.unionByName(takeoffs).distinct()
 
 
+#: Default partition granularity for the overlap-copy sliding window.
+#: Hour-level: at 100× data a calendar DAY of events in one window task
+#: is the straggler; hour buckets give 24× finer parallelism.  The cost
+#: is the overlap copy — ceil(window_s/granularity_s) extra copies of
+#: the trailing fraction of each bucket (for window == granularity ==
+#: 1 h that is one copy of every row, a bounded 2× — rows, not sort
+#: state, and each bucket's sort is tiny).
+DEFAULT_GRANULARITY_S = 3600
+
+
 def sliding_hour_counts(
     events: DataFrame,
     ts: str = "time",
     window_s: int = PEAK_WINDOW_S,
     partitioned: bool = True,
+    granularity_s: int = DEFAULT_GRANULARITY_S,
 ) -> DataFrame:
     """AGG-2: events in the trailing `window_s`, evaluated at each
     event.  Adds `events` (count) and `peak_hour` (window midpoint,
     AGG-4).
 
-    ``partitioned=True`` (default) computes per-day with an overlap
-    copy — identical results, parallel across days.
+    ``partitioned=True`` (default) computes per time-bucket of
+    ``granularity_s`` seconds with overlap copies — identical results
+    to the global window (parity-asserted in tests), parallel across
+    buckets.  An event whose trailing windows cross up to
+    ``k = ceil(window_s/granularity_s)`` bucket boundaries is
+    replicated into those later buckets as a non-emitting contributor.
     ``partitioned=False`` is the literal reference plan (one global
     window), kept for comparison/testing.
     """
@@ -75,25 +94,34 @@ def sliding_hour_counts(
             "peak_hour", midpoint
         )
 
-    day_of = F.to_date(F.col(ts))
+    gran_us = granularity_s * 1_000_000
+    win_us = window_s * 1_000_000
+    k = -(-window_s // granularity_s)  # ceil: spill copies per event
+    eus = epoch_micros(F.col(ts))
     cols = events.columns
-    base = events.withColumn("_day", day_of).withColumn("_own", F.lit(True))
-    # events within window_s of midnight also feed the NEXT day's
-    # trailing windows (contributors only, never emitted)
+    base = (
+        events.withColumn("_bucket", F.floor(eus / gran_us))
+        .withColumn("_own", F.lit(True))
+    )
+    # an event at e contributes to trailing windows of targets t in
+    # [e, e+window]; targets in bucket+j exist iff e mod gran >= j*gran
+    # - window — replicate e forward as a contributor only, never
+    # emitted
     spill = (
-        events.filter(
-            F.col(ts)
-            >= F.date_add(day_of, 1).cast("timestamp_ntz")
-            - F.expr(f"INTERVAL {window_s} SECONDS")
+        events.withColumn("_j", F.explode(F.sequence(F.lit(1), F.lit(k))))
+        .filter(
+            eus % F.lit(gran_us)
+            >= F.col("_j").cast("long") * F.lit(gran_us) - F.lit(win_us)
         )
-        .withColumn("_day", F.date_add(day_of, 1))
+        .withColumn("_bucket", F.floor(eus / gran_us) + F.col("_j"))
         .withColumn("_own", F.lit(False))
+        .drop("_j")
     )
     both = base.unionByName(spill)
     w = (
-        Window.partitionBy("_day")
+        Window.partitionBy("_bucket")
         .orderBy(epoch_micros(F.col(ts)))
-        .rangeBetween(-window_s * 1_000_000, Window.currentRow)
+        .rangeBetween(-win_us, Window.currentRow)
     )
     return (
         both.withColumn("events", F.count(F.lit(1)).over(w))
@@ -109,11 +137,12 @@ def peak_hour(
     tz: str = "Europe/Paris",
     window_s: int = PEAK_WINDOW_S,
     partitioned: bool = True,
+    granularity_s: int = DEFAULT_GRANULARITY_S,
 ) -> DataFrame:
     """AGG-2+3+4: the trailing-hour window with the most events, top-1
     per local-time day. Returns (day, peak_hour, events) ordered by
     events DESC, peak_hour DESC."""
-    counted = sliding_hour_counts(events, ts, window_s, partitioned)
+    counted = sliding_hour_counts(events, ts, window_s, partitioned, granularity_s)
     day = F.to_date(to_local(F.col("peak_hour"), tz)).alias("day")
     ranked = counted.select(day, "peak_hour", "events").withColumn(
         "rnmax",

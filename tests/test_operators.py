@@ -206,6 +206,36 @@ def test_peak_hour_scalable_matches_exact(spark):
     assert exact == scalable
 
 
+@pytest.mark.parametrize(
+    "gran_s",
+    [
+        3600,    # hour buckets, window == granularity (k=1, 2× copies)
+        86400,   # day buckets (the r1 design; k=1, ~4% copies)
+        1800,    # window SPANS two bucket boundaries (k=2)
+        5000,    # granularity not a divisor of the window or the day
+    ],
+)
+def test_sliding_counts_granularity_parity(spark, gran_s):
+    """The overlap-copy trick must equal the global window at EVERY
+    partition granularity, including window > granularity (multi-step
+    spill) and non-divisor bucket sizes."""
+    import random
+
+    from dump1090_postgis_spark.operators.peak_hour import sliding_hour_counts
+
+    rnd = random.Random(13)
+    # cluster events tightly around bucket boundaries to stress spill
+    secs = [rnd.uniform(0, 2 * 86400) for _ in range(150)]
+    secs += [gran_s * j + d for j in (1, 2, 3) for d in (-1.5, -0.5, 0.0, 0.5)]
+    ev = _events_at(spark, sorted(secs))
+    key = lambda r: (str(r.time), r.events)  # noqa: E731
+    exact = sorted(map(key, sliding_hour_counts(
+        ev, partitioned=False).collect()))
+    part = sorted(map(key, sliding_hour_counts(
+        ev, granularity_s=gran_s).collect()))
+    assert exact == part
+
+
 # --- set ops / dedup -------------------------------------------------------
 
 
