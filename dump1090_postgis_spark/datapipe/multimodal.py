@@ -28,15 +28,30 @@ DECODE_SCHEMA = (
 )
 
 
-def _decode_image_bytes(payload: bytes) -> dict[str, Any]:
-    """STUB: real deployments decode with PIL/turbojpeg here.
+#: BMP header layout (public format spec): 'BM' magic, then biWidth /
+#: biHeight as little-endian SIGNED int32 at byte offsets 18 / 22 —
+#: so any payload of ≥26 bytes carries a parseable header.  The
+#: reference's silhouettes are .bmp BYTEA (read_csv_data.sql:24-38).
+BMP_MIN_HEADER = 26
 
-    This deterministic fake derives pseudo-metadata from the payload
-    header so the pipeline shape (schema, nullability, error rows) is
-    exercised end-to-end without the codec dependency.
+
+def _decode_image_bytes(payload: bytes) -> dict[str, Any]:
+    """BMP: REAL header parse (no codec library needed — width/height
+    are little-endian int32 at fixed offsets).  Other formats: a
+    deterministic fake derives pseudo-metadata from the byte length so
+    the pipeline shape (schema, nullability, error rows) is exercised
+    end-to-end without codec dependencies (swap via the ``decoder``
+    seam of decode_metadata for PIL/turbojpeg/libav).
+
+    A 'BM' prefix without a complete 26-byte header falls through to
+    the raw path — format detection requires a parseable header.
     """
     if not payload:
         return {"format": None, "width": None, "height": None, "ok": False}
+    if payload[:2] == b"BM" and len(payload) >= BMP_MIN_HEADER:
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        return {"format": "bmp", "width": w, "height": h, "ok": True}
     # deterministic fake keyed on BYTE LENGTH (not content bytes) so an
     # SQL oracle can restate it with octet_length alone — content-byte
     # arithmetic would diverge from character-based SQL on multibyte
@@ -44,8 +59,29 @@ def _decode_image_bytes(payload: bytes) -> dict[str, Any]:
     n = len(payload)
     w = 1 + n % 64
     h = 1 + (n // 64) % 64
-    fmt = "bmp" if payload[:2] == b"BM" else "raw"
-    return {"format": fmt, "width": int(w), "height": int(h), "ok": True}
+    return {"format": "raw", "width": int(w), "height": int(h), "ok": True}
+
+
+def _le32_hex(c) -> "F.Column":
+    """Non-negative int32 column → 8 hex chars, little-endian byte
+    order (lpad is safe: hex(int32 ≥ 0) is at most 8 chars)."""
+    h8 = F.lpad(F.hex(c.cast("bigint")), 8, "0")
+    return F.concat(
+        F.substring(h8, 7, 2), F.substring(h8, 5, 2),
+        F.substring(h8, 3, 2), F.substring(h8, 1, 2),
+    )
+
+
+def synth_bmp_payload(width, height) -> "F.Column":
+    """Minimal 26-byte BMP header as binary: 'BM' magic, 16 zero bytes,
+    then LE-int32 width/height at offsets 18/22 — a pure-projection
+    payload generator for exercising the real header parser without
+    image files (widths/heights must be non-negative int32)."""
+    return F.unhex(
+        F.concat(
+            F.lit("424D"), F.lit("00" * 16), _le32_hex(width), _le32_hex(height)
+        )
+    )
 
 
 def attach_binary(docs: DataFrame, text: str = "text") -> DataFrame:
@@ -83,11 +119,14 @@ def decode_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id",
         def _stub(payload):
             if not payload:
                 return {"format": None, "width": None, "height": None, "ok": False}
+            if payload[:2] == b"BM" and len(payload) >= 26:
+                w = int.from_bytes(payload[18:22], "little", signed=True)
+                h = int.from_bytes(payload[22:26], "little", signed=True)
+                return {"format": "bmp", "width": w, "height": h, "ok": True}
             n = len(payload)
             w = 1 + n % 64
             h = 1 + (n // 64) % 64
-            fmt = "bmp" if payload[:2] == b"BM" else "raw"
-            return {"format": fmt, "width": int(w), "height": int(h), "ok": True}
+            return {"format": "raw", "width": int(w), "height": int(h), "ok": True}
 
         decode = decoder if decoder is not None else _stub
 

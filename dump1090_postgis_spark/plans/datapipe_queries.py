@@ -506,23 +506,80 @@ FROM feat
 
 def q_multimodal_decode(spark, sf):
     """Binary-column decode plumbing: payload → mapInPandas (Arrow
-    batches) → typed metadata.  The deterministic stub decode makes
-    this oracle-checkable end-to-end — the oracle restates the fake
-    codec arithmetic in SQL over the same bytes."""
+    batches) → typed metadata.  BMP payloads get a REAL header parse
+    (LE int32 at offsets 18/22); others the deterministic length-based
+    stub — both restated exactly by the oracle (BMP branch via hex
+    byte arithmetic over the same bytes)."""
     docs = attach_binary(load_table(spark, sf, "documents"))
     return decode_metadata(docs)
 
 
-SQL_MULTIMODAL = """
+# byte k (1-indexed) of the UTF-8 payload, as 0..255 — hex() the blob
+# once, then each byte is a 2-char slice cast through a 0x literal
+_B = "(('0x' || substr(h, {k}*2-1, 2))::BIGINT)"
+
+
+def _le32_sql(off: int) -> str:
+    """Little-endian SIGNED int32 at 1-indexed byte offset `off`."""
+    uns = " + ".join(
+        f"{_B.format(k=off + i)} * {256 ** i}" for i in range(4)
+    )
+    return (
+        f"(CASE WHEN ({uns}) >= 2147483648 THEN ({uns}) - 4294967296 "
+        f"ELSE ({uns}) END)"
+    )
+
+
+SQL_MULTIMODAL = f"""
+WITH hexed AS (
+  SELECT doc_id, text, octet_length(encode(text))::BIGINT AS n,
+         hex(encode(text)) AS h
+  FROM documents
+)
 SELECT doc_id,
-       octet_length(encode(text))::BIGINT AS byte_len,
-       CASE WHEN length(text) = 0 THEN NULL
-            WHEN substring(text, 1, 2) = 'BM' THEN 'bmp' ELSE 'raw' END AS format,
-       CASE WHEN length(text) = 0 THEN NULL
-            ELSE (1 + (octet_length(encode(text)) % 64))::INT END AS width,
-       CASE WHEN length(text) = 0 THEN NULL
-            ELSE (1 + ((octet_length(encode(text)) // 64) % 64))::INT END AS height,
-       length(text) > 0 AS ok
+       n AS byte_len,
+       CASE WHEN n = 0 THEN NULL
+            WHEN substr(h, 1, 4) = '424D' AND n >= 26 THEN 'bmp'
+            ELSE 'raw' END AS format,
+       CASE WHEN n = 0 THEN NULL
+            WHEN substr(h, 1, 4) = '424D' AND n >= 26
+              THEN {_le32_sql(19)}::INT
+            ELSE (1 + (n % 64))::INT END AS width,
+       CASE WHEN n = 0 THEN NULL
+            WHEN substr(h, 1, 4) = '424D' AND n >= 26
+              THEN {_le32_sql(23)}::INT
+            ELSE (1 + ((n // 64) % 64))::INT END AS height,
+       n > 0 AS ok
+FROM hexed
+"""
+
+
+def q_multimodal_bmp_header(spark, sf):
+    """Real-BMP round trip: synthesize a 26-byte BMP header per
+    document (magic + LE width/height derived from doc_id), then
+    decode it through the SAME mapInPandas path — the driver-checked
+    proof that the header parser recovers the planted ints exactly.
+    The oracle states the expected metadata independently from
+    doc_id."""
+    from ..datapipe.multimodal import synth_bmp_payload
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        synth_bmp_payload(
+            (1 + F.col("doc_id") % 2000).cast("int"),
+            (1 + F.col("doc_id") % 1500).cast("int"),
+        ).alias("payload"),
+    )
+    return decode_metadata(docs)
+
+
+SQL_MULTIMODAL_BMP = """
+SELECT doc_id,
+       26::BIGINT AS byte_len,
+       'bmp' AS format,
+       (1 + doc_id % 2000)::INT AS width,
+       (1 + doc_id % 1500)::INT AS height,
+       TRUE AS ok
 FROM documents
 """
 
@@ -543,4 +600,5 @@ REGISTRY: dict = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "curate_documents": (q_curate_documents, SQL_CURATE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL),
+    "multimodal_bmp_header": (q_multimodal_bmp_header, SQL_MULTIMODAL_BMP),
 }

@@ -256,16 +256,40 @@ def test_quality_score_ranges(spark):
 
 
 def test_multimodal_decode_plumbing(spark):
-    docs = spark.createDataFrame(
-        [(1, "BMxyz payload"), (2, "plain bytes"), (3, "")],
-        "doc_id long, text string",
-    )
-    out = {r.doc_id: r for r in decode_metadata(attach_binary(docs)).collect()}
+    bmp = (b"BM" + b"\x00" * 16
+           + (640).to_bytes(4, "little")
+           + (-480).to_bytes(4, "little", signed=True))  # top-down BMP
+    rows = [(1, bmp), (2, b"plain bytes"), (3, b""), (4, b"BMshort")]
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_metadata(docs).collect()}
+    # real header parse: planted LE int32s recovered, sign preserved
     assert out[1].format == "bmp" and out[1].ok
+    assert out[1].width == 640 and out[1].height == -480
     assert out[2].format == "raw"
     assert out[3].ok is False and out[3].width is None
-    assert out[2].byte_len == len("plain bytes")
-    assert out[2].width == 1 + len("plain bytes") % 64
+    assert out[2].byte_len == len(b"plain bytes")
+    assert out[2].width == 1 + len(b"plain bytes") % 64
+    # 'BM' prefix without a full 26-byte header is NOT a bmp
+    assert out[4].format == "raw"
+
+
+def test_synth_bmp_payload_roundtrip(spark):
+    """The Spark-side header synthesizer and the Python-side parser
+    agree — including multi-byte widths (LE byte order is real)."""
+    from dump1090_postgis_spark.datapipe.multimodal import synth_bmp_payload
+
+    docs = spark.createDataFrame(
+        [(1, 640, 480), (2, 70000, 3), (3, 0, 0)],
+        "doc_id long, w int, h int",
+    )
+    payloads = docs.select(
+        "doc_id", synth_bmp_payload(F.col("w"), F.col("h")).alias("payload")
+    )
+    out = {r.doc_id: r for r in decode_metadata(payloads).collect()}
+    assert out[1].width == 640 and out[1].height == 480
+    assert out[2].width == 70000  # > 1 byte LE
+    assert out[3].width == 0 and out[3].format == "bmp"
+    assert all(r.byte_len == 26 for r in out.values())
 
 
 def test_frame_sample_plan(spark):
