@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import (
     AIRLINE_SCHEMA,
@@ -45,6 +46,231 @@ def load_aircraft_images(spark: SparkSession, directory: str) -> DataFrame:
             F.col("content").alias("image"),
             F.col("length").alias("image_bytes"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic runway/airport CSV loaders (the reference ships
+# database/data/runways.csv in the public ourairports.com export format
+# but hand-codes only the NTE polygons in airports.py:129-164 — a user
+# pointing the engine at another airport needs these).  A runway row
+# gives both END coordinates + width; the strip polygon the
+# meta.runways DDL wants (create_meta_schema.sql:173-181) is derived
+# declaratively: offset each end perpendicular to the centerline by
+# width/2, yielding the same thin quadrilateral shape as the NTE seed.
+# ---------------------------------------------------------------------------
+
+OURAIRPORTS_RUNWAYS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("airport_ref", T.IntegerType(), True),
+        T.StructField("airport_ident", T.StringType(), True),
+        T.StructField("length_ft", T.DoubleType(), True),
+        T.StructField("width_ft", T.DoubleType(), True),
+        T.StructField("surface", T.StringType(), True),
+        T.StructField("lighted", T.IntegerType(), True),
+        T.StructField("closed", T.IntegerType(), True),
+        T.StructField("le_ident", T.StringType(), True),
+        T.StructField("le_latitude_deg", T.DoubleType(), True),
+        T.StructField("le_longitude_deg", T.DoubleType(), True),
+        T.StructField("le_elevation_ft", T.DoubleType(), True),
+        T.StructField("le_heading_degT", T.DoubleType(), True),
+        T.StructField("le_displaced_threshold_ft", T.DoubleType(), True),
+        T.StructField("he_ident", T.StringType(), True),
+        T.StructField("he_latitude_deg", T.DoubleType(), True),
+        T.StructField("he_longitude_deg", T.DoubleType(), True),
+        T.StructField("he_elevation_ft", T.DoubleType(), True),
+        T.StructField("he_heading_degT", T.DoubleType(), True),
+        T.StructField("he_displaced_threshold_ft", T.DoubleType(), True),
+    ]
+)
+
+# ourairports.com airports.csv export (not shipped by the reference but
+# the matching public format for meta.airports)
+OURAIRPORTS_AIRPORTS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("ident", T.StringType(), False),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("latitude_deg", T.DoubleType(), True),
+        T.StructField("longitude_deg", T.DoubleType(), True),
+        T.StructField("elevation_ft", T.DoubleType(), True),
+        T.StructField("continent", T.StringType(), True),
+        T.StructField("iso_country", T.StringType(), True),
+        T.StructField("iso_region", T.StringType(), True),
+        T.StructField("municipality", T.StringType(), True),
+        T.StructField("scheduled_service", T.StringType(), True),
+        T.StructField("gps_code", T.StringType(), True),
+        T.StructField("iata_code", T.StringType(), True),
+        T.StructField("local_code", T.StringType(), True),
+        T.StructField("home_link", T.StringType(), True),
+        T.StructField("wikipedia_link", T.StringType(), True),
+        T.StructField("keywords", T.StringType(), True),
+    ]
+)
+
+FT_TO_M = 0.3048
+_M_PER_DEG_LAT = 110574.0
+_M_PER_DEG_LON_EQ = 111320.0
+
+
+def load_runways_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Raw ourairports-format runways.csv (the file the reference ships
+    at database/data/runways.csv), declared schema, RFC-4180 quoting."""
+    return spark.read.csv(
+        path, header=True, quote='"', escape='"',
+        schema=OURAIRPORTS_RUNWAYS_SCHEMA,
+    )
+
+
+def load_airports_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Raw ourairports-format airports.csv, declared schema."""
+    return spark.read.csv(
+        path, header=True, quote='"', escape='"',
+        schema=OURAIRPORTS_AIRPORTS_SCHEMA,
+    )
+
+
+def _ident_heading(ident_col: F.Column) -> F.Column:
+    """Runway designator → approach heading: leading digits × 10
+    ('03' → 30, '21L' → 210); NULL for helipads ('H1')."""
+    digits = F.regexp_extract(ident_col, r"^(\d+)", 1)
+    return F.when(digits != "", digits.cast("int") * 10)
+
+
+def runways_from_csv(
+    raw: DataFrame, airport_icao: str | None = None
+) -> DataFrame:
+    """ourairports runway rows → RUNWAY_SCHEMA rows (two designators
+    per physical strip, sharing one derived quadrilateral polygon —
+    the NTE seed's shape, computed instead of hand-drawn).
+
+    Pure DataFrame expressions throughout (a broadcast-dim-sized
+    frame, but there is no reason to collect); rows lacking end
+    coordinates or width (helipads, many small airfields) are dropped.
+    Direction prefers the surveyed true heading (le/he_heading_degT)
+    and falls back to designator × 10.
+    """
+    r = raw
+    if airport_icao is not None:
+        r = r.filter(F.col("airport_ident") == airport_icao)
+    r = r.filter(
+        (F.coalesce(F.col("closed"), F.lit(0)) == 0)
+        & F.col("le_latitude_deg").isNotNull()
+        & F.col("le_longitude_deg").isNotNull()
+        & F.col("he_latitude_deg").isNotNull()
+        & F.col("he_longitude_deg").isNotNull()
+        & F.col("width_ft").isNotNull()
+    )
+    lat1, lon1 = F.col("le_latitude_deg"), F.col("le_longitude_deg")
+    lat2, lon2 = F.col("he_latitude_deg"), F.col("he_longitude_deg")
+    m_lat = F.lit(_M_PER_DEG_LAT)
+    m_lon = F.lit(_M_PER_DEG_LON_EQ) * F.cos(F.radians((lat1 + lat2) / 2))
+    dx = (lon2 - lon1) * m_lon  # centerline vector, meters
+    dy = (lat2 - lat1) * m_lat
+    norm = F.sqrt(dx * dx + dy * dy)
+    halfw = F.col("width_ft") * FT_TO_M / 2
+    olon = -dy / norm * halfw / m_lon  # perpendicular half-width offset, deg
+    olat = dx / norm * halfw / m_lat
+
+    def pt(lon, lat):
+        return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+    # cast pins the struct field names — Spark 4 drops inner aliases
+    # on computed struct children (col1/col2 otherwise)
+    polygon = F.array(
+        pt(lon1 + olon, lat1 + olat),
+        pt(lon2 + olon, lat2 + olat),
+        pt(lon2 - olon, lat2 - olat),
+        pt(lon1 - olon, lat1 - olat),
+    ).cast("array<struct<lon:double,lat:double>>")
+    ends = F.array(
+        F.struct(
+            F.col("le_ident").alias("name"),
+            F.coalesce(
+                F.round("le_heading_degT").cast("int"),
+                _ident_heading(F.col("le_ident")),
+            ).alias("direction"),
+            (F.col("id") * 2).alias("end_id"),
+        ),
+        F.struct(
+            F.col("he_ident").alias("name"),
+            F.coalesce(
+                F.round("he_heading_degT").cast("int"),
+                _ident_heading(F.col("he_ident")),
+            ).alias("direction"),
+            (F.col("id") * 2 + 1).alias("end_id"),
+        ),
+    )
+    return (
+        r.select(
+            F.col("airport_ident").alias("airport_icao"),
+            (F.col("length_ft") * FT_TO_M).alias("length"),
+            polygon.alias("polygon"),
+            F.explode(ends).alias("end"),
+        )
+        .select(
+            F.col("end.end_id").alias("id"),
+            "airport_icao",
+            F.col("end.name").alias("name"),
+            F.col("end.direction").alias("direction"),
+            "length",
+            "polygon",
+        )
+        .filter(F.col("name").isNotNull() & F.col("direction").isNotNull())
+    )
+
+
+def airports_from_csv(
+    raw: DataFrame, runways: DataFrame | None = None, bbox_margin_deg: float = 0.002
+) -> DataFrame:
+    """ourairports airport rows → AIRPORT_SCHEMA rows.  The bbox —
+    meta.airports wants a boundary polygon but the CSV only has a
+    point — is the envelope of the airport's runway polygons (when
+    ``runways`` from runways_from_csv is given) padded by
+    ``bbox_margin_deg``, else NULL.  locale/timezone are not in the
+    public export → NULL (fill from a locale dim if needed)."""
+    base = raw.select(
+        F.col("ident").alias("icao"),
+        F.col("iata_code").alias("iata"),
+        "name",
+        F.col("municipality").alias("city"),
+        F.col("longitude_deg").alias("lon"),
+        F.col("latitude_deg").alias("lat"),
+        (F.col("elevation_ft") * FT_TO_M).alias("altitude"),
+        F.col("iso_country").alias("country"),
+        F.lit(None).cast("string").alias("locale"),
+        F.lit(None).cast("string").alias("timezone"),
+    )
+    if runways is None:
+        return base.withColumn(
+            "bbox", F.lit(None).cast(AIRPORT_SCHEMA["bbox"].dataType)
+        )
+    corners = runways.select(
+        F.col("airport_icao").alias("icao"), F.explode("polygon").alias("p")
+    )
+    m = F.lit(bbox_margin_deg)
+    env = corners.groupBy("icao").agg(
+        (F.min("p.lon") - m).alias("_lo_lon"),
+        (F.max("p.lon") + m).alias("_hi_lon"),
+        (F.min("p.lat") - m).alias("_lo_lat"),
+        (F.max("p.lat") + m).alias("_hi_lat"),
+    )
+
+    def pt(lon, lat):
+        return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+    bbox = F.array(
+        pt(F.col("_lo_lon"), F.col("_lo_lat")),
+        pt(F.col("_hi_lon"), F.col("_lo_lat")),
+        pt(F.col("_hi_lon"), F.col("_hi_lat")),
+        pt(F.col("_lo_lon"), F.col("_hi_lat")),
+    ).cast("array<struct<lon:double,lat:double>>")
+    return (
+        base.join(F.broadcast(env), "icao", "left")
+        .withColumn("bbox", bbox)
+        .drop("_lo_lon", "_hi_lon", "_lo_lat", "_hi_lat")
     )
 
 

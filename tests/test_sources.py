@@ -21,11 +21,18 @@ from dump1090_postgis_spark.operators.retention import (
     retention_delete_plan,
 )
 from dump1090_postgis_spark.sources.dims import (
-    load_airlines_csv,
+    airports_from_csv,
     load_aircraft_images,
+    load_airlines_csv,
+    load_airports_csv,
+    load_runways_csv,
+    runways_from_csv,
 )
 
 D = datetime.datetime
+HERE = os.path.dirname(__file__)
+RUNWAYS_CSV = os.path.join(HERE, "fixtures", "runways_sample.csv")
+AIRPORTS_CSV = os.path.join(HERE, "fixtures", "airports_sample.csv")
 
 
 def test_load_airlines_csv(spark, tmp_path):
@@ -56,6 +63,82 @@ def test_load_aircraft_images(spark, tmp_path):
     assert models == ["A320", "B738"]
     assert all(r.image_bytes == 26 for r in out)
     assert all(bytes(r.image[:2]) == b"BM" for r in out)
+
+
+def test_runways_from_csv_lfrs(spark):
+    """The generic loader reproduces the hand-coded NTE seed from the
+    reference's own runways.csv row: two designators sharing a derived
+    strip polygon whose corners land on the surveyed quadrilateral
+    (airports.py:129-153) within ~100 m."""
+    out = runways_from_csv(load_runways_csv(spark, RUNWAYS_CSV), "LFRS").collect()
+    assert sorted(r.name for r in out) == ["03", "21"]
+    by_name = {r.name: r for r in out}
+    assert by_name["03"].direction == 28 and by_name["21"].direction == 208
+    assert by_name["03"].length == pytest.approx(9514 * 0.3048, abs=0.1)
+    # derived polygon ≈ the reference's hand-drawn strip corners
+    # the hand polygon stops ~190 m short of the surveyed 21-end
+    # threshold, so corner agreement is ~1e-5 deg at the 03 end and
+    # ~2e-3 at the 21 end
+    hand = [(-1.619792, 47.141703), (-1.603446, 47.163170),
+            (-1.602936, 47.162999), (-1.619280, 47.141525)]
+    derived = [(p.lon, p.lat) for p in by_name["03"].polygon]
+    for (hx, hy) in hand:
+        assert any(abs(hx - dx) < 2.5e-3 and abs(hy - dy) < 2.5e-3
+                   for (dx, dy) in derived)
+    # both designators share one strip
+    assert derived == [(p.lon, p.lat) for p in by_name["21"].polygon]
+
+
+def test_runways_from_csv_filters(spark):
+    """Helipads without coordinates, coordinate-less strips, and
+    closed runways are dropped; missing surveyed headings fall back to
+    designator × 10."""
+    out = runways_from_csv(load_runways_csv(spark, RUNWAYS_CSV)).collect()
+    idents = {r.airport_icao for r in out}
+    assert "00A" not in idents and "00AL" not in idents  # no coords
+    assert "XCLS" not in idents                          # closed=1
+    noh = {r.name: r.direction for r in out if r.airport_icao == "XNOH"}
+    assert noh == {"06": 60, "24": 240}
+
+
+def test_runways_from_csv_drives_attribution(spark):
+    """attribute_runway consumes the generic loader's output directly:
+    an event inside the LFRS strip heading ~28° attributes to '03'."""
+    from dump1090_postgis_spark.operators.attribution import attribute_runway
+
+    runways = runways_from_csv(load_runways_csv(spark, RUNWAYS_CSV), "LFRS")
+    # dead-center of the strip (midpoint of the two thresholds) — the
+    # derived polygon is only a half-width (~22.6 m) wide
+    ev = spark.createDataFrame(
+        [(1, -1.61072, 47.1532, 29.0),   # mid-strip, runway-03 heading
+         (2, -1.61072, 47.1532, 209.0),  # same point, reciprocal heading
+         (3, -1.6500, 47.2000, 29.0)],   # off-airport
+        "event_id long, longitude double, latitude double, interp_track double",
+    )
+    out = {r.event_id: r.runway for r in attribute_runway(ev, runways).collect()}
+    assert out[1] == "03" and out[2] == "21" and out[3] == "UNK"
+
+
+def test_airports_from_csv_bbox_envelope(spark):
+    runways = runways_from_csv(load_runways_csv(spark, RUNWAYS_CSV))
+    out = airports_from_csv(
+        load_airports_csv(spark, AIRPORTS_CSV), runways
+    ).collect()
+    by_icao = {r.icao: r for r in out}
+    lfrs = by_icao["LFRS"]
+    assert lfrs.iata == "NTE" and lfrs.city == "Nantes"
+    assert lfrs.altitude == pytest.approx(90 * 0.3048, abs=0.01)
+    # envelope covers every runway corner with margin
+    lons = [p.lon for p in lfrs.bbox]
+    lats = [p.lat for p in lfrs.bbox]
+    for r in runways.filter("airport_icao = 'LFRS'").collect():
+        for p in r.polygon:
+            assert min(lons) < p.lon < max(lons)
+            assert min(lats) < p.lat < max(lats)
+    # no runways in fixture → NULL bbox, row still present
+    assert by_icao["XNOH"].bbox is not None  # XNOH has runways
+    no_rw = airports_from_csv(load_airports_csv(spark, AIRPORTS_CSV)).collect()
+    assert all(r.bbox is None for r in no_rw)
 
 
 def test_positions_live_and_retention_complement(spark):
