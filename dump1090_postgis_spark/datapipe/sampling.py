@@ -1,0 +1,81 @@
+"""Dataset splitting and capped sampling for training-data curation.
+
+- :func:`hash_split` — deterministic train/val/test assignment from a
+  content-independent hash of the id.  Pure projection (scan-speed at
+  100 TB, no shuffle, reproducible across runs/engines): the bucket is
+  the first 8 hex chars of md5(id) read as an integer, so any engine
+  with md5 derives the identical split (the DuckDB oracle does).
+- :func:`top_n_per_key` — "at most N docs per domain/language, best
+  first": the per-group cap every curation recipe needs.  The naive
+  row_number window shuffles EVERY row of a group into one task — a
+  corpus that is 80% English puts 80% of the data in one partition.
+  The two-phase form bounds that: a salted pre-pass takes the local
+  top-N within each (key, salt) slice (salt from a hash of the id —
+  deterministic, retry-safe), cutting each group to at most
+  N·n_salts rows before the global window runs.  Correct because the
+  global top-N is a subset of every covering slice-partition's local
+  top-N union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): first 32 hash bits of
+    md5(id as string), mod buckets.  Engine-portable (md5 + hex
+    arithmetic only)."""
+    h32 = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+    return F.pmod(h32.cast("bigint"), F.lit(buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    out: str = "split",
+) -> DataFrame:
+    """Assign train/val/test by hash bucket (train_pct/val_pct/rest).
+    Adding data never reshuffles existing assignments — the property
+    that makes hash splits the curation default over random splits."""
+    b = hash_bucket(F.col(id_col))
+    return df.withColumn(
+        out,
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def top_n_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[Column],
+    n: int,
+    id_col: str = "doc_id",
+    n_salts: int | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Keep the top-``n`` rows per key group under ``order_cols``
+    (which must be a deterministic total order — break ties on the id).
+
+    ``n_salts`` enables the skew-bounded two-phase plan: local top-n
+    per (keys, salt) first (salt = hash(id) mod n_salts, deterministic
+    on retry), global top-n over the survivors after.  At most
+    n·n_salts rows per group cross the second shuffle regardless of
+    group skew."""
+    if n_salts:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+        pre = Window.partitionBy(*keys, salt).orderBy(*order_cols)
+        df = (
+            df.withColumn("_pre_rank", F.row_number().over(pre))
+            .filter(F.col("_pre_rank") <= n)
+            .drop("_pre_rank")
+        )
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n
+    )

@@ -21,6 +21,8 @@ from ..datapipe.multimodal import attach_binary, decode_metadata
 _ONORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _OWORDS = f"str_split({_ONORM}, ' ')"
 
+_STOP_LIST = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+
 
 # ---------------------------------------------------------------------------
 # Dedup family
@@ -195,6 +197,150 @@ def q_dedup_minhash_lsh_fast(spark, sf):
     docs = load_table(spark, sf, "documents")
     cands = dd.lsh_candidate_pairs(docs, hash_family="xxhash64")
     return dd.jaccard_pairs(docs, cands, threshold=0.5)
+
+
+def q_dedup_clusters(spark, sf):
+    """Pairs → clusters: the MinHash-LSH near-dup pairs (md5 family,
+    jaccard > 0.5 — same pipeline as dedup_minhash_lsh) resolved into
+    connected components over the whole corpus, one canonical doc per
+    cluster (datapipe/cluster.py).  The oracle restates the closure as
+    a recursive CTE."""
+    from ..datapipe.cluster import duplicate_clusters
+
+    docs = load_table(spark, sf, "documents")
+    cands = dd.lsh_candidate_pairs(docs, hash_family="md5")
+    pairs = dd.jaccard_pairs(docs, cands, threshold=0.5)
+    return duplicate_clusters(docs, pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({SQL_DEDUP_MINHASH})
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+), comp AS (
+  SELECT node, min(lbl) AS component FROM reach GROUP BY node
+), sizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       coalesce(s.cluster_size, 1)::BIGINT AS cluster_size,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+LEFT JOIN sizes s ON s.component = c.component
+"""
+
+
+def q_decontaminate_ngram(spark, sf):
+    """Benchmark decontamination: docs sharing any 8-word-gram with the
+    'benchmark' subset (doc_id % 7 = 0 — a stand-in for an eval set;
+    real pipelines use 13-grams).  Benchmark n-grams broadcast; the
+    corpus side is one scan, no shuffle before the per-doc hit count."""
+    from ..datapipe.contamination import ngram_contamination
+
+    docs = load_table(spark, sf, "documents")
+    return ngram_contamination(docs, F.col("doc_id") % 7 == 0, k=8)
+
+
+SQL_DECONTAMINATE = f"""
+WITH prep AS (
+  SELECT doc_id, {_OWORDS} AS words FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(words) >= 8 THEN
+      list_distinct(list_transform(range(1, len(words) - 6),
+        i -> array_to_string(words[i:i+7], ' ')))
+    ELSE list_distinct([array_to_string(words, ' ')]) END AS sh
+  FROM prep
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 = 0
+)
+SELECT s.doc_id, count(*)::BIGINT AS n_hits
+FROM sh s, unnest(s.sh) AS t(g)
+WHERE g IN (SELECT g FROM bench) AND s.doc_id % 7 <> 0
+GROUP BY s.doc_id
+"""
+
+
+def q_split_assign(spark, sf):
+    """Deterministic train/val/test split (90/5/5) from md5 hash
+    buckets of the doc id — projection-only, engine-portable, stable
+    under corpus growth."""
+    from ..datapipe.sampling import hash_bucket, hash_split
+
+    docs = load_table(spark, sf, "documents")
+    return hash_split(docs, "doc_id").select(
+        "doc_id", hash_bucket(F.col("doc_id")).alias("bucket"), "split"
+    )
+
+
+SQL_SPLIT_ASSIGN = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_sample_top_per_lang(spark, sf):
+    """Per-language capped sampling: keep the 25 highest-quality docs
+    per lang (quality desc, doc_id tiebreak).  Runs the two-phase
+    salted plan (n_salts=4) — the salt changes the PLAN, not the
+    result, so the plain-window oracle still matches byte-for-byte."""
+    from ..datapipe.sampling import top_n_per_key
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "lang", tx.quality_score(F.col("text")).alias("quality")
+    )
+    return top_n_per_key(
+        scored,
+        keys=["lang"],
+        order_cols=[F.col("quality").desc(), F.col("doc_id")],
+        n=25,
+        n_salts=4,
+    )
+
+
+SQL_SAMPLE_TOP = f"""
+WITH prep AS (
+  SELECT doc_id, lang, {_ONORM} AS norm, {_OWORDS} AS words,
+         length(text) AS n_chars
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+         len(words) AS n_words,
+         round(len(list_filter(words, w -> list_contains([{_STOP_LIST}], w)))::DOUBLE
+               / len(words), 4) AS stopword_ratio,
+         round(len(regexp_extract_all(norm, '[^\\w\\s]'))::DOUBLE
+               / greatest(n_chars, 1), 4) AS punct_ratio
+  FROM prep
+), scored AS (
+  SELECT doc_id, lang,
+         round((least(n_words::DOUBLE / 100.0, 1.0)
+                + least(stopword_ratio * 5.0, 1.0)
+                + greatest(1.0 - punct_ratio * 10.0, 0.0)) / 3.0, 4) AS quality
+  FROM feats
+)
+SELECT doc_id, lang, quality, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY quality DESC, doc_id)::INT AS rank
+  FROM scored
+) WHERE rank <= 25
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -395,8 +541,6 @@ def q_text_quality(spark, sf):
     )
 
 
-_STOP_LIST = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
-
 SQL_TEXT_QUALITY = f"""
 WITH prep AS (
   SELECT doc_id, {_ONORM} AS norm, {_OWORDS} AS words, length(text) AS n_chars
@@ -592,6 +736,10 @@ REGISTRY: dict = {
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMB_LSH),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_minhash_lsh_fast": (q_dedup_minhash_lsh_fast, None),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "decontaminate_ngram": (q_decontaminate_ngram, SQL_DECONTAMINATE),
+    "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
+    "sample_top_per_lang": (q_sample_top_per_lang, SQL_SAMPLE_TOP),
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_TOPK),
     "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_IVF),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),

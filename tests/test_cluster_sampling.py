@@ -1,0 +1,116 @@
+"""Cluster resolution, decontamination, and sampling: connected
+components reach the min label across chains; duplicate_clusters keeps
+one canonical per cluster; contamination flags only true n-gram
+overlap; hash splits are deterministic and growth-stable; the salted
+two-phase top-N equals the plain window."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dump1090_postgis_spark.datapipe.cluster import (
+    connected_components,
+    duplicate_clusters,
+)
+from dump1090_postgis_spark.datapipe.contamination import (
+    decontaminate,
+    ngram_contamination,
+)
+from dump1090_postgis_spark.datapipe.sampling import (
+    hash_bucket,
+    hash_split,
+    top_n_per_key,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_connected_components_chain_and_island(spark):
+    # path 1-2-3-4 (diameter 3, needs >1 propagation round) + island 7-8
+    comp = dict(
+        connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4), (7, 8)]))
+        .collect()
+    )
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_merges_via_shared_node(spark):
+    # two stars sharing node 5 collapse into one component
+    comp = dict(
+        connected_components(
+            _edges(spark, [(10, 5), (11, 5), (5, 20), (20, 21)])
+        ).collect()
+    )
+    assert set(comp.values()) == {5}
+
+
+def test_duplicate_clusters_singletons_and_canonicals(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "doc_id long"
+    )
+    out = {
+        r.doc_id: (r.component, r.cluster_size, r.is_canonical)
+        for r in duplicate_clusters(docs, _edges(spark, [(1, 2), (2, 3), (5, 6)]))
+        .collect()
+    }
+    assert out[1] == (1, 3, True)
+    assert out[2] == (1, 3, False) and out[3] == (1, 3, False)
+    assert out[4] == (4, 1, True)  # singleton: own component
+    assert out[5] == (5, 2, True) and out[6] == (5, 2, False)
+    # exactly one canonical per component
+    canon = [d for d, (_, _, c) in out.items() if c]
+    assert sorted(canon) == [1, 4, 5]
+
+
+@pytest.fixture(scope="module")
+def contam_docs(spark):
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    leaked = "prefix words then alpha beta gamma delta epsilon zeta eta theta end"
+    clean = "totally unrelated text with enough words to form several grams here"
+    return spark.createDataFrame(
+        [(0, bench), (1, leaked), (2, clean)], "doc_id long, text string"
+    )
+
+
+def test_ngram_contamination_flags_only_overlap(spark, contam_docs):
+    hits = ngram_contamination(contam_docs, F.col("doc_id") == 0, k=8)
+    rows = {r.doc_id: r.n_hits for r in hits.collect()}
+    assert rows == {1: 1}  # one shared 8-gram (alpha..theta); doc 2 clean
+
+
+def test_decontaminate_removes_hits_keeps_bench(spark, contam_docs):
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate(contam_docs, F.col("doc_id") == 0, k=8).collect()
+    )
+    assert kept == [0, 2]
+
+
+def test_hash_split_deterministic_and_growth_stable(spark):
+    ids = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in hash_split(ids, "doc_id").collect()}
+    # recompute → identical; adding rows never moves old assignments
+    grown = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s2 = {r.doc_id: r.split for r in hash_split(grown, "doc_id").collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    counts = {v: sum(1 for x in s1.values() if x == v) for v in ("train", "val", "test")}
+    assert counts["train"] > 800 and counts["val"] > 20 and counts["test"] > 20
+    # bucket is the documented md5-prefix value
+    row = ids.select(hash_bucket(F.col("doc_id")).alias("b")).first()
+    import hashlib
+
+    assert row.b == int(hashlib.md5(b"0").hexdigest()[:8], 16) % 100
+
+
+def test_top_n_per_key_salted_matches_plain(spark):
+    # skewed: 90 rows in one group, 10 in another
+    df = spark.createDataFrame(
+        [(i, "en" if i < 90 else "de", float(i % 17)) for i in range(100)],
+        "doc_id long, lang string, quality double",
+    )
+    order = [F.col("quality").desc(), F.col("doc_id")]
+    plain = top_n_per_key(df, ["lang"], order, 5)
+    salted = top_n_per_key(df, ["lang"], order, 5, n_salts=4)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    assert salted.filter("lang = 'de'").count() == 5
