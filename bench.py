@@ -50,6 +50,13 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "multimodal_decode",
+    # round-3 curation additions
+    "dedup_clusters",
+    "decontaminate_ngram",
+    "split_assign",
+    "sample_top_per_lang",
+    "text_repetition",
+    "ann_topk_quantized",
 ]
 
 

@@ -115,6 +115,68 @@ def quality_score(text: Column) -> Column:
     return F.round((len_score + stop_score + punct_penalty) / 3.0, 4)
 
 
+def _all_grams(words: Column, k: int) -> Column:
+    """ALL k-word grams (with repeats — unlike dedup's distinct
+    shingles, repetition scoring needs the multiset)."""
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - k + 1)
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(words, i + off) for off in range(k)])
+
+    return F.when(n >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_features(
+    df, text: str = "text", id_col: str = "doc_id", ks: tuple[int, ...] = (2, 3)
+):
+    """Gopher-style repetition filters (Rae et al. 2021, Table A1):
+    for each k in ``ks``, the fraction of the document's words covered
+    by occurrences of its MOST FREQUENT k-gram — high values flag
+    boilerplate/spam (Gopher drops docs with top-2-gram frac > 0.20,
+    top-3-gram frac > 0.18).
+
+    Scale shape: finding the mode of a per-doc multiset is a
+    shuffle-grouping, not a projection — an expression form would scan
+    each doc's gram array once per DISTINCT gram (quadratic in doc
+    length).  So: one scan projects all (k, gram) pairs per doc, ONE
+    explode feeds groupBy(doc, k, gram) → count (partial agg), then
+    groupBy(doc, k) → max, and a conditional-agg pivot back to one row
+    per doc.  Both groupBys hash on doc id prefixes, so AQE coalesces
+    them into the same exchange lineage; output rows = corpus rows.
+    """
+    staged = df.select(
+        id_col, F.split(normalize_text(F.col(text)), " ").alias("_w")
+    )
+    def _tag(k: int):
+        # single-param lambda factory — a two-parameter lambda would
+        # receive the array INDEX as its second argument (see
+        # dedup._seeded_hash)
+        return lambda g: F.struct(F.lit(k).alias("k"), g.alias("g"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(_all_grams(F.col("_w"), k), _tag(k)) for k in ks])
+    )
+    exploded = staged.select(
+        id_col, F.size("_w").alias("_nw"), F.explode(tagged).alias("kg")
+    ).select(id_col, "_nw", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+    top = (
+        exploded.groupBy(id_col, "_nw", "k", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "_nw", "k")
+        .agg(F.max("c").alias("mc"))
+    )
+    fracs = [
+        F.round(
+            F.max(F.when(F.col("k") == k, F.col("mc") * k / F.col("_nw"))), 4
+        ).alias(f"top{k}_frac")
+        for k in ks
+    ]
+    return top.groupBy(id_col).agg(*fracs)
+
+
 FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_BASE = 131
 

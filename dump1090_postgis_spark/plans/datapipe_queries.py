@@ -432,6 +432,42 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_topk_quantized(spark, sf):
+    """Brute-force top-5 over int8-QUANTIZED embeddings (4× smaller
+    scans/shuffles; cosine is scale-invariant so the int arrays rank
+    directly, no dequantization).  Tests pin recall vs the float
+    baseline; the oracle replays the exact floor-quantization
+    arithmetic."""
+    emb = load_table(spark, sf, "embeddings")
+    qz = sim.quantize_embeddings(emb).select(
+        "vec_id", F.col("q_vec").alias("embedding")
+    )
+    return sim.brute_force_topk(qz, qz.filter(F.col("vec_id") < 5), k=5)
+
+
+SQL_ANN_QUANTIZED = f"""
+WITH sc AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0
+              THEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+              ELSE 1.0 END AS s
+  FROM embeddings
+), qz AS (
+  SELECT vec_id, list_transform(v, x -> floor(x / s + 0.5)) AS qv FROM sc
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_SQL_COS.format(a='q.qv', b='c.qv')}, 4) + 0.0 AS cosine
+  FROM qz q, qz c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
 def q_dedup_embedding_lsh(spark, sf):
     """Banded random-hyperplane LSH near-dup over embeddings (the
     scale-path candidate generator), end to end: 4 bands × 8 sign bits
@@ -597,6 +633,39 @@ FROM documents
 """
 
 
+def q_text_repetition(spark, sf):
+    """Gopher repetition filters: per doc, the word fraction covered by
+    its most frequent 2-gram / 3-gram (explode → two-level partial-agg
+    grouping; expression-form mode would be quadratic in doc length)."""
+    docs = load_table(spark, sf, "documents")
+    return tx.repetition_features(docs)
+
+
+SQL_TEXT_REPETITION = f"""
+WITH prep AS (
+  SELECT doc_id, {_OWORDS} AS words FROM documents
+), grams AS (
+  SELECT doc_id, len(words) AS nw, 2 AS k,
+         unnest(list_transform(range(1, len(words)),
+                i -> words[i] || ' ' || words[i+1])) AS g
+  FROM prep WHERE len(words) >= 2
+  UNION ALL
+  SELECT doc_id, len(words) AS nw, 3 AS k,
+         unnest(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS g
+  FROM prep WHERE len(words) >= 3
+), cnt AS (
+  SELECT doc_id, nw, k, g, count(*) AS c FROM grams GROUP BY ALL
+), mx AS (
+  SELECT doc_id, nw, k, max(c) AS mc FROM cnt GROUP BY ALL
+)
+SELECT doc_id,
+       round(max(CASE WHEN k = 2 THEN mc * 2.0 / nw END), 4) AS top2_frac,
+       round(max(CASE WHEN k = 3 THEN mc * 3.0 / nw END), 4) AS top3_frac
+FROM mx GROUP BY doc_id
+"""
+
+
 def q_curate_documents(spark, sf):
     """One-pass corpus curation (datapipe/curate.py): language ID +
     quality + token counts + exact-dup canonical flag — all features
@@ -742,10 +811,12 @@ REGISTRY: dict = {
     "sample_top_per_lang": (q_sample_top_per_lang, SQL_SAMPLE_TOP),
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_TOPK),
     "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_IVF),
+    "ann_topk_quantized": (q_ann_topk_quantized, SQL_ANN_QUANTIZED),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_token_counts": (q_text_token_counts, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "curate_documents": (q_curate_documents, SQL_CURATE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL),
     "multimodal_bmp_header": (q_multimodal_bmp_header, SQL_MULTIMODAL_BMP),

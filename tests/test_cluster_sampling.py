@@ -114,3 +114,38 @@ def test_top_n_per_key_salted_matches_plain(spark):
     salted = top_n_per_key(df, ["lang"], order, 5, n_salts=4)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
     assert salted.filter("lang = 'de'").count() == 5
+
+
+def test_repetition_features_flags_boilerplate(spark):
+    from dump1090_postgis_spark.datapipe.text import repetition_features
+
+    spam = "buy now " * 10  # 20 words, "buy now"/"now buy" dominate
+    normal = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, spam.strip()), (2, normal)], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.top2_frac, r.top3_frac) for r in repetition_features(df).collect()}
+    # spam: "buy now" occurs 10x in 20 words -> 10*2/20 = 1.0
+    assert out[1][0] == 1.0 and out[1][1] > 0.8
+    # normal: every 2-gram unique -> 2/10
+    assert out[2] == (0.2, 0.3)
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    from dump1090_postgis_spark.datapipe.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+    )
+    from dump1090_postgis_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    qz = quantize_embeddings(emb).select("vec_id", F.col("q_vec").alias("embedding"))
+    quant = brute_force_topk(qz, qz.filter(F.col("vec_id") < 5), k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    q = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    # int8 quantization preserves nearly all of the top-5 sets
+    assert len(e & q) / len(e) >= 0.8
+    # quantized values stay in int8 range
+    row = qz.first()
+    assert all(-127 <= x <= 127 for x in row.embedding)
