@@ -54,8 +54,14 @@ def ngram_contamination(
     Shingles are distinct per doc, so ``n_hits`` counts distinct
     shared k-grams without a count-distinct shuffle.
     """
-    grams = with_shingles(docs, text=text, k=k).select(
-        id_col, bench_pred.alias("_is_bench"), F.explode("_shingles").alias("g")
+    from .dedup import explode_computed, spread_for_compute
+
+    docs = spread_for_compute(docs, id_col)
+    staged = with_shingles(docs, text=text, k=k).select(
+        id_col, bench_pred.alias("_is_bench"), "_shingles"
+    )
+    grams = explode_computed(
+        staged, F.col("_shingles"), "g", keep=[id_col, "_is_bench"]
     )
     bench = grams.filter(F.col("_is_bench")).select("g").distinct()
     return (

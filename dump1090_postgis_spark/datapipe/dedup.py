@@ -39,6 +39,48 @@ def normalize_text(c: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
 
 
+def explode_computed(
+    df: DataFrame, arr: Column, out: str, keep: list[str]
+) -> DataFrame:
+    """``explode`` an EXPENSIVE computed array without re-evaluating it.
+
+    Plain ``F.explode`` lets Catalyst's ``InferFiltersFromGenerate``
+    synthesize a ``size(arr) > 0`` pre-filter; predicate pushdown then
+    substitutes the array expression through every upstream Project
+    (undoing the staged-projection trick of :func:`with_shingles`) and
+    below any Exchange — so the whole array (shingles: split() per
+    element_at) is recomputed per row in a filter, sometimes on the
+    unparallelized scan side.  Observed 10–30× slowdowns.
+
+    ``explode_outer`` infers no filter; empty arrays surface as one
+    NULL row which the filter on the OUTPUT attribute removes — and a
+    predicate on a generated attribute can never be pushed below its
+    Generate.  Only safe when the array has no NULL *elements* (true
+    for every array built in this package: concat_ws/struct never
+    yield NULL).
+    """
+    return df.select(*keep, F.explode_outer(arr).alias(out)).filter(
+        F.col(out).isNotNull()
+    )
+
+
+def spread_for_compute(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Guarantee minimum parallelism for a compute-bound projection.
+
+    Parquet splits by BYTES, not CPU cost: a few-MB file of long texts
+    arrives as one scan partition, serializing shingle/hash-heavy
+    projections onto a single core.  When the scan has fewer
+    partitions than the cluster has slots, repartition up (hash on
+    ``key`` when given — deterministic, no round-robin sort; round
+    robin otherwise).  At real scale the scan already carries ≥ slots
+    partitions and this is a NO-OP — no exchange is added.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n_parts:
+        return df
+    return df.repartition(n_parts, key) if key else df.repartition(n_parts)
+
+
 def exact_dedup(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on md5 of normalized text: per group keep min id,
     report group size."""
@@ -261,7 +303,7 @@ def _bucket_pairs(
         )
     )
     return (
-        buckets.select(F.explode(pair_lists).alias("p"))
+        explode_computed(buckets, pair_lists, "p", keep=[])
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )

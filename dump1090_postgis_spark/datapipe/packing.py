@@ -1,0 +1,137 @@
+"""Sequence packing and mixture sampling — the last mile between a
+curated corpus and training batches.
+
+Extends the reference's curation surface the same way the rest of
+:mod:`..datapipe` does (reference has no training-data notion; the
+closest analog is its batched-commit sink, `flights.py:119-131`, which
+also groups a stream into fixed-size units of work).
+
+Scale design:
+
+- :func:`pack_sequences` — GPT-style concat-and-chunk packing: within
+  a shard, documents are concatenated in deterministic id order and
+  the token stream is cut into fixed-length training sequences.  The
+  only non-projection op is ONE running-sum window per shard; the
+  shard is a hash bucket of the id, so window partitions are
+  corpus_size / n_shards regardless of data skew — at 100 TB you
+  raise ``n_shards`` (10k+) and every window partition stays
+  executor-sized.  No global sort, no driver state; adding documents
+  only perturbs the shards they hash into.
+- :func:`mixture_sample` — deterministic Bernoulli thinning to hit a
+  target domain mixture (the DoReMi/Pile-style "sample source s at
+  weight w_s").  Per-source keep-rates derive from a tiny groupBy
+  (one row per source — broadcast back); the keep decision is a pure
+  projection comparing a per-doc uniform hash to the rate.  One scan,
+  one broadcast join, zero corpus shuffles, reproducible across
+  engines and retries (no rand()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+
+
+def uniform_hash(id_col: Column, salt: str = "") -> Column:
+    """Deterministic uniform double in [0,1): first 32 bits of
+    md5(id || salt) / 2^32.  Engine-portable (md5 + hex arithmetic
+    only — the DuckDB oracle reproduces it bit-for-bit)."""
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    )
+    return h32.cast("bigint").cast("double") / F.lit(4294967296.0)
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens: Column,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing plan: maps every document to its span
+    in the packed token stream of its shard.
+
+    Returns ``(id_col, shard, n_tokens, begin_tok, end_tok, seq_first,
+    seq_last)`` where ``begin_tok`` is the document's offset in the
+    shard's concatenated stream and ``seq_first``/``seq_last`` are the
+    first/last ``seq_len``-sized training sequences it lands in
+    (documents may straddle a boundary — standard causal-LM packing,
+    where an EOS token separates docs and attention masks handle the
+    join).
+
+    Deterministic: shard = md5 bucket of the id, order within shard =
+    id ascending, so the packing is stable across runs, engines, and
+    cluster sizes.
+    """
+    from pyspark.sql import Window
+
+    out = df.select(
+        F.col(id_col),
+        hash_bucket(F.col(id_col), n_shards).alias("shard"),
+        tokens.cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("end_tok", F.sum("n_tokens").over(w))
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.col("end_tok") - F.col("n_tokens")).alias("begin_tok"),
+        "end_tok",
+        F.floor((F.col("end_tok") - F.col("n_tokens")) / seq_len).alias("seq_first"),
+        F.floor((F.col("end_tok") - 1) / seq_len).alias("seq_last"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    target_total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Thin the corpus toward a target mixture: source ``s`` should
+    contribute ``weights[s] * target_total`` documents (in
+    expectation; exact rates, Bernoulli realization).
+
+    keep-rate(s) = min(1, weights[s] * target_total / count(s));
+    sources absent from ``weights`` get weight 0 (dropped).  A doc is
+    kept iff its :func:`uniform_hash` falls below its source's rate —
+    deterministic, so the sample is reproducible and monotone: raising
+    a weight only ever ADDS documents, never swaps them.
+
+    The counts groupBy produces one row per source; the join back is
+    broadcast by size.  Rates are rounded to 9 decimals so the
+    comparison is reproducible across engines.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    rates = counts.select(
+        source_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(wmap[F.col(source_col)], F.lit(0.0))
+                * F.lit(float(target_total))
+                / F.col("_n"),
+            ),
+            9,
+        ).alias("keep_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(uniform_hash(F.col(id_col), salt) < F.col("keep_rate"))
+        .select(id_col, source_col, "keep_rate")
+    )

@@ -199,15 +199,19 @@ def with_probed_centroids(
     cen = _cen_lit if _cen_lit is not None else _centroid_literal(centroids)
     if cen is not None:
         top = F.slice(_ranked_centroids(F.col(vec), cen), 1, probes)
+        # explode_outer: plain explode infers a size>0 filter that
+        # re-evaluates the whole centroid ranking per row (see
+        # dedup.explode_computed); the slice is never empty by
+        # construction (k >= probes >= 1).
         return (
-            df.withColumn("_probe", F.explode(top))
+            df.withColumn("_probe", F.explode_outer(top))
             .withColumn(out, F.col("_probe")["centroid_id"])
             .drop("_probe")
         )
     top = F.slice(_ranked_centroids(F.col(vec), F.col("_cen")), 1, probes)
     return (
         df.crossJoin(_centroid_array(centroids))
-        .withColumn("_probe", F.explode(top))
+        .withColumn("_probe", F.explode_outer(top))
         .withColumn(out, F.col("_probe")["centroid_id"])
         .drop("_cen", "_probe")
     )

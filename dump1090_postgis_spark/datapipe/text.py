@@ -147,7 +147,9 @@ def repetition_features(
     per doc.  Both groupBys hash on doc id prefixes, so AQE coalesces
     them into the same exchange lineage; output rows = corpus rows.
     """
-    staged = df.select(
+    from .dedup import explode_computed, spread_for_compute
+
+    staged = spread_for_compute(df, id_col).select(
         id_col, F.split(normalize_text(F.col(text)), " ").alias("_w")
     )
     def _tag(k: int):
@@ -159,9 +161,10 @@ def repetition_features(
     tagged = F.flatten(
         F.array(*[F.transform(_all_grams(F.col("_w"), k), _tag(k)) for k in ks])
     )
-    exploded = staged.select(
-        id_col, F.size("_w").alias("_nw"), F.explode(tagged).alias("kg")
-    ).select(id_col, "_nw", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+    sized = staged.select(id_col, F.size("_w").alias("_nw"), "_w")
+    exploded = explode_computed(sized, tagged, "kg", keep=[id_col, "_nw"]).select(
+        id_col, "_nw", F.col("kg.k").alias("k"), F.col("kg.g").alias("g")
+    )
     top = (
         exploded.groupBy(id_col, "_nw", "k", "g")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -199,3 +202,102 @@ def fingerprint(text: Column) -> Column:
             acc * FINGERPRINT_BASE + v.cast("bigint"), F.lit(FINGERPRINT_MOD)
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / URL scrubbing
+# ---------------------------------------------------------------------------
+
+#: Redaction patterns, most-specific first (emails before bare hosts).
+#: Written in the RE2-compatible subset (explicit classes, no
+#: backreferences, no lookaround) so the same pattern string runs
+#: under Java regex (Spark) and RE2 (DuckDB oracle) identically.
+SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^ \t\n]+", "<URL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def scrub_counts(text: Column) -> dict[str, Column]:
+    """Per-pattern match counts (what WOULD be redacted) — pure
+    projection, scan-speed."""
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast(
+            "bigint"
+        )
+        for name, pat, _ in SCRUB_PATTERNS
+    }
+
+
+def scrub_text(text: Column) -> Column:
+    """Redact all :data:`SCRUB_PATTERNS` occurrences with typed
+    placeholders.  Order matters: emails are consumed before the URL
+    pattern can eat an `@`-bearing query string, IPs last."""
+    out = text
+    for _, pat, repl in SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(
+    df,
+    text: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+):
+    """Top-``top_n`` most characteristic terms per document under a
+    tf-idf-style relevance score.
+
+    Scale shape: explode to (doc, term) → **partial-agg** groupBy for
+    term frequency (the only corpus-sized shuffle, combiner-reduced to
+    distinct terms per doc) → document frequency from the tf frame
+    (second partial agg, one row per term) → idf broadcast back → per-
+    doc top-n window (groups are docs — naturally small partitions).
+
+    The idf uses the RATIO form ``(N + 1) / (df + 1)`` rather than its
+    logarithm: IEEE division is correctly rounded and thus bit-
+    reproducible across engines, while ``ln`` implementations may
+    differ in the last ulp — this keeps the score (and therefore the
+    top-n ORDER) hash-stable against the DuckDB oracle.  Monotone in
+    the usual ln-idf, so the per-doc ranking it induces is the
+    standard one whenever tf ties; scores are rounded to 6 decimals.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import explode_computed, spread_for_compute
+
+    terms = explode_computed(
+        spread_for_compute(df, id_col), _words(F.col(text)), "term", keep=[id_col]
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    # dfreq is one row per distinct term — usually broadcast-sized, but
+    # a 100 TB junk-token vocabulary can exceed the threshold, so leave
+    # the strategy to AQE (runtime size) instead of forcing broadcast.
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.col("n_docs") + 1).cast("double")
+                / (F.col("df") + 1),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return scored.withColumn(
+        "term_rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("term_rank") <= top_n)
