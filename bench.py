@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "sample_top_per_lang",
     "text_repetition",
     "ann_topk_quantized",
+    "pack_sequences",
+    "mixture_sample",
+    "text_scrub",
+    "tfidf_top_terms",
 ]
 
 

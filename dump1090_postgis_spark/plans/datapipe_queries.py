@@ -797,6 +797,180 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Packing / mixture / scrubbing / tf-idf (round 3 curation additions)
+# ---------------------------------------------------------------------------
+
+
+def q_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing (datapipe/packing.py): each
+    doc mapped to its token span and first/last 512-token training
+    sequence within its md5 shard.  One bounded window per shard —
+    shard count scales parallelism, not data skew."""
+    from ..datapipe.packing import pack_sequences
+
+    docs = load_table(spark, sf, "documents")
+    return pack_sequences(
+        docs, tx.token_count_ws(F.col("text")), seq_len=512, n_shards=8
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tok
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       end_tok - n_tokens AS begin_tok,
+       end_tok,
+       floor((end_tok - n_tokens) / 512.0)::BIGINT AS seq_first,
+       floor((end_tok - 1) / 512.0)::BIGINT AS seq_last
+FROM c
+"""
+
+#: Target mixture for the sampling query: upweight four sources, drop
+#: the rest (weights are plan literals on both engines).
+MIX_WEIGHTS = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2}
+MIX_TARGET = 200
+
+
+def q_mixture_sample(spark, sf):
+    """Deterministic mixture sampling (datapipe/packing.py): thin each
+    source to weight*target docs via a per-doc md5 uniform against a
+    per-source keep-rate (tiny groupBy, broadcast back, zero corpus
+    shuffles, no rand())."""
+    from ..datapipe.packing import mixture_sample
+
+    docs = load_table(spark, sf, "documents")
+    return mixture_sample(docs, MIX_WEIGHTS, MIX_TARGET)
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in MIX_WEIGHTS.items()
+)
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH cnt AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), rates AS (
+  SELECT source,
+         round(least(1.0,
+           (CASE source {_MIX_CASE} ELSE 0.0 END) * {MIX_TARGET}.0 / n),
+           9) AS keep_rate
+  FROM cnt
+)
+SELECT d.doc_id, d.source, r.keep_rate
+FROM documents d JOIN rates r USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT
+        / 4294967296.0 < r.keep_rate
+"""
+
+
+def q_text_scrub(spark, sf):
+    """PII/URL scrubbing: the synthetic corpus carries no PII, so the
+    query deterministically injects emails/URLs/IPs keyed on doc_id
+    (identically in the oracle), then counts and redacts them
+    (datapipe/text.py SCRUB_PATTERNS — RE2-safe so Java regex and the
+    DuckDB oracle agree byte-for-byte).  Output keeps md5 of the
+    redacted text, not the text (small, hashable)."""
+    docs = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" see https://example.org/p/"), did.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".1")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", enriched.alias("_t"))
+    counts = tx.scrub_counts(F.col("_t"))
+    return staged.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        F.md5(tx.scrub_text(F.col("_t"))).alias("redacted_md5"),
+    )
+
+
+_SCRUB_ENRICH = """text
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' see https://example.org/p/' || doc_id::VARCHAR ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.1' ELSE '' END"""
+
+_P_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_P_URL = "https?://[^ \\t\\n]+"
+_P_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+SQL_TEXT_SCRUB = f"""
+WITH e AS (
+  SELECT doc_id, {_SCRUB_ENRICH} AS t FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_P_EMAIL}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t, '{_P_URL}'))::BIGINT AS n_url,
+       len(regexp_extract_all(t, '{_P_IP}'))::BIGINT AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{_P_EMAIL}', '<EMAIL>', 'g'),
+             '{_P_URL}', '<URL>', 'g'),
+             '{_P_IP}', '<IP>', 'g')) AS redacted_md5
+FROM e
+"""
+
+
+def q_tfidf_top_terms(spark, sf):
+    """Top-3 characteristic terms per doc under a ratio-idf tf-idf
+    (datapipe/text.py tfidf_top_terms): explode -> partial-agg tf ->
+    df -> AQE-sized join -> per-doc top-n window.  Ratio idf keeps the
+    score IEEE-exact across engines (ln is not reproducible)."""
+    docs = load_table(spark, sf, "documents")
+    return tx.tfidf_top_terms(docs, top_n=3)
+
+
+SQL_TFIDF_TOP = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_OWORDS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM w WHERE term <> '' GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+)
+SELECT doc_id, term, tf, score, term_rank FROM (
+  SELECT t.doc_id, t.term, t.tf,
+         round(t.tf * (n.n_docs + 1)::DOUBLE / (d.df + 1), 6) AS score,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY round(t.tf * (n.n_docs + 1)::DOUBLE / (d.df + 1), 6) DESC,
+                    t.term
+         )::INT AS term_rank
+  FROM tf t JOIN dfq d USING (term) CROSS JOIN n
+) WHERE term_rank <= 3
+"""
+
+
 REGISTRY: dict = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
@@ -820,4 +994,8 @@ REGISTRY: dict = {
     "curate_documents": (q_curate_documents, SQL_CURATE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL),
     "multimodal_bmp_header": (q_multimodal_bmp_header, SQL_MULTIMODAL_BMP),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "text_scrub": (q_text_scrub, SQL_TEXT_SCRUB),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP),
 }

@@ -1,0 +1,127 @@
+"""Sequence packing and mixture sampling: spans tile each shard's
+token stream exactly, packing is stable under corpus growth within
+untouched shards, mixture rates hit the target in expectation and are
+monotone in the weights, and scrubbing redacts what it counts."""
+
+from pyspark.sql import functions as F
+
+from dump1090_postgis_spark.datapipe.packing import (
+    mixture_sample,
+    pack_sequences,
+    uniform_hash,
+)
+from dump1090_postgis_spark.datapipe.text import (
+    scrub_counts,
+    scrub_text,
+    tfidf_top_terms,
+)
+
+
+def _docs(spark, n=40):
+    return spark.createDataFrame(
+        [(i, "w " * (5 + i % 13)) for i in range(n)], "doc_id long, text string"
+    )
+
+
+def test_pack_spans_tile_shard_stream(spark):
+    out = pack_sequences(
+        _docs(spark), F.lit(10), seq_len=16, n_shards=4
+    ).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        expect_begin = 0
+        for r in rows:
+            # contiguous, gap-free tiling in id order
+            assert r.begin_tok == expect_begin
+            assert r.end_tok == r.begin_tok + r.n_tokens
+            assert r.seq_first == r.begin_tok // 16
+            assert r.seq_last == (r.end_tok - 1) // 16
+            expect_begin = r.end_tok
+
+
+def test_pack_stable_when_other_shard_grows(spark):
+    """Adding a doc only perturbs the shard it hashes into."""
+    base = {r.doc_id: r for r in pack_sequences(
+        _docs(spark, 30), F.lit(7), seq_len=32, n_shards=4).collect()}
+    grown = {r.doc_id: r for r in pack_sequences(
+        _docs(spark, 31), F.lit(7), seq_len=32, n_shards=4).collect()}
+    new_shard = grown[30].shard
+    untouched = [i for i in range(30) if base[i].shard != new_shard]
+    assert untouched  # hash spread guarantees some other-shard docs
+    for i in untouched:
+        assert grown[i] == base[i]
+
+
+def test_mixture_sample_rates_and_monotonicity(spark):
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+        "doc_id long, source string",
+    )
+    lo = mixture_sample(docs, {"a": 0.5}, 100, id_col="doc_id")
+    rows = lo.collect()
+    # only source a survives; expectation 0.5*100 = 50 of 200 a-docs
+    assert {r.source for r in rows} == {"a"}
+    assert 25 <= len(rows) <= 75
+    # doubling the weight only ADDS docs (deterministic hash threshold)
+    hi_ids = {
+        r.doc_id
+        for r in mixture_sample(docs, {"a": 1.0}, 100, id_col="doc_id").collect()
+    }
+    assert {r.doc_id for r in rows} <= hi_ids
+    # rate 1.0 caps: weight*target >= count keeps everything
+    allr = mixture_sample(docs, {"a": 1.0, "b": 1.0}, 1000, id_col="doc_id")
+    assert allr.count() == 400
+
+
+def test_uniform_hash_range_and_determinism(spark):
+    df = spark.range(1000).select(
+        uniform_hash(F.col("id")).alias("u")
+    )
+    mn, mx, avg = df.select(
+        F.min("u"), F.max("u"), F.avg("u")
+    ).first()
+    assert 0.0 <= mn and mx < 1.0 and 0.3 < avg < 0.7
+    again = spark.range(1000).select(uniform_hash(F.col("id")).alias("u"))
+    assert df.exceptAll(again).count() == 0
+
+
+def test_scrub_redacts_what_it_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@corp.io and https://x.io/a?b=c from 10.1.2.3 ok"),
+            (2, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = scrub_counts(F.col("text"))
+    out = df.select(
+        "doc_id",
+        *[c.alias(k) for k, c in counts.items()],
+        scrub_text(F.col("text")).alias("red"),
+    ).collect()
+    r1 = next(r for r in out if r.doc_id == 1)
+    assert (r1.n_email, r1.n_url, r1.n_ipv4) == (1, 1, 1)
+    assert r1.red == "mail <EMAIL> and <URL> from <IP> ok"
+    r2 = next(r for r in out if r.doc_id == 2)
+    assert (r2.n_email, r2.n_url, r2.n_ipv4) == (0, 0, 0)
+    assert r2.red == "nothing here"
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared shared rare"),
+            (2, "shared common"),
+            (3, "shared common"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        r.doc_id: r.term
+        for r in tfidf_top_terms(df, top_n=1).collect()
+    }
+    # 'rare' appears in one doc -> highest idf for doc 1 despite tf tie
+    assert top[1] == "rare"
