@@ -138,3 +138,28 @@ def test_dense_ids_no_global_window(spark):
     out = with_dense_ids(ev, ["ts", "event_id"], "id")
     plan = plan_of(out)
     assert "SinglePartition" not in plan
+
+
+def test_computed_array_explodes_infer_no_recompute_filter(spark):
+    """explode() over a computed array lets InferFiltersFromGenerate
+    synthesize a size(arr)>0 pre-filter whose pushdown re-inlines the
+    whole array expression (split per element_at) below upstream
+    projects/exchanges — observed 10-30x slowdowns.  explode_computed
+    uses explode_outer + a post-Generate null filter, which CANNOT be
+    pushed; assert no Filter node re-evaluates the shingle pipeline."""
+    from dump1090_postgis_spark.datapipe.contamination import (
+        ngram_contamination,
+    )
+    from dump1090_postgis_spark.datapipe import dedup as dd
+    from dump1090_postgis_spark.schemas import load_table
+
+    docs = load_table(spark, SF, "documents")
+    for df in (
+        ngram_contamination(docs, F.col("doc_id") % 7 == 0, k=8),
+        dd.jaccard_pairs(
+            docs, dd.lsh_candidate_pairs(docs, hash_family="xxhash64")
+        ),
+    ):
+        plan = plan_of(df)
+        for section in re.findall(r"\(\d+\) Filter\n((?:.+\n)+?)\n", plan):
+            assert "split(" not in section, section
