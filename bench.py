@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "sample_top_per_lang",
     "text_repetition",
     "ann_topk_quantized",
+    "dedup_incremental",
     "pack_sequences",
     "mixture_sample",
     "text_scrub",

@@ -537,3 +537,62 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def incremental_lsh_pairs(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_family: str = "xxhash64",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    corpus_banded: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup candidates between a NEW batch and an EXISTING corpus
+    — the recurring ingest shape: dedup the day's crawl against 100 TB
+    of history WITHOUT re-pairing the history against itself.
+
+    Returns distinct ``(new_id, corpus_id)``; ids must be disjoint
+    across the two frames.  Verify with :func:`jaccard_pairs` over
+    ``corpus.unionByName(new_docs)``.
+
+    Scale design: the corpus side is scanned once into banded
+    signature rows; the new batch's banded rows are tiny and
+    **broadcast**, so candidate generation adds ZERO corpus shuffle —
+    the probe rides the corpus scan.  At real scale you don't
+    re-minhash history per batch either: persist
+    :func:`minhash_banded`'s output as a signature store (a compact
+    (id, band, key) table, date-partitioned) and pass it as
+    ``corpus_banded``; then each increment reads signatures, not raw
+    text, and appends the new batch's own signatures for the next run.
+
+    ``max_bucket_size`` drops corpus-hot band keys (boilerplate
+    buckets) via a partial-agg count + broadcast anti-join — the count
+    pass is cheap against a signature store; against raw text it
+    re-derives signatures, one more reason to persist them.
+    """
+    cb = (
+        corpus_banded
+        if corpus_banded is not None
+        else minhash_banded(corpus, text, id_col, num_hashes, bands, hash_family)
+    )
+    nb = minhash_banded(new_docs, text, id_col, num_hashes, bands, hash_family)
+    if max_bucket_size is not None:
+        hot = (
+            cb.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "key")
+        )
+        cb = cb.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    return (
+        cb.withColumnRenamed("_id", "corpus_id")
+        .join(
+            F.broadcast(nb.withColumnRenamed("_id", "new_id")),
+            ["band", "key"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )

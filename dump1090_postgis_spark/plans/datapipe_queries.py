@@ -802,6 +802,74 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def q_dedup_incremental(spark, sf):
+    """Incremental dedup: the 'new batch' (doc_id >= 400) checked
+    against the 'existing corpus' (doc_id < 400) — banded MinHash
+    probe join, new side broadcast, corpus side never shuffled
+    (dedup.incremental_lsh_pairs; md5 family so the oracle replays
+    candidates exactly), then exact Jaccard > 0.5 verification."""
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    cands = dd.incremental_lsh_pairs(corpus, new, hash_family="md5")
+    verified = dd.jaccard_pairs(
+        docs,
+        cands.select(
+            F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+        ),
+        threshold=0.5,
+    )
+    return verified.select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("corpus_id"),
+        "jaccard",
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH prep AS (
+  SELECT doc_id, {_OWORDS} AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE list_distinct([array_to_string(words, ' ')]) END AS shingles
+  FROM prep
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(shingles,
+                  s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, b.band AS band,
+         array_to_string(sig[b.band*4+1 : b.band*4+4], '|') AS key
+  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+), bsz AS (
+  SELECT band, key, count(*) AS n
+  FROM banded WHERE doc_id < 400 GROUP BY band, key
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM banded c JOIN banded n
+    ON c.band = n.band AND c.key = n.key
+   AND c.doc_id < 400 AND n.doc_id >= 400
+  JOIN bsz s ON s.band = c.band AND s.key = c.key
+    AND s.n <= {dd.DEFAULT_MAX_BUCKET_SIZE}
+)
+SELECT p.new_id, p.corpus_id,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles)))::DOUBLE, 6) AS jaccard
+FROM cand p
+JOIN sh a ON a.doc_id = p.new_id
+JOIN sh b ON b.doc_id = p.corpus_id
+WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles)))::DOUBLE, 6) > 0.5
+"""
+
+
 def q_pack_sequences(spark, sf):
     """Concat-and-chunk sequence packing (datapipe/packing.py): each
     doc mapped to its token span and first/last 512-token training
@@ -994,6 +1062,7 @@ REGISTRY: dict = {
     "curate_documents": (q_curate_documents, SQL_CURATE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL),
     "multimodal_bmp_header": (q_multimodal_bmp_header, SQL_MULTIMODAL_BMP),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "text_scrub": (q_text_scrub, SQL_TEXT_SCRUB),

@@ -316,3 +316,45 @@ def test_curate_documents_one_pass(spark, docs):
     )
     assert "partial_min" in plan
     assert "Window" not in plan.split("\n\n")[0]
+
+
+def test_incremental_lsh_cross_side_only_and_signature_store(spark):
+    """incremental_lsh_pairs finds new-vs-corpus dups but never
+    corpus-corpus or new-new pairs; passing a precomputed banded
+    signature store gives the identical result."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words here nothing shared")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(101, base), (102, "unique fresh content nobody matches at all today")],
+        "doc_id long, text string",
+    )
+    pairs = dd.incremental_lsh_pairs(corpus, new).collect()
+    got = {(r.new_id, r.corpus_id) for r in pairs}
+    assert (101, 1) in got
+    assert all(n >= 100 and c < 100 for n, c in got)
+    # signature-store path: precomputed corpus banded rows, same result
+    store = dd.minhash_banded(corpus)
+    via_store = {
+        (r.new_id, r.corpus_id)
+        for r in dd.incremental_lsh_pairs(
+            corpus, new, corpus_banded=store
+        ).collect()
+    }
+    assert via_store == got
+
+
+def test_incremental_lsh_hot_bucket_cap(spark):
+    """A corpus-hot band key above the cap is dropped before the probe
+    join — the new doc matching only that bucket yields no pairs."""
+    hot = "spam spam spam spam spam spam spam spam spam spam"
+    corpus = spark.createDataFrame(
+        [(i, hot) for i in range(1, 8)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(101, hot)], "doc_id long, text string")
+    capped = dd.incremental_lsh_pairs(corpus, new, max_bucket_size=3)
+    assert capped.count() == 0
+    uncapped = dd.incremental_lsh_pairs(corpus, new, max_bucket_size=None)
+    assert uncapped.count() == 7
