@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "ann_topk_quantized",
     "dedup_incremental",
+    "curate_to_shards",
     "pack_sequences",
     "mixture_sample",
     "text_scrub",

@@ -52,6 +52,7 @@ def pack_sequences(
     seq_len: int = 512,
     n_shards: int = 8,
     id_col: str = "doc_id",
+    extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing plan: maps every document to its span
     in the packed token stream of its shard.
@@ -66,23 +67,28 @@ def pack_sequences(
 
     Deterministic: shard = md5 bucket of the id, order within shard =
     id ascending, so the packing is stable across runs, engines, and
-    cluster sizes.
+    cluster sizes.  ``extra_keys`` (e.g. a train/val/test split column)
+    become additional stream keys: each (extra_keys..., shard) group is
+    its own token stream, so splits never share a training sequence.
     """
     from pyspark.sql import Window
 
+    extra = list(extra_keys or [])
     out = df.select(
         F.col(id_col),
+        *extra,
         hash_bucket(F.col(id_col), n_shards).alias("shard"),
         tokens.cast("bigint").alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*extra, "shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = out.withColumn("end_tok", F.sum("n_tokens").over(w))
     return out.select(
         id_col,
+        *extra,
         "shard",
         "n_tokens",
         (F.col("end_tok") - F.col("n_tokens")).alias("begin_tok"),

@@ -1006,6 +1006,83 @@ FROM e
 """
 
 
+def q_curate_to_shards(spark, sf):
+    """End-to-end curation flagship: annotate (langid + quality +
+    tokens + dup flag, one scan) → keep canonical docs with
+    quality ≥ 0.3 → deterministic 90/5/5 hash split → pack each
+    (split, shard) token stream into 512-token training sequences.
+    The packing reuses the curation pass's re_tokens — no second
+    tokenization; the only post-scan exchanges are the dup-min join,
+    and the per-(split, shard) packing window."""
+    from ..datapipe.curate import curate_documents
+    from ..datapipe.packing import pack_sequences
+    from ..datapipe.sampling import hash_split
+
+    docs = load_table(spark, sf, "documents")
+    kept = (
+        curate_documents(docs)
+        .filter(F.col("is_canonical") & (F.col("quality") >= 0.3))
+    )
+    split = hash_split(kept, "doc_id")
+    return pack_sequences(
+        split,
+        F.col("re_tokens"),
+        seq_len=512,
+        n_shards=4,
+        extra_keys=["split"],
+    )
+
+
+SQL_CURATE_TO_SHARDS = f"""
+WITH prep AS (
+  SELECT doc_id, {_ONORM} AS norm, {_OWORDS} AS words,
+         length(text) AS n_chars, text
+  FROM documents
+), hits AS (
+  -- pred_lang is computed by curate_documents but projected away in
+  -- this query; Catalyst prunes it Spark-side, so the oracle omits it
+  SELECT *,
+         len(words) AS n_words,
+         round(len(list_filter(words, w -> list_contains([{_STOP_LIST}], w)))::DOUBLE
+               / len(words), 4) AS stopword_ratio,
+         round(len(regexp_extract_all(norm, '[^\\w\\s]'))::DOUBLE
+               / greatest(n_chars, 1), 4) AS punct_ratio
+  FROM prep
+), feat AS (
+  SELECT doc_id,
+         round((least(n_words::DOUBLE / 100.0, 1.0)
+                + least(stopword_ratio * 5.0, 1.0)
+                + greatest(1.0 - punct_ratio * 10.0, 0.0)) / 3.0, 4) AS quality,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS re_tokens,
+         md5(norm) AS h
+  FROM hits
+), kept AS (
+  SELECT doc_id, re_tokens FROM (
+    SELECT *, doc_id = min(doc_id) OVER (PARTITION BY h) AS is_canonical
+    FROM feat
+  ) WHERE is_canonical AND quality >= 0.3
+), assigned AS (
+  SELECT doc_id, re_tokens AS n_tokens,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4 AS shard
+  FROM (SELECT *,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        FROM kept)
+), c AS (
+  SELECT doc_id, split, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tok
+  FROM assigned
+)
+SELECT doc_id, split, shard, n_tokens,
+       end_tok - n_tokens AS begin_tok, end_tok,
+       floor((end_tok - n_tokens) / 512.0)::BIGINT AS seq_first,
+       floor((end_tok - 1) / 512.0)::BIGINT AS seq_last
+FROM c
+"""
+
+
 def q_tfidf_top_terms(spark, sf):
     """Top-3 characteristic terms per doc under a ratio-idf tf-idf
     (datapipe/text.py tfidf_top_terms): explode -> partial-agg tf ->
@@ -1063,6 +1140,7 @@ REGISTRY: dict = {
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL),
     "multimodal_bmp_header": (q_multimodal_bmp_header, SQL_MULTIMODAL_BMP),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "curate_to_shards": (q_curate_to_shards, SQL_CURATE_TO_SHARDS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "text_scrub": (q_text_scrub, SQL_TEXT_SCRUB),

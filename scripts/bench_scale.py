@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "text_fingerprint",
+    # round-3 curation additions
+    "decontaminate_ngram",
+    "text_repetition",
+    "dedup_incremental",
+    "pack_sequences",
+    "tfidf_top_terms",
 ]
 
 

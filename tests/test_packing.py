@@ -125,3 +125,24 @@ def test_tfidf_rare_term_outranks_common(spark):
     }
     # 'rare' appears in one doc -> highest idf for doc 1 despite tf tie
     assert top[1] == "rare"
+
+
+def test_pack_extra_keys_isolate_streams(spark):
+    """extra_keys partition the token stream: each (split, shard)
+    group tiles from offset 0 independently."""
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(20)],
+        "doc_id long, split string",
+    )
+    out = pack_sequences(
+        df, F.lit(5), seq_len=8, n_shards=2, extra_keys=["split"]
+    ).collect()
+    streams: dict[tuple, list] = {}
+    for r in out:
+        streams.setdefault((r.split, r.shard), []).append(r)
+    assert len(streams) > 2  # both splits actually sharded
+    for rows in streams.values():
+        rows.sort(key=lambda r: r.doc_id)
+        assert rows[0].begin_tok == 0  # every stream starts at zero
+        for a, b in zip(rows, rows[1:]):
+            assert b.begin_tok == a.end_tok
