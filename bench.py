@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "ann_topk_quantized",
     "dedup_incremental",
     "curate_to_shards",
+    "quality_quantile_filter",
     "pack_sequences",
     "mixture_sample",
     "text_scrub",

@@ -79,3 +79,65 @@ def top_n_per_key(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= n
     )
+
+
+def rank_quantile_threshold(
+    df: DataFrame,
+    value: str,
+    q: float,
+    keys: list[str],
+) -> DataFrame:
+    """Per-group exact q-quantile threshold (nearest-rank: smallest v
+    with |{x <= v}| >= ceil(q*n)) — computed SCALABLY for
+    bounded-cardinality scores.
+
+    ``percentile()`` buffers every group value in one agg buffer —
+    O(group size) memory, a non-starter when one language is 80% of a
+    100 TB corpus.  Rounded scores (quality is 4-dp in [0,1]) have at
+    most ~10^4 distinct values, so the histogram route is exact AND
+    mergeable: groupBy (keys, value) count (partial agg — the only
+    corpus-sized shuffle emits one row per distinct (key, value)),
+    then a cumulative sum over the tiny per-key histogram, then the
+    rank pick.  Window partitions are histogram-sized, never
+    corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(*keys, value).agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(*keys))
+    )
+    return (
+        cum.filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
+        .groupBy(*keys)
+        .agg(F.min(value).alias("threshold"))
+    )
+
+
+def quantile_filter(
+    df: DataFrame,
+    value: str,
+    q: float = 0.5,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Keep rows at or above their group's q-quantile of ``value`` —
+    the adaptive version of a fixed quality cutoff (each language/
+    domain keeps its best (1-q) fraction instead of sharing one global
+    threshold that starves low-scoring languages).  Thresholds are one
+    row per group → broadcast join back; the corpus is scanned twice
+    (once to build the histogram, once to filter) — persist the scored
+    frame between passes if the scoring projection is expensive.
+    """
+    keys = keys or []
+    thr = rank_quantile_threshold(df, value, q, keys)
+    joined = (
+        df.join(F.broadcast(thr), keys)
+        if keys
+        else df.crossJoin(F.broadcast(thr))
+    )
+    return joined.filter(F.col(value) >= F.col("threshold"))

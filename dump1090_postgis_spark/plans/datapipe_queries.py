@@ -802,6 +802,59 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def q_quality_quantile_filter(spark, sf):
+    """Adaptive per-language quality gate: keep docs at/above their
+    language's median quality (sampling.quantile_filter — exact
+    nearest-rank quantile via bounded-cardinality histogram cumsum,
+    never an O(group)-memory percentile buffer)."""
+    from ..datapipe.sampling import quantile_filter
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "lang", tx.quality_score(F.col("text")).alias("quality")
+    )
+    return quantile_filter(scored, "quality", q=0.5, keys=["lang"]).select(
+        "doc_id", "lang", "quality", "threshold"
+    )
+
+
+SQL_QUALITY_QUANTILE = f"""
+WITH prep AS (
+  SELECT doc_id, lang, {_ONORM} AS norm, {_OWORDS} AS words,
+         length(text) AS n_chars
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+         len(words) AS n_words,
+         round(len(list_filter(words, w -> list_contains([{_STOP_LIST}], w)))::DOUBLE
+               / len(words), 4) AS stopword_ratio,
+         round(len(regexp_extract_all(norm, '[^\\w\\s]'))::DOUBLE
+               / greatest(n_chars, 1), 4) AS punct_ratio
+  FROM prep
+), scored AS (
+  SELECT doc_id, lang,
+         round((least(n_words::DOUBLE / 100.0, 1.0)
+                + least(stopword_ratio * 5.0, 1.0)
+                + greatest(1.0 - punct_ratio * 10.0, 0.0)) / 3.0, 4) AS quality
+  FROM feats
+), hist AS (
+  SELECT lang, quality, count(*) AS c FROM scored GROUP BY lang, quality
+), cum AS (
+  SELECT lang, quality,
+         sum(c) OVER (PARTITION BY lang ORDER BY quality
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+), thr AS (
+  SELECT lang, min(quality) AS threshold
+  FROM cum WHERE cum >= ceil(0.5 * n) GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.quality, t.threshold
+FROM scored s JOIN thr t USING (lang)
+WHERE s.quality >= t.threshold
+"""
+
+
 def q_dedup_incremental(spark, sf):
     """Incremental dedup: the 'new batch' (doc_id >= 400) checked
     against the 'existing corpus' (doc_id < 400) — banded MinHash
@@ -1140,6 +1193,7 @@ REGISTRY: dict = {
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL),
     "multimodal_bmp_header": (q_multimodal_bmp_header, SQL_MULTIMODAL_BMP),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "quality_quantile_filter": (q_quality_quantile_filter, SQL_QUALITY_QUANTILE),
     "curate_to_shards": (q_curate_to_shards, SQL_CURATE_TO_SHARDS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),

@@ -149,3 +149,25 @@ def test_quantized_topk_recall(spark, sf_dir):
     # quantized values stay in int8 range
     row = qz.first()
     assert all(-127 <= x <= 127 for x in row.embedding)
+
+
+def test_rank_quantile_threshold_known_distribution(spark):
+    from dump1090_postgis_spark.datapipe.sampling import (
+        quantile_filter,
+        rank_quantile_threshold,
+    )
+
+    # group a: values 1..10 -> median (ceil(0.5*10)=5th) = 5
+    # group b: values [1,1,1,9] -> ceil(0.5*4)=2nd -> 1
+    rows = [("a", float(v)) for v in range(1, 11)] + [
+        ("b", 1.0), ("b", 1.0), ("b", 1.0), ("b", 9.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    thr = {
+        r.k: r.threshold
+        for r in rank_quantile_threshold(df, "v", 0.5, ["k"]).collect()
+    }
+    assert thr == {"a": 5.0, "b": 1.0}
+    kept = quantile_filter(df, "v", 0.5, ["k"]).collect()
+    assert sorted(r.v for r in kept if r.k == "a") == [5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+    assert len([r for r in kept if r.k == "b"]) == 4  # all >= 1.0
