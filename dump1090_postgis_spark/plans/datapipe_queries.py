@@ -1001,7 +1001,7 @@ def q_text_scrub(spark, sf):
     (datapipe/text.py SCRUB_PATTERNS — RE2-safe so Java regex and the
     DuckDB oracle agree byte-for-byte).  Output keeps md5 of the
     redacted text, not the text (small, hashable)."""
-    docs = load_table(spark, sf, "documents")
+    docs = dd.spread_for_compute(load_table(spark, sf, "documents"), "doc_id")
     did = F.col("doc_id")
     enriched = F.concat(
         F.col("text"),

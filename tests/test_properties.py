@@ -157,3 +157,55 @@ def test_dense_ids_follow_total_order(spark, perm):
     df = spark.createDataFrame([(k,) for k in perm], "k long")
     out = {r.k: r.id for r in with_dense_ids(df, ["k"], "id").collect()}
     assert out == {k: k + 1 for k in range(60)}
+
+
+# --- pack_sequences vs Python concat-and-chunk reference -------------------
+
+
+def _py_pack(rows, seq_len, n_shards):
+    """Independent reference: md5-shard, sort by id, running offsets."""
+    import hashlib
+
+    out = {}
+    shards: dict[int, list] = {}
+    for doc_id, toks in rows:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % n_shards
+        shards.setdefault(b, []).append((doc_id, toks))
+    for shard, docs in shards.items():
+        off = 0
+        for doc_id, toks in sorted(docs):
+            out[doc_id] = (
+                shard, toks, off, off + toks,
+                off // seq_len, (off + toks - 1) // seq_len,
+            )
+            off += toks
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=1, max_value=2_000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([16, 128, 512]),
+    st.sampled_from([1, 3, 8]),
+)
+def test_pack_sequences_matches_reference(spark, rows, seq_len, n_shards):
+    from dump1090_postgis_spark.datapipe.packing import pack_sequences
+
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        r.doc_id: (
+            r.shard, r.n_tokens, r.begin_tok, r.end_tok, r.seq_first, r.seq_last
+        )
+        for r in pack_sequences(
+            df, F.col("n"), seq_len=seq_len, n_shards=n_shards
+        ).collect()
+    }
+    assert got == _py_pack(rows, seq_len, n_shards)

@@ -168,3 +168,35 @@ def test_stream_matches_batch_path(spark, stream_events):
     ]
     stream = [(r.hexident, r.kind, r.event_time) for r in stream_events]
     assert batch == stream
+
+
+def test_streaming_curation_foreachbatch_matches_batch(spark, tmp_path):
+    """The datapipe curation ops are plain DataFrame transforms, so
+    they run unchanged inside a foreachBatch micro-batch: streaming
+    the documents table through curate_documents yields exactly the
+    batch result (per-batch semantics — exact-dup canonicalization is
+    within-batch by design for the streaming path)."""
+    from dump1090_postgis_spark.datapipe.curate import curate_documents
+    from dump1090_postgis_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "docs_in")
+    docs.coalesce(1).write.parquet(src)
+
+    collected = []
+
+    def handle(batch_df, _bid):
+        collected.extend(curate_documents(batch_df).collect())
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expected = {r.doc_id: r for r in curate_documents(docs).collect()}
+    got = {r.doc_id: r for r in collected}
+    assert got == expected and len(got) > 0
