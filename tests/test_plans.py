@@ -163,3 +163,22 @@ def test_computed_array_explodes_infer_no_recompute_filter(spark):
         plan = plan_of(df)
         for section in re.findall(r"\(\d+\) Filter\n((?:.+\n)+?)\n", plan):
             assert "split(" not in section, section
+
+
+def test_incremental_dedup_probe_is_broadcast(spark):
+    """The batch-vs-corpus probe must broadcast the (small) new side
+    and never sort-merge the corpus side; the hot-bucket cap is a
+    broadcast anti-join of the partial-agg count output."""
+    from dump1090_postgis_spark.datapipe import dedup as dd
+    from dump1090_postgis_spark.schemas import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(
+        dd.incremental_lsh_pairs(
+            docs.filter(F.col("doc_id") < 400),
+            docs.filter(F.col("doc_id") >= 400),
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "LeftAnti" in plan  # hot-bucket cap present
