@@ -121,17 +121,21 @@ def mixture_sample(
     comparison is reproducible across engines.
     """
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
-    wmap = F.create_map(
-        *[F.lit(x) for kv in weights.items() for x in kv]
-    )
+    if weights:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        weight = F.coalesce(wmap[F.col(source_col)], F.lit(0.0))
+    else:
+        # empty create_map() has a VOID value type and fails to
+        # analyze on lookup; no weights = drop everything
+        weight = F.lit(0.0)
     rates = counts.select(
         source_col,
         F.round(
             F.least(
                 F.lit(1.0),
-                F.coalesce(wmap[F.col(source_col)], F.lit(0.0))
-                * F.lit(float(target_total))
-                / F.col("_n"),
+                weight * F.lit(float(target_total)) / F.col("_n"),
             ),
             9,
         ).alias("keep_rate"),

@@ -209,3 +209,57 @@ def test_pack_sequences_matches_reference(spark, rows, seq_len, n_shards):
         ).collect()
     }
     assert got == _py_pack(rows, seq_len, n_shards)
+
+
+# --- mixture_sample vs Python md5-threshold reference ----------------------
+
+
+def _py_mixture(rows, weights, target):
+    import hashlib
+    from collections import Counter
+
+    counts = Counter(src for _i, src in rows)
+    kept = []
+    for doc_id, src in rows:
+        w = weights.get(src, 0.0)
+        rate = round(min(1.0, w * float(target) / counts[src]), 9)
+        u = (
+            int(
+                hashlib.md5((str(doc_id) + "mix").encode()).hexdigest()[:8], 16
+            )
+            / 4294967296.0
+        )
+        if u < rate:
+            kept.append(doc_id)
+    return sorted(kept)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100_000),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "a": st.floats(0.0, 1.0, allow_nan=False),
+            "b": st.floats(0.0, 1.0, allow_nan=False),
+        },
+    ),
+    st.integers(min_value=0, max_value=500),
+)
+def test_mixture_sample_matches_reference(spark, rows, weights, target):
+    from dump1090_postgis_spark.datapipe.packing import mixture_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        r.doc_id
+        for r in mixture_sample(df, weights, target, id_col="doc_id").collect()
+    )
+    assert got == _py_mixture(rows, weights, target)
