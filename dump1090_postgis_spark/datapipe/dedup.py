@@ -540,7 +540,7 @@ def embedding_near_dup_pairs(
 
 
 def incremental_lsh_pairs(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     new_docs: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",

@@ -263,3 +263,43 @@ def test_mixture_sample_matches_reference(spark, rows, weights, target):
         for r in mixture_sample(df, weights, target, id_col="doc_id").collect()
     )
     assert got == _py_mixture(rows, weights, target)
+
+
+# --- rank_quantile_threshold vs Python nearest-rank reference --------------
+
+
+def _py_nearest_rank(values, q):
+    import math
+
+    s = sorted(values)
+    return s[max(0, math.ceil(q * len(s)) - 1)]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    st.sampled_from([0.1, 0.5, 0.9, 1.0]),
+)
+def test_rank_quantile_matches_reference(spark, rows, q):
+    from dump1090_postgis_spark.datapipe.sampling import (
+        rank_quantile_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows], "k string, v double"
+    )
+    got = {
+        r.k: r.threshold
+        for r in rank_quantile_threshold(df, "v", q, ["k"]).collect()
+    }
+    expected = {}
+    for k in {k for k, _ in rows}:
+        expected[k] = float(_py_nearest_rank([v for kk, v in rows if kk == k], q))
+    assert got == expected
