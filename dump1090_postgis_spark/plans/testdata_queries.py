@@ -1372,6 +1372,154 @@ FROM summ
 
 
 # ---------------------------------------------------------------------------
+# TEMPORAL — as-of join, interval join, multigrain rollup
+# (operators/temporal.py; the time-series join shapes of TimescaleDB /
+# kdb+ the reference's equi-join-only schema cannot express)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_last_error(spark, sf):
+    """Backward as-of join: each purchase matched to the SAME user's
+    most recent error at-or-before it (kdb+ ``aj`` / DuckDB ``ASOF
+    JOIN``).  One shuffle on user_id, window last(ignorenulls) — no
+    inequality join (Spark would plan BroadcastNestedLoopJoin)."""
+    from ..operators.temporal import asof_join
+
+    ev = _ev(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("err_id"),
+        _fmt(F.col("ts")).alias("err_ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("err_value_cents"),
+    )
+    out = asof_join(
+        purchases, errors, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["err_id", "err_ts_s", "err_value_cents"],
+    )
+    return out.select(
+        "event_id",
+        _fmt(F.col("ts")).alias("ts_s"),
+        "user_id",
+        F.col("asof_err_id").alias("err_id"),
+        F.col("asof_err_ts_s").alias("err_ts_s"),
+        F.col("asof_err_value_cents").alias("err_value_cents"),
+    )
+
+
+SQL_ASOF = f"""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, ts, event_id AS err_id,
+         {_OFMT.format(c='ts')} AS err_ts_s,
+         CAST(round(value * 100) AS BIGINT) AS err_value_cents
+  FROM events WHERE event_type = 'error'
+)
+SELECT p.event_id, {_OFMT.format(c='p.ts')} AS ts_s, p.user_id,
+       e.err_id, e.err_ts_s, e.err_value_cents
+FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
+"""
+
+
+def q_range_join_error_windows(spark, sf):
+    """Interval (range) join via time-bucket equi join: spike errors
+    (value > 195) open a 10-minute window; count/sum ALL events inside
+    each window.  Both sides shuffle once on the derived bucket key —
+    the inequality is a codegen'd post-filter, not a nested-loop
+    join."""
+    from ..operators.temporal import interval_join
+
+    ev = _ev(spark, sf)
+    intervals = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 195.0)
+    ).select(
+        F.col("event_id").alias("ivl_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("end_ts"),
+    )
+    hits = interval_join(
+        intervals,
+        ev.select("event_id", "ts", "value"),
+        start="start_ts", end="end_ts", ts="ts", bucket_s=600,
+    )
+    return (
+        hits.groupBy("ivl_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+            _fmt(F.first("start_ts")).alias("start_s"),
+        )
+        .select("ivl_id", "start_s", "n_events", "value_cents")
+    )
+
+
+SQL_RANGE_JOIN = f"""
+WITH i AS (
+  SELECT event_id AS ivl_id, ts AS start_ts,
+         ts + INTERVAL 600 SECOND AS end_ts
+  FROM events WHERE event_type = 'error' AND value > 195.0
+)
+SELECT i.ivl_id, {_OFMT.format(c='i.start_ts')} AS start_s,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM i JOIN events e ON e.ts >= i.start_ts AND e.ts < i.end_ts
+GROUP BY i.ivl_id, start_s
+"""
+
+
+def q_rollup_time_multigrain(spark, sf):
+    """Hypertable-style continuous aggregate: hour/day/per-type/total
+    grains from ONE ``ROLLUP (event_type, day, hour)`` scan
+    (TimescaleDB materializes each grain as its own continuous
+    aggregate and refreshes N jobs; Expand + partial agg does it in
+    one shuffle of partially-aggregated rows)."""
+    from ..operators.temporal import multigrain_rollup
+
+    ev = _ev(spark, sf).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return multigrain_rollup(
+        ev,
+        ts="ts",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("value_cents"),
+        ],
+        extra_keys=["event_type"],
+    )
+
+
+SQL_MULTIGRAIN = """
+WITH base AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_s,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), rolled AS (
+  SELECT event_type, day_s, hour_s,
+         count(*)::BIGINT AS n, CAST(sum(cents) AS BIGINT) AS value_cents
+  FROM base GROUP BY ROLLUP (event_type, day_s, hour_s)
+)
+SELECT CASE WHEN hour_s IS NOT NULL THEN 'hour'
+            WHEN day_s IS NOT NULL THEN 'day'
+            WHEN event_type IS NOT NULL THEN 'sub3'
+            ELSE 'total' END AS grain,
+       coalesce(event_type, '') AS event_type,
+       coalesce(day_s, '') AS day_s,
+       coalesce(hour_s, '') AS hour_s,
+       n, value_cents
+FROM rolled
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1416,4 +1564,7 @@ REGISTRY: dict = {
     "rollup_region_revenue": (q_rollup_region_revenue, SQL_ROLLUP),
     "percentile_value_by_type": (q_percentile_value_by_type, SQL_PERCENTILE),
     "etl_full_pipeline": (q_etl_full_pipeline, SQL_ETL),
+    "asof_last_error": (q_asof_last_error, SQL_ASOF),
+    "range_join_error_windows": (q_range_join_error_windows, SQL_RANGE_JOIN),
+    "rollup_time_multigrain": (q_rollup_time_multigrain, SQL_MULTIGRAIN),
 }
