@@ -301,3 +301,78 @@ def tfidf_top_terms(
     return scored.withColumn(
         "term_rank", F.row_number().over(w).cast("int")
     ).filter(F.col("term_rank") <= top_n)
+
+
+# ---------------------------------------------------------------------------
+# Token chunking (context-window splitting) and vocabulary build
+# ---------------------------------------------------------------------------
+
+def chunk_tokens(
+    df,
+    text: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+):
+    """Split each document into fixed-size token chunks with overlap —
+    the standard context-window preparation step (LM pretraining cuts
+    long documents into ``window``-token pieces every ``stride``
+    tokens; ``window - stride`` tokens of overlap preserve cross-chunk
+    context).
+
+    Scale shape: pure projection + generate — the token array is
+    materialized ONCE per document as a column, the exploded array is
+    just the (cheap) 1-based start-offset sequence, and each chunk is
+    a ``slice`` of the carried token array.  Zero shuffles; output
+    rows ≈ corpus tokens / stride.  ``explode_computed`` keeps
+    Catalyst from substituting the sequence through an inferred
+    ``size > 0`` filter (the sequence is never empty by construction:
+    ``greatest(n, 1)``).
+
+    Every document emits ≥1 chunk (an empty text yields one
+    empty-string chunk) so chunking never silently drops documents.
+    """
+    from .dedup import explode_computed, spread_for_compute
+
+    toks = spread_for_compute(df, id_col).select(
+        id_col, _words(F.col(text)).alias("_toks")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("_toks"), F.lit(1)), F.lit(stride)
+    )
+    exploded = explode_computed(toks, starts, "_st", keep=[id_col, "_toks"])
+    chunk = F.slice(F.col("_toks"), F.col("_st"), window)
+    return exploded.select(
+        id_col,
+        F.floor((F.col("_st") - 1) / stride).cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+def vocab_top_terms(df, text: str = "text", top_n: int = 100):
+    """Corpus vocabulary: global token counts, ranked (count desc,
+    token asc — deterministic), truncated to ``top_n``.
+
+    Scale shape: one explode + ONE partial-agg groupBy (the corpus-
+    sized shuffle carries combiner-reduced (token, count) partials);
+    the ranking window then runs over the distinct-token frame, which
+    is vocabulary-sized, not corpus-sized.  The final global window is
+    a single partition of ≤|vocab| rows — fine up to web-scale
+    vocabularies (~10⁸); beyond that, pre-filter with a min-count
+    threshold before ranking (the count frame makes that a cheap
+    ``filter``).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import explode_computed, spread_for_compute
+
+    tokens = explode_computed(
+        spread_for_compute(df), _words(F.col(text)), "token", keep=[]
+    ).filter(F.col("token") != "")
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+    )

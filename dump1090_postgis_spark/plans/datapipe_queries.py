@@ -1169,6 +1169,55 @@ SELECT doc_id, term, tf, score, term_rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Token chunking + vocabulary build
+# ---------------------------------------------------------------------------
+
+
+def q_chunk_documents(spark, sf):
+    """Context-window chunking: 32-token chunks every 24 tokens
+    (8-token overlap) — zero-shuffle projection+generate
+    (datapipe/text.py chunk_tokens)."""
+    docs = load_table(spark, sf, "documents")
+    return tx.chunk_tokens(docs, window=32, stride=24)
+
+
+SQL_CHUNK_DOCS = f"""
+WITH t AS (
+  SELECT doc_id, str_split({_ONORM}, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), 24)) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+       array_to_string(toks[st:st + 31], ' ') AS chunk_text,
+       CAST(len(toks[st:st + 31]) AS BIGINT) AS n_tokens
+FROM s
+"""
+
+
+def q_vocab_top_tokens(spark, sf):
+    """Corpus vocabulary: global token counts, top-100 by (count desc,
+    token) — one partial-agg shuffle, vocabulary-sized ranking window
+    (datapipe/text.py vocab_top_terms)."""
+    docs = load_table(spark, sf, "documents")
+    return tx.vocab_top_terms(docs, top_n=100)
+
+
+SQL_VOCAB_TOP = f"""
+WITH w AS (
+  SELECT unnest(str_split({_ONORM}, ' ')) AS token FROM documents
+), c AS (
+  SELECT token, count(*)::BIGINT AS n FROM w WHERE token <> '' GROUP BY token
+)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+FROM c QUALIFY rank <= 100
+"""
+
+
 REGISTRY: dict = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
@@ -1199,4 +1248,6 @@ REGISTRY: dict = {
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "text_scrub": (q_text_scrub, SQL_TEXT_SCRUB),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCS),
+    "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP),
 }

@@ -358,3 +358,41 @@ def test_incremental_lsh_hot_bucket_cap(spark):
     assert capped.count() == 0
     uncapped = dd.incremental_lsh_pairs(corpus, new, max_bucket_size=None)
     assert uncapped.count() == 7
+
+
+def test_chunk_tokens_overlap_and_empty_doc(spark):
+    from dump1090_postgis_spark.datapipe.text import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, ""),                                     # empty doc
+            (3, "only three words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(docs, window=4, stride=3)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: starts at 1,4,7,10 → 4 chunks; last chunk clamps to 1 token
+    assert [rows[(1, i)]["chunk_text"] for i in range(4)] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+    ]
+    assert rows[(1, 3)]["n_tokens"] == 1
+    # empty doc still emits exactly one (empty) chunk — no silent drop
+    assert rows[(2, 0)]["chunk_text"] == "" and rows[(2, 0)]["n_tokens"] == 1
+    # short doc: single chunk, clamped size
+    assert rows[(3, 0)]["chunk_text"] == "only three words"
+    assert out.count() == 6
+
+
+def test_vocab_top_terms_rank_deterministic(spark):
+    from dump1090_postgis_spark.datapipe.text import vocab_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "b a a"), (2, "c b  A")],  # 'A' normalizes to 'a'; double space
+        "doc_id long, text string",
+    )
+    out = vocab_top_terms(docs, top_n=2).collect()
+    got = [(r["token"], r["n"], r["rank"]) for r in out]
+    # a:3, b:2, c:1 → top-2; ties impossible here, rank by (n desc, token)
+    assert got == [("a", 3, 1), ("b", 2, 2)]
