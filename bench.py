@@ -64,6 +64,12 @@ BENCH_QUERIES = [
     "mixture_sample",
     "text_scrub",
     "tfidf_top_terms",
+    # round-3 temporal joins + chunking/vocab
+    "asof_last_error",
+    "range_join_error_windows",
+    "rollup_time_multigrain",
+    "chunk_documents",
+    "vocab_top_tokens",
 ]
 
 
