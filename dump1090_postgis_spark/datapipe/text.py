@@ -356,23 +356,27 @@ def vocab_top_terms(df, text: str = "text", top_n: int = 100):
 
     Scale shape: one explode + ONE partial-agg groupBy (the corpus-
     sized shuffle carries combiner-reduced (token, count) partials);
-    the ranking window then runs over the distinct-token frame, which
-    is vocabulary-sized, not corpus-sized.  The final global window is
-    a single partition of ≤|vocab| rows — fine up to web-scale
-    vocabularies (~10⁸); beyond that, pre-filter with a min-count
-    threshold before ranking (the count frame makes that a cheap
-    ``filter``).
+    the top-``top_n`` cut is a sort-limit, which Spark executes as
+    TakeOrderedAndProject — per-partition top-k heaps merged on the
+    driver, never a full vocabulary sort and never a single-partition
+    WindowExec.  Ranks are then assigned by a broadcast theta
+    self-join over the ≤``top_n`` survivors (rank = 1 + rows strictly
+    ahead in the total order), so no global window appears anywhere
+    in the plan.
     """
-    from pyspark.sql import Window
-
     from .dedup import explode_computed, spread_for_compute
 
     tokens = explode_computed(
         spread_for_compute(df), _words(F.col(text)), "token", keep=[]
     ).filter(F.col("token") != "")
     counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(top_n)
+    a, b = top.alias("_a"), top.alias("_b")
+    ahead = (F.col("_b.n") > F.col("_a.n")) | (
+        (F.col("_b.n") == F.col("_a.n")) & (F.col("_b.token") < F.col("_a.token"))
+    )
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_n)
+        a.join(F.broadcast(b), ahead, "left")
+        .groupBy(F.col("_a.token").alias("token"), F.col("_a.n").alias("n"))
+        .agg((F.count(F.col("_b.token")) + F.lit(1)).cast("long").alias("rank"))
     )

@@ -29,6 +29,12 @@ def remap_ids(
 
     Returns (new_flights, {name: new_child}).  The mapping is tiny →
     broadcast; children shuffle zero times.
+
+    The unpartitioned row_number window runs only over the explicitly
+    selected flights (`flight_ids` is a caller-supplied list, the same
+    contract under which the mapping is broadcast) — bounded by
+    construction, never corpus-sized.  For dense ids over an unbounded
+    frame use ``operators.ids.with_dense_ids`` instead.
     """
     selected = flights.filter(F.col(key).isin(list(flight_ids)))
     mapping = selected.select(

@@ -539,7 +539,12 @@ FROM pts
 def q_snk5_copy_remap(spark, sf):
     """SNK-5 d1090_copy_flight analog
     (create_public_schema.sql:149-172): copy rows with fresh dense ids,
-    FK remapped via a broadcast mapping — set-oriented, no loop."""
+    FK remapped via a broadcast mapping — set-oriented, no loop.
+
+    The unpartitioned row_number runs over the explicitly selected
+    copy set only (same bounded-selection contract as the reference
+    proc's single-flight argument and as the broadcast of the
+    mapping); unbounded frames use operators.ids.with_dense_ids."""
     ev = _ev(spark, sf).filter(F.col("user_id").isin(1, 2, 3))
     mapping = ev.select("event_id").withColumn(
         "new_id", F.row_number().over(Window.orderBy("event_id")) + F.lit(1000000)
