@@ -59,6 +59,7 @@ def main(argv: list[str]) -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name in names:
         if name not in qs:
             print(f"UNKNOWN {name}")
@@ -70,12 +71,14 @@ def main(argv: list[str]) -> int:
             print(f"FAIL  {name}: spark query raised")
             traceback.print_exc()
             n_fail += 1
+            results[name] = {"status": "fail", "err": "spark_raised"}
             continue
         if name not in oracles:
             ok = len(sdf) >= 0
             print(f"check {name}: rows-only (no oracle) rows={len(sdf)} "
                   f"[{time.time()-t0:.1f}s]")
             n_pass += 1
+            results[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             continue
         try:
             odf = con.sql(oracles[name]).df()
@@ -83,6 +86,7 @@ def main(argv: list[str]) -> int:
             print(f"FAIL  {name}: oracle SQL raised")
             traceback.print_exc()
             n_fail += 1
+            results[name] = {"status": "fail", "err": "oracle_raised"}
             continue
 
         problems = []
@@ -102,11 +106,20 @@ def main(argv: list[str]) -> int:
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
+            results[name] = {"status": "fail", "err": "; ".join(problems)[:300]}
         else:
             print(f"PASS  {name} rows={len(sdf)} [{time.time()-t0:.1f}s]")
             n_pass += 1
+            results[name] = {"status": "pass", "spark_rows": len(sdf)}
 
     print(f"\n{n_pass} pass, {n_fail} fail (sf_dir={SF_DIR})")
+    out_path = os.environ.get("CHECK_JSON")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump({"sf_dir": SF_DIR, "results": results}, fh, indent=1)
+        print(f"wrote {out_path}")
     return 1 if n_fail else 0
 
 
