@@ -316,20 +316,35 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.0,
+    restrict_to_candidates: bool = False,
 ) -> DataFrame:
     """Exact k-shingle Jaccard for candidate pairs; keeps pairs with
     jaccard > threshold. Two broadcast-or-shuffle hash joins to attach
-    shingle sets, then a codegen'd set intersection per pair."""
+    shingle sets, then a codegen'd set intersection per pair.
+
+    ``restrict_to_candidates=True`` semi-joins ``docs`` to the pair ids
+    before shingling, so only candidate docs (O(duplicate clusters), a
+    vanishing fraction of a 100 TB corpus) pay the shingling
+    projection.  Enable it ONLY when ``pairs`` is materialized
+    (persisted / checkpointed / read back from storage): with a lazy
+    candidate plan the extra reference re-runs the whole candidate
+    generator — measured 2-3× slower than just shingling the corpus.
+    The default keeps one-pass lazy composition correct and fast.
+    """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(F.col(id_col).alias("_id"), text)
+    if restrict_to_candidates:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias("_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        base = base.join(cand_ids, "_id", "leftsemi")
     # Shingle once, then hash-partition by id: BOTH pair-side joins
     # shuffle on the same key, so Catalyst reuses one exchange — the
     # shingling runs once, not once per join side.
     sh = (
-        with_shingles(
-            docs.select(F.col(id_col).alias("_id"), text).repartition(n_parts),
-            text,
-            k=k,
-        )
+        with_shingles(base.repartition(n_parts), text, k=k)
         .withColumnRenamed("_shingles", "_sh")
         .select("_id", "_sh")
         .repartition(n_parts, "_id")

@@ -31,14 +31,51 @@ def brute_force_topk(
     Returns (query_id, rank, neighbor_id, cosine) — rank 1..k by cosine
     desc with neighbor-id tiebreak (deterministic).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec).alias("_qv")
+    # Stage the double-cast vector AND its norm as named columns BEFORE
+    # the broadcast theta join: the higher-order transform/aggregate
+    # expressions run interpreted (no whole-stage codegen), so leaving
+    # them inside the cosine expression evaluates them once per PAIR —
+    # |queries|× per corpus row.  Staged, each side is cast and normed
+    # once per ROW; the per-pair work is exactly one zip_with dot and a
+    # divide.  CollapseProject keeps the staging (the aliased arrays
+    # are non-cheap and referenced more than once).  The float math is
+    # identical to embedding_cosine — same values, same operation tree,
+    # only factored per-side — so results stay bit-identical.
+    def _staged(df, out_id):
+        dv = F.transform(F.col(vec), lambda x: x.cast("double"))
+        return (
+            df.withColumn("_dv", dv)
+            .withColumn(
+                "_norm",
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("_dv"), lambda x: x * x),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    )
+                ),
+            )
+            .select(F.col(id_col).alias(out_id), "_dv", "_norm")
+        )
+
+    q = _staged(queries, "query_id").withColumnsRenamed(
+        {"_dv": "_qv", "_norm": "_qn"}
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec).alias("_cv"))
+    c = _staged(corpus, "neighbor_id").withColumnsRenamed(
+        {"_dv": "_cv", "_norm": "_cn"}
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(embedding_cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0))
+        .withColumn(
+            "cosine",
+            F.round(dot / (F.col("_qn") * F.col("_cn")), 4) + F.lit(0.0),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -81,17 +118,28 @@ def quantize_embeddings(
     int arrays.  All arithmetic (floor(x+0.5), integer-valued sums)
     is exact in doubles, so any engine replays it bit-identically.
     """
-    v = F.transform(F.col(vec), lambda x: x.cast("double"))
-    mx = F.array_max(F.transform(v, F.abs))
-    sc = F.when(mx > 0, mx / 127.0).otherwise(F.lit(1.0))
-    staged = df.withColumn(scale_out, sc)
+    # Stage the cast array and max|x| as named columns so each runs
+    # once per row: inlined, the `when` would evaluate the interpreted
+    # array_max(transform(...)) subtree twice (condition + branch) and
+    # the cast transform three times.  CollapseProject keeps the
+    # staging (non-cheap aliases referenced more than once).
+    staged = (
+        df.withColumn("_qz_v", F.transform(F.col(vec), lambda x: x.cast("double")))
+        .withColumn("_qz_mx", F.array_max(F.transform(F.col("_qz_v"), F.abs)))
+        .withColumn(
+            scale_out,
+            F.when(F.col("_qz_mx") > 0, F.col("_qz_mx") / 127.0).otherwise(
+                F.lit(1.0)
+            ),
+        )
+    )
     return staged.withColumn(
         q_out,
         F.transform(
-            F.transform(F.col(vec), lambda x: x.cast("double")),
+            F.col("_qz_v"),
             lambda x: F.floor(x / F.col(scale_out) + 0.5).cast("int"),
         ),
-    )
+    ).drop("_qz_v", "_qz_mx")
 
 
 def _mean_centroids(assigned: DataFrame) -> DataFrame:

@@ -810,8 +810,8 @@ def q_quality_quantile_filter(spark, sf):
     from ..datapipe.sampling import quantile_filter
 
     docs = load_table(spark, sf, "documents")
-    scored = docs.select(
-        "doc_id", "lang", tx.quality_score(F.col("text")).alias("quality")
+    scored = tx.with_quality_score(docs, "text", "quality").select(
+        "doc_id", "lang", "quality"
     )
     return quantile_filter(scored, "quality", q=0.5, keys=["lang"]).select(
         "doc_id", "lang", "quality", "threshold"
