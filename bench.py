@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "rollup_time_multigrain",
     "chunk_documents",
     "vocab_top_tokens",
+    # round-4 additions
+    "corpus_shuffle_shard",
+    "vocab_apply_oov",
+    "packing_efficiency",
 ]
 
 

@@ -145,3 +145,38 @@ def mixture_sample(
         .filter(uniform_hash(F.col(id_col), salt) < F.col("keep_rate"))
         .select(id_col, source_col, "keep_rate")
     )
+
+
+def packing_efficiency(
+    packed: DataFrame,
+    seq_len: int,
+    shard_col: str = "shard",
+    end_col: str = "end_tok",
+) -> DataFrame:
+    """Padding-waste accounting over a :func:`pack_sequences` layout:
+    per shard, the number of fixed-length training sequences the token
+    stream fills, the tokens of tail padding the last sequence needs,
+    and the fill efficiency — the metric a packing strategy is tuned
+    against (concat-and-chunk wastes only the final partial sequence
+    per stream; per-doc padding would waste per DOCUMENT).
+
+    One partial-agg groupBy over the shard key (shard count is a
+    configuration constant, so the aggregate is a handful of rows);
+    no windows, no second scan of the packed frame.
+    """
+    per_shard = packed.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(end_col).alias("total_tokens"),
+    )
+    n_seqs = F.floor((F.col("total_tokens") - 1) / F.lit(float(seq_len))) + 1
+    capacity = n_seqs * F.lit(seq_len)
+    return per_shard.select(
+        F.col(shard_col),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        n_seqs.cast("bigint").alias("n_seqs"),
+        (capacity - F.col("total_tokens")).cast("bigint").alias("padded_tokens"),
+        F.round(
+            F.col("total_tokens").cast("double") / capacity.cast("double"), 4
+        ).alias("efficiency"),
+    )

@@ -141,3 +141,40 @@ def quantile_filter(
         else df.crossJoin(F.broadcast(thr))
     )
     return joined.filter(F.col(value) >= F.col("threshold"))
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "42",
+) -> DataFrame:
+    """Seeded, reproducible global shuffle for training order:
+    ``(id, pos, shard)`` where ``pos`` is the row's 0-based position in
+    the order of ``md5(seed|id)`` (id tiebreak) and ``shard`` deals
+    positions round-robin across ``n_shards``.
+
+    Why not ``ORDER BY rand()``: training-data shuffles must be
+    reproducible across retries, engines, and incremental reruns — a
+    seeded content-independent hash gives the same permutation every
+    time, and changing the seed is a fresh epoch-level reshuffle.
+
+    Scale shape: position assignment is ``with_dense_ids`` (range
+    partition by the hash + per-partition numbering + driver-side
+    offsets of per-partition COUNTS), never a single-partition
+    row_number window; round-robin sharding then needs no second
+    shuffle — a shard's rows are scattered across the hash range, so
+    downstream per-shard readers see an unbiased sample of the corpus.
+    """
+    from ..operators.ids import with_dense_ids
+
+    h = F.md5(
+        F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    staged = df.select(F.col(id_col), h.alias("_h"))
+    numbered = with_dense_ids(staged, ["_h", id_col], id_col="_pos1")
+    return numbered.select(
+        id_col,
+        (F.col("_pos1") - 1).cast("bigint").alias("pos"),
+        F.pmod(F.col("_pos1") - 1, F.lit(n_shards)).cast("bigint").alias("shard"),
+    )

@@ -409,3 +409,45 @@ def vocab_top_terms(df, text: str = "text", top_n: int = 100):
         .groupBy(F.col("_a.token").alias("token"), F.col("_a.n").alias("n"))
         .agg((F.count(F.col("_b.token")) + F.lit(1)).cast("long").alias("rank"))
     )
+
+
+def apply_vocab(
+    df,
+    vocab,
+    text: str = "text",
+    id_col: str = "doc_id",
+):
+    """Tokenize against a fixed vocabulary: per document, total tokens,
+    out-of-vocabulary tokens, and the OOV rate — the coverage check run
+    before committing to a tokenizer vocab (a rate spike on one
+    language/source flags a vocab that under-serves it).
+
+    Scale shape: one explode of the corpus (the only corpus-sized
+    frame), a BROADCAST left join against the vocab (vocabularies are
+    bounded — top-k by construction here), then a partial-agg groupBy
+    back to document grain.  Docs whose normalized text has no tokens
+    contribute no exploded rows and are absent from the output (same
+    semantics in the oracle).
+    """
+    from .dedup import explode_computed, spread_for_compute
+
+    tokens = explode_computed(
+        spread_for_compute(df), _words(F.col(text)), "token", keep=[id_col]
+    ).filter(F.col("token") != "")
+    marked = tokens.join(
+        F.broadcast(vocab.select("token").withColumn("_in_v", F.lit(1))),
+        "token",
+        "left",
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return agg.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 4
+        ).alias("oov_rate"),
+    )

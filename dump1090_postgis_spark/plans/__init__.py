@@ -63,19 +63,19 @@ DRIVER_WINDOW: list[str] = [
     "dedup_clusters",
     "dedup_incremental",
     "decontaminate_ngram",
-    "split_assign",
-    "sample_top_per_lang",
+    "sampling_bundle",
+    "corpus_shuffle_shard",
     "ann_bundle",
     "text_metrics_bundle",
     "curate_documents",
     "curate_to_shards",
     "quality_quantile_filter",
     "multimodal_bundle",
-    "pack_sequences",
-    "mixture_sample",
+    "sequence_bundle",
+    "packing_efficiency",
     "text_scrub",
     "tfidf_top_terms",
-    "chunk_documents",
+    "vocab_apply_oov",
     "vocab_top_tokens",
 ]
 

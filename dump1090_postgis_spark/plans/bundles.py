@@ -344,6 +344,58 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("top3_frac", "double"),
         ],
     ),
+    # Corpus sampling: hash split + mixture resample + per-lang cap
+    "sampling_bundle": (
+        [
+            ("split_assign", "dq", ["doc_id", "bucket", "split"]),
+            ("mixture_sample", "dq", ["doc_id", "source", "keep_rate"]),
+            ("sample_top_per_lang", "dq", ["doc_id", "lang", "quality", "rank"]),
+        ],
+        [
+            ("doc_id", "bigint"),
+            ("bucket", "bigint"),
+            ("split", "string"),
+            ("source", "string"),
+            ("keep_rate", "double"),
+            ("lang", "string"),
+            ("quality", "double"),
+            ("rank", "int"),
+        ],
+    ),
+    # Training-sequence prep: context-window chunking + packed spans
+    "sequence_bundle": (
+        [
+            (
+                "chunk_documents",
+                "dq",
+                ["doc_id", "chunk_idx", "chunk_text", "n_tokens"],
+            ),
+            (
+                "pack_sequences",
+                "dq",
+                [
+                    "doc_id",
+                    "shard",
+                    "n_tokens",
+                    "begin_tok",
+                    "end_tok",
+                    "seq_first",
+                    "seq_last",
+                ],
+            ),
+        ],
+        [
+            ("doc_id", "bigint"),
+            ("chunk_idx", "bigint"),
+            ("chunk_text", "string"),
+            ("n_tokens", "bigint"),
+            ("shard", "bigint"),
+            ("begin_tok", "bigint"),
+            ("end_tok", "bigint"),
+            ("seq_first", "bigint"),
+            ("seq_last", "bigint"),
+        ],
+    ),
     # Multimodal binary metadata: generic decode seam + real BMP header
     "multimodal_bundle": (
         [

@@ -1218,6 +1218,100 @@ FROM c QUALIFY rank <= 100
 """
 
 
+def q_corpus_shuffle_shard(spark, sf):
+    """Deterministic seeded training-order shuffle
+    (datapipe/sampling.py deterministic_shuffle): global position from
+    md5(seed|doc_id) order assigned via the scalable dense-id operator
+    (range partition + per-partition numbering + count offsets — never
+    a single-partition row_number), shards dealt round-robin."""
+    from ..datapipe.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf, "documents")
+    return deterministic_shuffle(docs, "doc_id", n_shards=8, seed="42")
+
+
+SQL_SHUFFLE_SHARD = """
+WITH h AS (
+  SELECT doc_id, md5(concat('42', '|', doc_id::VARCHAR)) AS hh
+  FROM documents
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY hh, doc_id) - 1)::BIGINT AS pos,
+       ((row_number() OVER (ORDER BY hh, doc_id) - 1) % 8)::BIGINT AS shard
+FROM h
+"""
+
+
+def q_vocab_apply_oov(spark, sf):
+    """Vocabulary coverage: encode the corpus against its own top-100
+    vocab (vocab_top_terms) and report per-doc token/OOV counts and
+    OOV rate (datapipe/text.py apply_vocab) — one corpus explode, a
+    broadcast join against the bounded vocab, partial-agg groupBy back
+    to document grain."""
+    docs = load_table(spark, sf, "documents")
+    vocab = tx.vocab_top_terms(docs, top_n=100)
+    return tx.apply_vocab(docs, vocab)
+
+
+SQL_VOCAB_APPLY = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_OWORDS}) AS token FROM documents
+), tok AS (
+  SELECT doc_id, token FROM w WHERE token <> ''
+), c AS (
+  SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token
+), v AS (
+  SELECT token FROM c ORDER BY n DESC, token LIMIT 100
+)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS oov_rate
+FROM tok t LEFT JOIN v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+def q_packing_efficiency(spark, sf):
+    """Padding-waste accounting over the 512-token packed layout
+    (datapipe/packing.py packing_efficiency): per md5 shard, sequences
+    filled, tail padding, and fill efficiency — one partial-agg groupBy
+    over the pack_sequences frame."""
+    from ..datapipe.packing import pack_sequences, packing_efficiency
+
+    docs = load_table(spark, sf, "documents")
+    packed = pack_sequences(
+        docs, tx.token_count_ws(F.col("text")), seq_len=512, n_shards=8
+    )
+    return packing_efficiency(packed, seq_len=512)
+
+
+SQL_PACKING_EFF = """
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tok
+  FROM t
+), s AS (
+  SELECT shard, count(*)::BIGINT AS n_docs, max(end_tok)::BIGINT AS total_tokens
+  FROM c GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens,
+       (floor((total_tokens - 1) / 512.0) + 1)::BIGINT AS n_seqs,
+       ((floor((total_tokens - 1) / 512.0) + 1)::BIGINT * 512
+         - total_tokens)::BIGINT AS padded_tokens,
+       round(total_tokens::DOUBLE
+             / ((floor((total_tokens - 1) / 512.0) + 1) * 512), 4) AS efficiency
+FROM s
+"""
+
+
 REGISTRY: dict = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
@@ -1250,4 +1344,7 @@ REGISTRY: dict = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCS),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP),
+    "corpus_shuffle_shard": (q_corpus_shuffle_shard, SQL_SHUFFLE_SHARD),
+    "vocab_apply_oov": (q_vocab_apply_oov, SQL_VOCAB_APPLY),
+    "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFF),
 }

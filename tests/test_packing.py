@@ -146,3 +146,53 @@ def test_pack_extra_keys_isolate_streams(spark):
         assert rows[0].begin_tok == 0  # every stream starts at zero
         for a, b in zip(rows, rows[1:]):
             assert b.begin_tok == a.end_tok
+
+
+def test_packing_efficiency_accounting(spark):
+    """Known layout: one shard, 3 docs x 5 tokens = 15 tokens at
+    seq_len 8 -> 2 sequences, 1 padding token, efficiency 15/16."""
+    from dump1090_postgis_spark.datapipe.packing import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    packed = pack_sequences(df, F.lit(5), seq_len=8, n_shards=1)
+    [row] = packing_efficiency(packed, seq_len=8).collect()
+    assert row.n_docs == 3
+    assert row.total_tokens == 15
+    assert row.n_seqs == 2
+    assert row.padded_tokens == 1
+    assert abs(row.efficiency - 15 / 16) < 1e-9
+
+
+def test_deterministic_shuffle_is_reproducible_permutation(spark):
+    from dump1090_postgis_spark.datapipe.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+    out = deterministic_shuffle(df, "doc_id", n_shards=4, seed="s1").collect()
+    assert sorted(r.pos for r in out) == list(range(97))
+    assert all(r.shard == r.pos % 4 for r in out)
+    # input order must not matter (hash order is the only order)
+    flipped = deterministic_shuffle(
+        df.orderBy(F.desc("doc_id")), "doc_id", n_shards=4, seed="s1"
+    ).collect()
+    assert {(r.doc_id, r.pos) for r in flipped} == {(r.doc_id, r.pos) for r in out}
+    # a different seed is a different permutation
+    other = deterministic_shuffle(df, "doc_id", n_shards=4, seed="s2").collect()
+    assert {(r.doc_id, r.pos) for r in other} != {(r.doc_id, r.pos) for r in out}
+
+
+def test_apply_vocab_oov_counts(spark):
+    from dump1090_postgis_spark.datapipe.text import apply_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "dog dog zebra"), (3, "")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("the",), ("cat",), ("dog",)], "token string")
+    rows = {r.doc_id: r for r in apply_vocab(docs, vocab).collect()}
+    assert rows[1].n_tokens == 3 and rows[1].n_oov == 1  # 'sat'
+    assert rows[2].n_tokens == 3 and rows[2].n_oov == 1  # 'zebra'
+    assert abs(rows[2].oov_rate - round(1 / 3, 4)) < 1e-9
+    assert 3 not in rows  # no tokens -> absent, matching the oracle
