@@ -66,6 +66,12 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "pack_sequences",
     "tfidf_top_terms",
+    # round-4 additions + re-staged hot paths
+    "ann_topk_quantized",
+    "quality_quantile_filter",
+    "vocab_top_tokens",
+    "corpus_shuffle_shard",
+    "vocab_apply_oov",
 ]
 
 

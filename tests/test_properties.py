@@ -303,3 +303,27 @@ def test_rank_quantile_matches_reference(spark, rows, q):
     for k in {k for k, _ in rows}:
         expected[k] = float(_py_nearest_rank([v for kk, v in rows if kk == k], q))
     assert got == expected
+
+
+# --- deterministic_shuffle vs Python md5-order reference -------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+             max_size=80, unique=True),
+    st.integers(min_value=1, max_value=7),
+)
+def test_deterministic_shuffle_matches_md5_reference(spark, ids, n_shards):
+    import hashlib
+
+    from dump1090_postgis_spark.datapipe.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: (r.pos, r.shard)
+        for r in deterministic_shuffle(df, "doc_id", n_shards, seed="p").collect()
+    }
+    order = sorted(ids, key=lambda i: (hashlib.md5(f"p|{i}".encode()).hexdigest(), i))
+    want = {i: (p, p % n_shards) for p, i in enumerate(order)}
+    assert got == want
