@@ -334,3 +334,66 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def label_outliers(
+    emb: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Embedding-space cohesion check for labeled data: cosine of each
+    vector to its own label's centroid, flagging vectors below
+    ``threshold`` — the standard screen for mislabeled / corrupted
+    rows before embeddings feed curation decisions.
+
+    Scale shape: centroids are an element-wise mean via posexplode +
+    TWO partial-agg groupBys (shuffle keyed on (label, dim) — corpus ×
+    dim rows combiner-reduced, the same shape as IVF's centroid step);
+    the centroid table is |labels| rows → broadcast back; the cosine
+    is one staged-norm dot per row, no per-pair recompute (the vector
+    and its norm are named columns, see brute_force_topk).
+    """
+    dv = F.transform(F.col(vec), lambda x: x.cast("double"))
+    staged = emb.select(F.col(id_col), F.col(label_col), dv.alias("_v"))
+    exploded = staged.select(
+        label_col, F.posexplode("_v").alias("pos", "x")
+    )
+    cent = (
+        exploded.groupBy(label_col, "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+        .select(
+            label_col,
+            F.transform(F.col("_pm"), lambda s: s["m"]).alias("_cen"),
+        )
+    )
+    joined = staged.join(F.broadcast(cent), label_col)
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_cen"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_cen"), lambda x: x * x),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    cos = F.round(dot / (nv * nc), 4) + F.lit(0.0)
+    return joined.select(
+        id_col,
+        label_col,
+        cos.alias("cosine_to_centroid"),
+        (cos < F.lit(threshold)).alias("is_outlier"),
+    )

@@ -51,7 +51,7 @@ DRIVER_WINDOW: list[str] = [
     "asof_last_error",
     "range_join_error_windows",
     "rollup_time_multigrain",
-    "tpch_q3_shipping",
+    "embedding_outliers",
     "tpch_agg_bundle",
     "olap_bundle",
     "type_stats_bundle",

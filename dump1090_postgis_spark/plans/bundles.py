@@ -143,7 +143,7 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("track", "double"),
         ],
     ),
-    # TPC-H lineitem aggregates q1 + q6
+    # TPC-H lineitem aggregates q1 + q6 + top-k join q3
     "tpch_agg_bundle": (
         [
             (
@@ -163,6 +163,7 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ],
             ),
             ("tpch_q6_forecast", "tq", ["revenue_cents", "n_items"]),
+            ("tpch_q3_shipping", "tq", ["l_orderkey", "revenue_cents"]),
         ],
         [
             ("l_returnflag", "string"),
@@ -177,6 +178,7 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("count_order", "bigint"),
             ("revenue_cents", "bigint"),
             ("n_items", "bigint"),
+            ("l_orderkey", "bigint"),
         ],
     ),
     # Semi join (q4) + anti join + region revenue (q5) + rollup

@@ -1312,6 +1312,38 @@ FROM s
 """
 
 
+def q_embedding_outliers(spark, sf):
+    """Per-label embedding cohesion screen (datapipe/similarity.py
+    label_outliers): element-wise mean centroid per label (posexplode +
+    two partial-agg groupBys, the IVF centroid shape), broadcast join
+    back, staged-norm cosine per row.  Threshold 0.3 flags the
+    low-cohesion tail of the synthetic clusters."""
+    from ..datapipe.similarity import label_outliers
+
+    emb = load_table(spark, sf, "embeddings")
+    return label_outliers(emb, threshold=0.3)
+
+
+SQL_EMBEDDING_OUTLIERS = f"""
+WITH corpus AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), seeded AS (
+  SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+  FROM corpus
+), cent_elems AS (
+  SELECT label, pos, avg(x) AS m FROM seeded GROUP BY label, pos
+), cent AS (
+  SELECT label, list(m ORDER BY pos) AS c FROM cent_elems GROUP BY label
+)
+SELECT r.vec_id, r.label,
+       round({_SQL_COS.format(a='r.v', b='ct.c')}, 4) + 0.0
+         AS cosine_to_centroid,
+       (round({_SQL_COS.format(a='r.v', b='ct.c')}, 4) + 0.0) < 0.3
+         AS is_outlier
+FROM corpus r JOIN cent ct USING (label)
+"""
+
+
 REGISTRY: dict = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
@@ -1347,4 +1379,5 @@ REGISTRY: dict = {
     "corpus_shuffle_shard": (q_corpus_shuffle_shard, SQL_SHUFFLE_SHARD),
     "vocab_apply_oov": (q_vocab_apply_oov, SQL_VOCAB_APPLY),
     "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFF),
+    "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
 }

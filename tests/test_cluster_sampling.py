@@ -171,3 +171,23 @@ def test_rank_quantile_threshold_known_distribution(spark):
     kept = quantile_filter(df, "v", 0.5, ["k"]).collect()
     assert sorted(r.v for r in kept if r.k == "a") == [5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
     assert len([r for r in kept if r.k == "b"]) == 4  # all >= 1.0
+
+
+def test_label_outliers_flags_planted_outlier(spark):
+    """Two tight label clusters + one flipped vector: the flipped one
+    has negative cosine to its label centroid and is flagged."""
+    from dump1090_postgis_spark.datapipe.similarity import label_outliers
+
+    rows = []
+    for i in range(5):
+        rows.append((i, [1.0, 0.0, 0.1 * i], "a"))
+        rows.append((10 + i, [0.0, 1.0, 0.1 * i], "b"))
+    rows.append((99, [-1.0, 0.0, 0.0], "a"))  # anti-aligned with label a
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r.vec_id: r for r in label_outliers(df, threshold=0.3).collect()}
+    assert len(out) == 11
+    assert out[99].is_outlier
+    assert out[99].cosine_to_centroid < 0
+    for i in range(5):
+        assert not out[i].is_outlier
+        assert not out[10 + i].is_outlier
