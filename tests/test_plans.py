@@ -182,3 +182,65 @@ def test_incremental_dedup_probe_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "LeftAnti" in plan  # hot-bucket cap present
+
+
+def test_vocab_rank_has_no_window(spark):
+    """vocab_top_terms (round 4): top-k must be TakeOrderedAndProject
+    (per-partition heaps) + a broadcast rank self-join — no WindowExec
+    anywhere, partitioned or not."""
+    from dump1090_postgis_spark.plans.datapipe_queries import q_vocab_top_tokens
+
+    plan = plan_of(q_vocab_top_tokens(spark, SF))
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_brute_force_cosine_staged_outside_join(spark):
+    """ann top-k (round 4): the double-cast/norm staging must stay on
+    the join INPUT sides.  The fragment of the plan above the
+    broadcast join may reference the staged attributes but must not
+    re-evaluate the quantization (array_max) or the norm (sqrt) —
+    those appear only below the join."""
+    from dump1090_postgis_spark.plans.datapipe_queries import q_ann_topk_quantized
+
+    plan = plan_of(q_ann_topk_quantized(spark, SF))
+    join_pos = plan.find("BroadcastNestedLoopJoin")
+    assert join_pos > 0, plan
+    above = plan[:join_pos]
+    # the post-join projection is printed before the join node in
+    # formatted plans; it must hold only the dot product and divide
+    assert "array_max" not in above, above
+    assert "SQRT" not in above and "sqrt" not in above, above
+
+
+def test_shuffle_shard_no_global_window(spark):
+    """corpus_shuffle_shard: dense-id assignment numbers within range
+    partitions (the internal window is partition-scoped) — the plan
+    must never funnel the corpus into a single partition."""
+    from dump1090_postgis_spark.plans.datapipe_queries import (
+        q_corpus_shuffle_shard,
+    )
+
+    plan = plan_of(q_corpus_shuffle_shard(spark, SF))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_vocab_apply_joins_broadcast(spark):
+    """apply_vocab: the vocab side must broadcast; the corpus explode
+    must not shuffle before the join."""
+    from dump1090_postgis_spark.plans.datapipe_queries import q_vocab_apply_oov
+
+    plan = plan_of(q_vocab_apply_oov(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_label_outlier_centroids_partial_agg(spark):
+    """embedding_outliers: the (label, dim) mean must partial-aggregate
+    (combiner) before its exchange, and the centroid join back must be
+    broadcast."""
+    from dump1090_postgis_spark.plans.datapipe_queries import q_embedding_outliers
+
+    plan = plan_of(q_embedding_outliers(spark, SF))
+    assert "partial_avg" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
