@@ -514,11 +514,18 @@ def embedding_near_dup_pairs(
     planes_lit = F.array(*[
         F.array(*[F.lit(w) for w in p]) for p in planes
     ])
-    vd = F.transform(F.col("_v"), lambda x: x.cast("double"))
+    # Stage the double-cast vector as a named column: inlined, the
+    # interpreted transform would re-evaluate once per PLANE (32× per
+    # row) inside the dots lambda below.
+    base = base.withColumn(
+        "_vd", F.transform(F.col("_v"), lambda x: x.cast("double"))
+    )
     dots = F.transform(
         planes_lit,
         lambda p: F.aggregate(
-            F.zip_with(vd, p, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+            F.zip_with(F.col("_vd"), p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
         ),
     )
     bits = F.transform(
@@ -542,9 +549,30 @@ def embedding_near_dup_pairs(
         ).alias("bk"),
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     pairs = _bucket_pairs(banded, max_bucket_size)
-    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-    cos = embedding_cosine(F.col("_va"), F.col("_vb"))
+    # Carry the staged double array AND its norm through the verify
+    # joins so the per-pair cosine is one zip_with dot and a divide —
+    # embedding_cosine inline would re-cast and re-norm both sides per
+    # pair (same float operation tree either way; values identical).
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_vd"), lambda x: x * x),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    sides = base.withColumn("_n", norm)
+    va = sides.select(
+        F.col("_id").alias("id_a"), F.col("_vd").alias("_va"), F.col("_n").alias("_na")
+    )
+    vb = sides.select(
+        F.col("_id").alias("id_b"), F.col("_vd").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cos = dot_ab / (F.col("_na") * F.col("_nb"))
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
