@@ -150,28 +150,35 @@ def mixture_sample(
 def packing_efficiency(
     packed: DataFrame,
     seq_len: int,
-    shard_col: str = "shard",
+    stream_cols: tuple[str, ...] = ("shard",),
     end_col: str = "end_tok",
 ) -> DataFrame:
     """Padding-waste accounting over a :func:`pack_sequences` layout:
-    per shard, the number of fixed-length training sequences the token
-    stream fills, the tokens of tail padding the last sequence needs,
-    and the fill efficiency — the metric a packing strategy is tuned
-    against (concat-and-chunk wastes only the final partial sequence
-    per stream; per-doc padding would waste per DOCUMENT).
+    per token STREAM, the number of fixed-length training sequences
+    the stream fills, the tokens of tail padding the last sequence
+    needs, and the fill efficiency — the metric a packing strategy is
+    tuned against (concat-and-chunk wastes only the final partial
+    sequence per stream; per-doc padding would waste per DOCUMENT).
 
-    One partial-agg groupBy over the shard key (shard count is a
+    ``stream_cols`` must name the SAME keys the packing ran with —
+    ``(*extra_keys, shard)`` when :func:`pack_sequences` was given
+    ``extra_keys`` (offsets restart per stream, so grouping by shard
+    alone would take the max over unrelated streams and misreport
+    every metric).
+
+    One partial-agg groupBy over the stream keys (stream count is a
     configuration constant, so the aggregate is a handful of rows);
     no windows, no second scan of the packed frame.
     """
-    per_shard = packed.groupBy(shard_col).agg(
+    keys = list(stream_cols)
+    per_stream = packed.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.max(end_col).alias("total_tokens"),
     )
     n_seqs = F.floor((F.col("total_tokens") - 1) / F.lit(float(seq_len))) + 1
     capacity = n_seqs * F.lit(seq_len)
-    return per_shard.select(
-        F.col(shard_col),
+    return per_stream.select(
+        *keys,
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("total_tokens").cast("bigint").alias("total_tokens"),
         n_seqs.cast("bigint").alias("n_seqs"),

@@ -148,6 +148,7 @@ def deterministic_shuffle(
     id_col: str = "doc_id",
     n_shards: int = 8,
     seed: str = "42",
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Seeded, reproducible global shuffle for training order:
     ``(id, pos, shard)`` where ``pos`` is the row's 0-based position in
@@ -172,7 +173,11 @@ def deterministic_shuffle(
         F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
     )
     staged = df.select(F.col(id_col), h.alias("_h"))
-    numbered = with_dense_ids(staged, ["_h", id_col], id_col="_pos1")
+    # Pass the caller's cache registry through: with_dense_ids pins a
+    # DISK_ONLY layout frame that must be release_caches()'d once the
+    # shuffled output is materialized — per-epoch reshuffles would
+    # otherwise each pin another copy of the (id, hash) projection.
+    numbered = with_dense_ids(staged, ["_h", id_col], id_col="_pos1", caches=caches)
     return numbered.select(
         id_col,
         (F.col("_pos1") - 1).cast("bigint").alias("pos"),

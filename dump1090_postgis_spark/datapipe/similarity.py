@@ -390,10 +390,16 @@ def label_outliers(
             lambda s, x: s + x,
         )
     )
-    cos = F.round(dot / (nv * nc), 4) + F.lit(0.0)
+    # try_divide: ANSI mode (on in this engine's sessions) raises on
+    # division by zero; a zero-norm (all-zero / corrupted) vector must
+    # instead surface as NULL cosine — it has no direction, and such a
+    # row is exactly what this screen exists to flag, so NULL coalesces
+    # to outlier=true rather than letting three-valued NULL slip
+    # through a downstream filter.
+    cos = F.round(F.try_divide(dot, nv * nc), 4) + F.lit(0.0)
     return joined.select(
         id_col,
         label_col,
         cos.alias("cosine_to_centroid"),
-        (cos < F.lit(threshold)).alias("is_outlier"),
+        F.coalesce(cos < F.lit(threshold), F.lit(True)).alias("is_outlier"),
     )

@@ -86,10 +86,16 @@ def token_count_regex(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0))
 
 
-def quality_features(text: Column) -> dict[str, Column]:
+def quality_features(text: Column, words: Column | None = None) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio features, rounded for
-    cross-engine float stability."""
-    words = _words(text)
+    cross-engine float stability.
+
+    ``words`` lets a DataFrame-level caller supply a PRE-STAGED
+    normalize+split column so the interpreted split runs once per row
+    (see :func:`with_quality_score`); by default the split is inlined
+    into each feature expression.
+    """
+    words = _words(text) if words is None else words
     n_words = F.size(words)
     n_chars = F.length(text)
     stop_hits = _marker_hits(words, STOPWORDS)
@@ -105,6 +111,14 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def _score_from_features(f: dict[str, Column]) -> Column:
+    """The one place the composite quality formula lives."""
+    len_score = F.least(f["n_words"].cast("double") / 100.0, F.lit(1.0))
+    stop_score = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(1.0) - f["punct_ratio"] * 10.0, F.lit(0.0))
+    return F.round((len_score + stop_score + punct_penalty) / 3.0, 4)
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1]: rewards stopword presence and
     mid-range document length, penalizes punctuation soup.
@@ -114,34 +128,19 @@ def quality_score(text: Column) -> Column:
     whole corpus use ``with_quality_score``, which stages the split
     once per row.
     """
-    f = quality_features(text)
-    len_score = F.least(f["n_words"].cast("double") / 100.0, F.lit(1.0))
-    stop_score = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
-    punct_penalty = F.greatest(F.lit(1.0) - f["punct_ratio"] * 10.0, F.lit(0.0))
-    return F.round((len_score + stop_score + punct_penalty) / 3.0, 4)
+    return _score_from_features(quality_features(text))
 
 
 def with_quality_score(df, text: str = "text", out: str = "quality"):
     """``quality_score`` with the normalize+split words array staged as
     a named column, so the interpreted split/filter subtrees run once
     per row instead of once per reference (~3× in the inline form).
-    Identical arithmetic on identical values — results match
-    ``quality_score`` bit-for-bit (pinned in tests)."""
+    Same formula object (``_score_from_features`` over
+    ``quality_features``) — only the words Column differs — so the two
+    forms cannot drift; bit-equality is pinned in tests."""
     staged = df.withColumn("_qs_w", _words(F.col(text)))
-    n_words = F.size(F.col("_qs_w"))
-    n_chars = F.length(F.col(text))
-    stop_hits = _marker_hits(F.col("_qs_w"), STOPWORDS)
-    n_punct = F.size(F.regexp_extract_all(F.col(text), F.lit(r"[^\w\s]"), 0))
-    stopword_ratio = F.round(stop_hits.cast("double") / n_words, 4)
-    punct_ratio = F.round(
-        n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 4
-    )
-    len_score = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
-    stop_score = F.least(stopword_ratio * 5.0, F.lit(1.0))
-    punct_penalty = F.greatest(F.lit(1.0) - punct_ratio * 10.0, F.lit(0.0))
-    return staged.withColumn(
-        out, F.round((len_score + stop_score + punct_penalty) / 3.0, 4)
-    ).drop("_qs_w")
+    f = quality_features(F.col(text), words=F.col("_qs_w"))
+    return staged.withColumn(out, _score_from_features(f)).drop("_qs_w")
 
 
 def _all_grams(words: Column, k: int) -> Column:

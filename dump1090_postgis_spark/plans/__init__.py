@@ -94,9 +94,13 @@ def full_registry():
     flat.update(meta_queries.REGISTRY)
     flat.update(bundles.bundle_registry())
 
-    assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+    # Explicit raises, not asserts: python -O would strip asserts and
+    # silently shift which queries the driver hash-checks.
+    if len(DRIVER_WINDOW) != 50:
+        raise ValueError(f"driver window must be 50 names, got {len(DRIVER_WINDOW)}")
     missing = [n for n in DRIVER_WINDOW if n not in flat]
-    assert not missing, f"driver window names not registered: {missing}"
+    if missing:
+        raise ValueError(f"driver window names not registered: {missing}")
 
     reg: dict = {n: flat[n] for n in DRIVER_WINDOW}
     reg.update({n: v for n, v in flat.items() if n not in reg})

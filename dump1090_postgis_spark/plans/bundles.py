@@ -45,11 +45,6 @@ _DUCK = {
 }
 
 
-def _member(registry, name):
-    fn, sql = registry[name]
-    return fn, sql
-
-
 # Each bundle: list of (variant_tag, (fn, oracle_sql), member_cols)
 # plus the bundle schema [(col, spark_type), ...] = union of member
 # column sets in declared order.  Member column lists mirror the
@@ -422,9 +417,6 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
         ],
     ),
 }
-
-_REGISTRIES = {"tq": None, "dq": None, "mq": None}  # filled lazily
-
 
 def _registries():
     return {"tq": tq.REGISTRY, "dq": dq.REGISTRY, "mq": mq.REGISTRY}

@@ -1245,11 +1245,20 @@ FROM h
 def q_vocab_apply_oov(spark, sf):
     """Vocabulary coverage: encode the corpus against its own top-100
     vocab (vocab_top_terms) and report per-doc token/OOV counts and
-    OOV rate (datapipe/text.py apply_vocab) — one corpus explode, a
-    broadcast join against the bounded vocab, partial-agg groupBy back
-    to document grain."""
+    OOV rate (datapipe/text.py apply_vocab).
+
+    The vocab is MATERIALIZED driver-side first (one corpus
+    tokenization pass, ≤100 collected rows — the attribution-literal
+    pattern): passing the lazy vocab plan into apply_vocab would
+    re-run the corpus tokenize+aggregate for each reference of the
+    vocab subplan, the same lazy-reference hazard documented on
+    jaccard_pairs.  Apply is then one corpus explode + a broadcast
+    join against the literal vocab + a partial-agg groupBy."""
     docs = load_table(spark, sf, "documents")
-    vocab = tx.vocab_top_terms(docs, top_n=100)
+    vocab_rows = tx.vocab_top_terms(docs, top_n=100).select("token").collect()
+    vocab = spark.createDataFrame(
+        [(r.token,) for r in vocab_rows], "token string"
+    )
     return tx.apply_vocab(docs, vocab)
 
 
@@ -1338,7 +1347,8 @@ WITH corpus AS (
 SELECT r.vec_id, r.label,
        round({_SQL_COS.format(a='r.v', b='ct.c')}, 4) + 0.0
          AS cosine_to_centroid,
-       (round({_SQL_COS.format(a='r.v', b='ct.c')}, 4) + 0.0) < 0.3
+       coalesce((round({_SQL_COS.format(a='r.v', b='ct.c')}, 4) + 0.0) < 0.3,
+                TRUE)
          AS is_outlier
 FROM corpus r JOIN cent ct USING (label)
 """

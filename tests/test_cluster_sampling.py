@@ -191,3 +191,15 @@ def test_label_outliers_flags_planted_outlier(spark):
     for i in range(5):
         assert not out[i].is_outlier
         assert not out[10 + i].is_outlier
+
+
+def test_label_outliers_flags_zero_norm_vector(spark):
+    """An all-zero (corrupted) vector has NULL cosine; the screen must
+    flag it as an outlier, not let three-valued NULL pass it through."""
+    from dump1090_postgis_spark.datapipe.similarity import label_outliers
+
+    rows = [(i, [1.0, 0.1 * i], "a") for i in range(4)] + [(9, [0.0, 0.0], "a")]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r.vec_id: r for r in label_outliers(df, threshold=0.3).collect()}
+    assert out[9].cosine_to_centroid is None
+    assert out[9].is_outlier is True

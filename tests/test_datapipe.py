@@ -396,3 +396,49 @@ def test_vocab_top_terms_rank_deterministic(spark):
     got = [(r["token"], r["n"], r["rank"]) for r in out]
     # a:3, b:2, c:1 → top-2; ties impossible here, rank by (n desc, token)
     assert got == [("a", 3, 1), ("b", 2, 2)]
+
+
+def test_jaccard_restrict_to_candidates_parity(spark):
+    """The semi-join restriction (for materialized candidate frames)
+    must not change results — only which docs get shingled."""
+    from dump1090_postgis_spark.datapipe import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no overlap at all"),
+            (4, "another unrelated document about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.jaccard_pairs(docs, pairs, threshold=0.0).collect()
+    }
+    restricted = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.jaccard_pairs(
+            docs, pairs, threshold=0.0, restrict_to_candidates=True
+        ).collect()
+    }
+    assert base == restricted and (1, 2) in base
+
+
+def test_with_quality_score_matches_column_form(spark):
+    """Staged and inline forms share one formula object — values must
+    be bit-identical on real corpus text."""
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.datapipe.text import quality_score, with_quality_score
+    from dump1090_postgis_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    both = with_quality_score(docs, "text", "q_staged").withColumn(
+        "q_inline", quality_score(F.col("text"))
+    )
+    assert both.filter(
+        ~(F.col("q_staged") == F.col("q_inline"))
+        | F.col("q_staged").isNull() != F.col("q_inline").isNull()
+    ).count() == 0

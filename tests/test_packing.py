@@ -196,3 +196,23 @@ def test_apply_vocab_oov_counts(spark):
     assert rows[2].n_tokens == 3 and rows[2].n_oov == 1  # 'zebra'
     assert abs(rows[2].oov_rate - round(1 / 3, 4)) < 1e-9
     assert 3 not in rows  # no tokens -> absent, matching the oracle
+
+
+def test_packing_efficiency_respects_stream_keys(spark):
+    """With extra_keys, offsets restart per (split, shard) stream —
+    efficiency must be accounted per stream, not per shard."""
+    from dump1090_postgis_spark.datapipe.packing import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(6)],
+        "doc_id long, split string",
+    )
+    packed = pack_sequences(df, F.lit(5), seq_len=8, n_shards=1, extra_keys=["split"])
+    rows = packing_efficiency(packed, seq_len=8, stream_cols=("split", "shard")).collect()
+    assert len(rows) == 2  # one row per (split, shard) stream
+    for r in rows:
+        assert r.total_tokens == 15  # 3 docs x 5 tokens per stream
+        assert r.n_seqs == 2 and r.padded_tokens == 1
