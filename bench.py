@@ -99,6 +99,15 @@ def main() -> int:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # Inter-query hygiene: drop cached/persisted frames and let GC
+        # release broadcast refs so query N+1 doesn't inherit query N's
+        # executor-memory pressure (measured: identical plans 3-5×
+        # slower late in a 40-query session than isolated).
+        df = None
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
