@@ -327,3 +327,79 @@ def test_deterministic_shuffle_matches_md5_reference(spark, ids, n_shards):
     order = sorted(ids, key=lambda i: (hashlib.md5(f"p|{i}".encode()).hexdigest(), i))
     want = {i: (p, p % n_shards) for p, i in enumerate(order)}
     assert got == want
+
+
+# --- apply_vocab vs Python token-count reference ---------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=24),
+        min_size=1, max_size=20,
+    ),
+    st.lists(st.sampled_from(["a", "b", "ab", "ba", "c"]), max_size=3,
+             unique=True),
+)
+def test_apply_vocab_matches_python_reference(spark, texts, vocab_tokens):
+    import re
+
+    from dump1090_postgis_spark.datapipe.text import apply_vocab
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame(
+        [(t,) for t in vocab_tokens] or [("zz",)], "token string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov)
+        for r in apply_vocab(docs, vocab).collect()
+    }
+    vset = set(vocab_tokens) if vocab_tokens else {"zz"}
+    want = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in re.sub(r"\s+", " ", t.lower().strip()).split(" ") if w]
+        if toks:
+            want[i] = (len(toks), sum(1 for w in toks if w not in vset))
+    assert got == want
+
+
+# --- label_outliers centroid math vs numpy reference -----------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.lists(st.floats(min_value=-4, max_value=4,
+                               allow_nan=False, width=32),
+                     min_size=3, max_size=3),
+        ),
+        min_size=2, max_size=12,
+    )
+)
+def test_label_outliers_matches_numpy_reference(spark, rows):
+    import numpy as np
+
+    from dump1090_postgis_spark.datapipe.similarity import label_outliers
+
+    data = [(i, list(map(float, v)), lab) for i, (lab, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "vec_id long, embedding array<double>, label string"
+    )
+    got = {r.vec_id: r.cosine_to_centroid
+           for r in label_outliers(df, threshold=0.0).collect()}
+    by_label: dict = {}
+    for i, v, lab in data:
+        by_label.setdefault(lab, []).append((i, np.array(v)))
+    for lab, members in by_label.items():
+        cen = np.mean([v for _i, v in members], axis=0)
+        for i, v in members:
+            denom = np.linalg.norm(v) * np.linalg.norm(cen)
+            if denom == 0:
+                assert got[i] is None
+            else:
+                want = round(float(np.dot(v, cen) / denom), 4)
+                assert got[i] is not None and abs(got[i] - want) <= 1e-4, (i, got[i], want)
