@@ -9,27 +9,52 @@ with the flight's interpolated track:
    matches the runway → that runway;
 3. else: no attribution (callers keep 'UNK' per models.py:283-286).
 
-Spark shape: the runway table is a tiny broadcast-class dimension
-(2 rows at NTE), so it is collected AT PLAN TIME and compiled into one
-``coalesce(first-match...)`` scalar expression over the event columns —
-no join, no shuffle, no row ids, whole-stage codegen'd, and exactly
-the reference's first-match-in-iteration-order semantics.  (An earlier
-join+groupBy formulation needed a synthetic row id, which is
-nondeterministic across plan branches under retries.)
+Two physical strategies behind one API, picked by a branch budget:
 
-For genuinely large polygon tables, fall back to an explicit
-crossJoin(broadcast(...)) + deterministic-natural-key ranking — not
-needed for any airport-scale dimension.
+- **Compiled coalesce (fast path, airport-scale dims).** The runway
+  table is a tiny broadcast-class dimension (2 rows at NTE), so it is
+  collected AT PLAN TIME and compiled into one
+  ``coalesce(first-match...)`` scalar expression over the event
+  columns — no join, no shuffle, no row ids, whole-stage codegen'd,
+  and exactly the reference's first-match-in-iteration-order
+  semantics.  (An earlier join+groupBy formulation needed a synthetic
+  row id, which is nondeterministic across plan branches under
+  retries.)
+
+- **Grid-cell broadcast join (scale path).** Past the budget (e.g.
+  the full 42,476-row ourairports runways.csv the reference ships at
+  database/data/runways.csv), compiling every polygon would build a
+  ~10^5-branch expression tree that chokes Catalyst analysis.
+  Instead the runway dim is bucketed into lon/lat grid cells (each
+  runway registered in every cell its bounding box overlaps), each
+  cell's runways aggregated into ONE iteration-ordered
+  array<struct> row, and events broadcast-HASH-join on their own
+  cell key — then first-match evaluates as ``F.get(F.filter(...), 0)``
+  over the small per-cell array inside a single projection.  No
+  event ids, no row multiplicity change, no nested-loop join, and
+  per-event cost is O(runways near that cell), not O(all runways).
+  Correct by construction: a polygon containing the event lies inside
+  its own bbox, so its runway is registered in the event's cell.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.geo import point_in_polygon, same_heading
 
 HEADING_TOLERANCE_DEG = 20.0  # airports.py:51-67
+
+# Max coalesce branches (n_runways × (1 + n_bboxes)) the compiled
+# fast path may emit — the datapipe/similarity.py:177 budget pattern.
+# Past this, the grid-cell broadcast join is used instead.
+BRANCH_BUDGET = 256
+
+# Grid cell edge, degrees (~28 km at the equator).  Runway strips are
+# a few km long, so each registers in 1-4 cells; events hash-join on
+# exactly one cell.
+GRID_DEG = 0.25
 
 
 def _poly_literal(vertices) -> Column:
@@ -53,15 +78,46 @@ def attribute_runway(
     heading: str = "interp_track",
     tolerance_deg: float = HEADING_TOLERANCE_DEG,
     keep_unmatched: bool = True,
+    branch_budget: int = BRANCH_BUDGET,
+    grid_deg: float = GRID_DEG,
 ) -> DataFrame:
     """JOIN-5: attach `runway` (name) to each event.
 
-    `runways` columns: name, direction, polygon (array<struct<lon,lat>>)
-    — collected at plan time (broadcast-dim size).
+    `runways` columns: name, direction, polygon (array<struct<lon,lat>>),
+    optionally `id` (iteration-order key for the join path; without it
+    the join path orders by (name, direction) — the compiled path uses
+    the frame's own row order, matching the reference's list order).
     `airport_bbox` columns: icao, bbox — enables the fallback tier.
     Unmatched events get runway='UNK' when keep_unmatched (the
     reference's models.py:283-286 default), else are dropped.
     """
+    n_rw = runways.count()
+    n_bb = airport_bbox.count() if airport_bbox is not None else 0
+    if n_rw * (1 + n_bb) <= branch_budget:
+        best = _compiled_coalesce(
+            runways, airport_bbox, lon, lat, heading, tolerance_deg
+        )
+        out = events.withColumn("runway", best)
+    else:
+        out = _grid_cell_join(
+            events, runways, airport_bbox, lon, lat, heading,
+            tolerance_deg, grid_deg,
+        )
+    if keep_unmatched:
+        return out.withColumn("runway", F.coalesce(F.col("runway"), F.lit("UNK")))
+    return out.filter(F.col("runway").isNotNull())
+
+
+def _compiled_coalesce(
+    runways: DataFrame,
+    airport_bbox: DataFrame | None,
+    lon: str,
+    lat: str,
+    heading: str,
+    tolerance_deg: float,
+) -> Column:
+    """Plan-time compile of a broadcast-class runway dim into one
+    first-match coalesce expression (see module docstring)."""
     rows = runways.select("name", "direction", "polygon").collect()
     plon, plat, phead = F.col(lon), F.col(lat), F.col(heading)
 
@@ -88,8 +144,109 @@ def attribute_runway(
                 for r in rows
             )
 
-    best = F.coalesce(*tiers, F.lit(None).cast("string"))
-    out = events.withColumn("runway", best)
-    if keep_unmatched:
-        return out.withColumn("runway", F.coalesce(F.col("runway"), F.lit("UNK")))
-    return out.filter(F.col("runway").isNotNull())
+    return F.coalesce(*tiers, F.lit(None).cast("string"))
+
+
+def _ring_cells(poly: Column, grid: Column, axis: str) -> tuple[Column, Column]:
+    """[min, max] grid-cell index range covered by the ring on one axis."""
+    vals = F.transform(poly, lambda v: v[axis])
+    return (
+        F.floor(F.array_min(vals) / grid),
+        F.floor(F.array_max(vals) / grid),
+    )
+
+
+def _per_cell(df: DataFrame, poly_col: str, grid: Column, agg: Column) -> DataFrame:
+    """Explode a polygon dim over every grid cell its bbox overlaps and
+    aggregate `agg` per cell.  Broadcast-class input; output is one row
+    per occupied cell."""
+    lo_x, hi_x = _ring_cells(F.col(poly_col), grid, "lon")
+    lo_y, hi_y = _ring_cells(F.col(poly_col), grid, "lat")
+    return (
+        df.withColumn("__cx", F.explode(F.sequence(lo_x, hi_x)))
+        .withColumn("__cy", F.explode(F.sequence(lo_y, hi_y)))
+        .groupBy("__cx", "__cy")
+        .agg(agg)
+    )
+
+
+def _grid_cell_join(
+    events: DataFrame,
+    runways: DataFrame,
+    airport_bbox: DataFrame | None,
+    lon: str,
+    lat: str,
+    heading: str,
+    tolerance_deg: float,
+    grid_deg: float,
+) -> DataFrame:
+    """Scale path: events broadcast-hash-join their grid cell's
+    iteration-ordered runway array; first-match is a projection over
+    that (small) array.  See module docstring."""
+    grid = F.lit(float(grid_deg))
+    plon, plat, phead = F.col(lon), F.col(lat), F.col(heading)
+
+    order = ["id"] if "id" in runways.columns else ["name", "direction"]
+    # Single-partition window over a broadcast-class dim (≤ ~10^5
+    # rows) — bounded by construction, never over event data.
+    rw = (
+        runways.withColumn(
+            "__ord", F.row_number().over(Window.orderBy(*[F.col(c) for c in order]))
+        )
+        .select(
+            "__ord", "name",
+            F.col("direction").cast("double").alias("direction"), "polygon",
+        )
+    )
+    cell_rw = _per_cell(
+        rw, "polygon", grid,
+        F.array_sort(
+            F.collect_list(F.struct("__ord", "name", "direction", "polygon"))
+        ).alias("__rw"),
+    )
+
+    ev = events.withColumn("__cx", F.floor(plon / grid)).withColumn(
+        "__cy", F.floor(plat / grid)
+    )
+    ev = ev.join(F.broadcast(cell_rw), ["__cx", "__cy"], "left")
+
+    hit = lambda r: point_in_polygon(plon, plat, r["polygon"]) & same_heading(
+        r["direction"], phead, tolerance_deg
+    )
+    direct = F.get(F.filter(F.col("__rw"), hit), 0)["name"]
+
+    drop = ["__cx", "__cy", "__rw"]
+    if airport_bbox is not None:
+        cell_bb = _per_cell(
+            airport_bbox.select("bbox"), "bbox", grid,
+            F.collect_list("bbox").alias("__bb"),
+        )
+        ev = ev.join(F.broadcast(cell_bb), ["__cx", "__cy"], "left")
+        # Heading match is position-independent, so the reference's
+        # (bbox-major, runway-order) first match reduces to: point in
+        # ANY bbox → first runway (global order) whose heading matches.
+        dirs = F.broadcast(
+            rw.agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__ord", "name", "direction"))
+                ).alias("__dirs")
+            )
+        )
+        ev = ev.crossJoin(dirs)
+        in_bbox = F.exists(F.col("__bb"), lambda b: point_in_polygon(plon, plat, b))
+        fb = F.when(
+            in_bbox,
+            F.get(
+                F.filter(
+                    F.col("__dirs"),
+                    lambda r: same_heading(r["direction"], phead, tolerance_deg),
+                ),
+                0,
+            )["name"],
+        )
+        best = F.coalesce(direct, fb)
+        drop += ["__bb", "__dirs"]
+    else:
+        best = direct
+
+    return ev.withColumn("runway", best).drop(*drop)

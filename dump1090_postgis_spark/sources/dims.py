@@ -162,6 +162,12 @@ def runways_from_csv(
         & F.col("he_latitude_deg").isNotNull()
         & F.col("he_longitude_deg").isNotNull()
         & F.col("width_ft").isNotNull()
+        # degenerate strips (identical thresholds — present in the full
+        # ourairports export) have no centerline, hence no polygon
+        & (
+            (F.col("le_latitude_deg") != F.col("he_latitude_deg"))
+            | (F.col("le_longitude_deg") != F.col("he_longitude_deg"))
+        )
     )
     lat1, lon1 = F.col("le_latitude_deg"), F.col("le_longitude_deg")
     lat2, lon2 = F.col("he_latitude_deg"), F.col("he_longitude_deg")

@@ -94,3 +94,60 @@ def test_attribution_no_match(spark):
         ev, nte_runways(spark), nte_airport(spark), keep_unmatched=False
     )
     assert dropped.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Grid-cell broadcast-join scale path (branch budget exceeded)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "point,heading,expected",
+    [
+        (ON_RUNWAY, 32.0, "03"),               # direct hit
+        (ON_RUNWAY, 212.0, "21"),              # reciprocal end
+        (OFF_RUNWAY_IN_AIRPORT, 28.0, "03"),   # bbox fallback
+        (FAR_AWAY, 28.0, "UNK"),               # off airport
+        (ON_RUNWAY, 90.0, "UNK"),              # on strip, wrong heading
+    ],
+)
+def test_attribution_join_path_parity(spark, point, heading, expected):
+    """branch_budget=0 forces the grid-cell join path; every compiled-path
+    scenario must attribute identically."""
+    ev = _events(spark, [(1, *point, heading)])
+    out = attribute_runway(
+        ev, nte_runways(spark), nte_airport(spark), branch_budget=0
+    ).collect()
+    assert out[0].runway == expected
+
+
+def test_attribution_join_path_plan_and_schema(spark):
+    """The join path must be a broadcast hash join on the grid cell (no
+    nested-loop over the runway dim), preserve the event schema +
+    row count, and leave no helper columns behind."""
+    ev = _events(spark, [(1, *ON_RUNWAY, 32.0), (2, *FAR_AWAY, 10.0)])
+    out = attribute_runway(
+        ev, nte_runways(spark), nte_airport(spark), branch_budget=0
+    )
+    assert out.columns == ev.columns + ["runway"]
+    assert out.count() == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_attribution_null_coords_and_heading(spark):
+    """NULL lon/lat or heading rows stay rows and attribute to UNK in
+    BOTH paths (compiled when() skips on NULL; join-path filter drops
+    NULL predicates)."""
+    ev = spark.createDataFrame(
+        [(1, None, None, 30.0), (2, ON_RUNWAY[0], ON_RUNWAY[1], None)],
+        "event_id long, longitude double, latitude double, interp_track double",
+    )
+    for budget in (256, 0):
+        out = {
+            r.event_id: r.runway
+            for r in attribute_runway(
+                ev, nte_runways(spark), nte_airport(spark), branch_budget=budget
+            ).collect()
+        }
+        assert out == {1: "UNK", 2: "UNK"}

@@ -186,3 +186,34 @@ def test_remap_ids_fk_consistency(spark):
 def test_conversions(spark, fn, inp, expected):
     out = spark.range(1).select(fn(F.lit(inp)).alias("v")).collect()[0].v
     assert out == pytest.approx(expected)
+
+
+FULL_RUNWAYS_CSV = "/root/reference/database/data/runways.csv"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(FULL_RUNWAYS_CSV), reason="reference CSV not present"
+)
+def test_attribution_scales_to_full_runways_csv(spark):
+    """The real 42,476-row ourairports runways.csv must route through
+    the grid-cell broadcast join, NOT the compiled coalesce (a ~10^5
+    branch expression tree would choke Catalyst analysis).  The plan
+    must broadcast-hash-join on the grid cell, and the LFRS mid-strip
+    probes must attribute exactly as the sample-fixture test does."""
+    from dump1090_postgis_spark.operators.attribution import attribute_runway
+
+    runways = runways_from_csv(load_runways_csv(spark, FULL_RUNWAYS_CSV))
+    ev = spark.createDataFrame(
+        [(1, -1.61072, 47.1532, 29.0),   # LFRS mid-strip, runway-03 heading
+         (2, -1.61072, 47.1532, 209.0),  # reciprocal
+         (3, -1.6500, 47.2000, 29.0)],   # off-airport
+        "event_id long, longitude double, latitude double, interp_track double",
+    )
+    out_df = attribute_runway(ev, runways)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no compiled-coalesce blowup: the giant first-match CASE chain
+    # would show once per runway; the join path shows a handful.
+    assert plan.count("CASE WHEN") < 100
+    out = {r.event_id: r.runway for r in out_df.collect()}
+    assert out[1] == "03" and out[2] == "21" and out[3] == "UNK"
