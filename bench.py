@@ -5,8 +5,10 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is executed with a noop-sink action that forces full
-materialization without collecting rows to the driver, and measured as
-the MIN of three consecutive executions: the first execution pays
+materialization without collecting rows to the driver.  The clock
+wraps plan BUILD plus execution (some plans run eager stages at build
+time — caches are cleared between runs so each run re-pays them), and
+each query is measured as the MIN of three consecutive executions: the first execution pays
 one-time JVM/codegen/Python-worker warmup plus whatever host-level
 noise the measurement VM injects (observed: identical queries swinging
 0.2s ↔ 15s between runs on the shared host), the min is the
@@ -90,24 +92,32 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _sql = registry[name]
-        df = fn(spark, SF_DIR)
         best = None
         for _ in range(runs):
+            # The timer wraps PLAN BUILD as well as execution: some
+            # queries do corpus-scale eager work at build time
+            # (vocab_apply_oov's tokenize+aggregate vocab pass,
+            # corpus_shuffle_shard's dense-id persist+count), which a
+            # build-once/time-writes-only loop would never see.
             t0 = time.time()
+            df = fn(spark, SF_DIR)
             # full materialization without driver collect
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        # Inter-query hygiene: drop cached/persisted frames and let GC
-        # release broadcast refs so query N+1 doesn't inherit query N's
-        # executor-memory pressure (measured: identical plans 3-5×
-        # slower late in a 40-query session than isolated).
-        df = None
-        spark.catalog.clearCache()
-        import gc
+            # Inter-run/query hygiene: drop cached/persisted frames
+            # and let GC release broadcast refs so the next run
+            # doesn't inherit this one's executor-memory pressure
+            # (measured: identical plans 3-5× slower late in a
+            # 40-query session than isolated) — and so each run
+            # re-pays its own eager stages instead of hitting the
+            # previous run's persist.
+            df = None
+            spark.catalog.clearCache()
+            import gc
 
-        gc.collect()
+            gc.collect()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

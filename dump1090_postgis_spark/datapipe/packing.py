@@ -183,7 +183,13 @@ def packing_efficiency(
         F.col("total_tokens").cast("bigint").alias("total_tokens"),
         n_seqs.cast("bigint").alias("n_seqs"),
         (capacity - F.col("total_tokens")).cast("bigint").alias("padded_tokens"),
+        # try_divide: a stream whose docs ALL tokenize to zero tokens
+        # has n_seqs=0 → capacity 0; efficiency is NULL (undefined),
+        # not a divide-by-zero error (ANSI) — DuckDB's x/0 is NULL too.
         F.round(
-            F.col("total_tokens").cast("double") / capacity.cast("double"), 4
+            F.try_divide(
+                F.col("total_tokens").cast("double"), capacity.cast("double")
+            ),
+            4,
         ).alias("efficiency"),
     )

@@ -391,6 +391,14 @@ def vocab_top_terms(df, text: str = "text", top_n: int = 100):
     self-join over the ≤``top_n`` survivors (rank = 1 + rows strictly
     ahead in the total order), so no global window appears anywhere
     in the plan.
+
+    The rank self-join is O(top_n²) comparisons inside a
+    BroadcastNestedLoopJoin — negligible at the default ``top_n=100``
+    (10⁴ cheap predicates) and fine to ~5k, but quadratic beyond: for
+    a full tokenizer-scale vocabulary (10⁵-10⁶ entries) rank with
+    ``operators.ids.with_dense_ids(counts, ["neg_n", "token"])`` (the
+    partitioned two-pass assignment, no self-join and no global
+    window) and pin the result with :func:`materialize_vocab`.
     """
     from .dedup import explode_computed, spread_for_compute
 
@@ -408,6 +416,36 @@ def vocab_top_terms(df, text: str = "text", top_n: int = 100):
         .groupBy(F.col("_a.token").alias("token"), F.col("_a.n").alias("n"))
         .agg((F.count(F.col("_b.token")) + F.lit(1)).cast("long").alias("rank"))
     )
+
+
+# Vocab rows above this count are pinned by persist, not collected to
+# the driver — the documented collect budget for materialize_vocab.
+VOCAB_COLLECT_BUDGET = 1_000
+
+
+def materialize_vocab(vocab, budget: int = VOCAB_COLLECT_BUDGET):
+    """Pin a vocabulary PLAN so every downstream reference reuses one
+    computed result instead of re-running the corpus aggregation per
+    subplan reference (the lazy-reference hazard documented on
+    jaccard_pairs).
+
+    ≤``budget`` rows: collected and re-created as a driver-literal
+    local relation (the attribution-literal pattern — zero scans in
+    consumers, broadcast-join friendly).  Above the budget (a
+    tokenizer-scale 10⁵-10⁶-token vocab): persist + count barrier —
+    the aggregation runs exactly once here, consumers read the pinned
+    partitions, and NOTHING above the budget is ever collected to the
+    driver.  Caller owns ``unpersist()`` in the large case.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    pinned = vocab.persist(StorageLevel.MEMORY_AND_DISK)
+    n = pinned.count()  # barrier: the vocab plan executes exactly once
+    if n <= budget:
+        rows = pinned.collect()
+        pinned.unpersist()
+        return vocab.sparkSession.createDataFrame(rows, vocab.schema)
+    return pinned
 
 
 def apply_vocab(

@@ -22,6 +22,14 @@ operator — each branch is the member's own production plan (unchanged,
 individually scale-designed); the union concatenates without a
 shuffle.  Nothing here changes how a user would run the family's
 operators.
+
+Failure semantics: a bundle row is all-or-nothing — one member's
+schema-drift AssertionError or runtime failure fails the WHOLE bundle,
+so a red bundle row in CORRECTNESS means "at least one member of this
+family regressed", not "every member failed".  Triage with
+``scripts/check_oracle.py <member> ...``, which runs members
+individually.  (Accepted tradeoff: the window buys full-surface
+coverage at the cost of per-member attribution in the driver's view.)
 """
 
 from __future__ import annotations

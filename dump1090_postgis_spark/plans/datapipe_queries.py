@@ -1247,18 +1247,17 @@ def q_vocab_apply_oov(spark, sf):
     vocab (vocab_top_terms) and report per-doc token/OOV counts and
     OOV rate (datapipe/text.py apply_vocab).
 
-    The vocab is MATERIALIZED driver-side first (one corpus
-    tokenization pass, ≤100 collected rows — the attribution-literal
-    pattern): passing the lazy vocab plan into apply_vocab would
-    re-run the corpus tokenize+aggregate for each reference of the
-    vocab subplan, the same lazy-reference hazard documented on
-    jaccard_pairs.  Apply is then one corpus explode + a broadcast
-    join against the literal vocab + a partial-agg groupBy."""
+    The vocab plan is pinned through materialize_vocab first: at this
+    top_n (100 ≤ VOCAB_COLLECT_BUDGET) that is one corpus tokenization
+    pass collected into a driver-literal local relation (the
+    attribution-literal pattern); past the budget the same seam
+    persists instead of collecting — either way the corpus
+    tokenize+aggregate never re-runs per vocab reference (the
+    lazy-reference hazard documented on jaccard_pairs).  Apply is then
+    one corpus explode + a broadcast join against the pinned vocab +
+    a partial-agg groupBy."""
     docs = load_table(spark, sf, "documents")
-    vocab_rows = tx.vocab_top_terms(docs, top_n=100).select("token").collect()
-    vocab = spark.createDataFrame(
-        [(r.token,) for r in vocab_rows], "token string"
-    )
+    vocab = tx.materialize_vocab(tx.vocab_top_terms(docs, top_n=100).select("token"))
     return tx.apply_vocab(docs, vocab)
 
 

@@ -118,13 +118,17 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _sql = registry[name]
-        df = fn(spark, DST)
         best = None
         for _ in range(runs):
+            # timer wraps plan build too — see bench.py: queries with
+            # eager build-time stages must pay them inside the clock
             t0 = time.time()
+            df = fn(spark, DST)
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            df = None
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({

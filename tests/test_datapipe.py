@@ -438,7 +438,58 @@ def test_with_quality_score_matches_column_form(spark):
     both = with_quality_score(docs, "text", "q_staged").withColumn(
         "q_inline", quality_score(F.col("text"))
     )
+    # eqNullSafe: a NULL-vs-value mismatch must count as a mismatch
+    # (plain == yields NULL there and the filter would drop the row)
     assert both.filter(
-        ~(F.col("q_staged") == F.col("q_inline"))
-        | F.col("q_staged").isNull() != F.col("q_inline").isNull()
+        ~F.col("q_staged").eqNullSafe(F.col("q_inline"))
     ).count() == 0
+
+
+def test_materialize_vocab_small_is_local_relation(spark):
+    """≤budget vocab rows collect into a driver-literal local relation:
+    consumers scan zero corpus partitions per reference."""
+    from dump1090_postgis_spark.datapipe.text import materialize_vocab
+
+    small = spark.createDataFrame([("alpha",), ("beta",)], "token string")
+    lit_v = materialize_vocab(small.distinct())
+    # driver-local data: the distinct() aggregation must NOT reappear
+    # in the consumer plan (it ran once inside the seam)
+    plan = lit_v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Aggregate" not in plan
+    assert {r.token for r in lit_v.collect()} == {"alpha", "beta"}
+
+
+def test_materialize_vocab_large_persists_never_collects(spark):
+    """A 50k-token vocab crosses VOCAB_COLLECT_BUDGET: the seam must
+    return the PERSISTED frame (count barrier already paid), not a
+    driver literal, and apply_vocab must run against it unchanged."""
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.datapipe.text import (
+        VOCAB_COLLECT_BUDGET,
+        apply_vocab,
+        materialize_vocab,
+    )
+
+    n = 50_000
+    assert n > VOCAB_COLLECT_BUDGET
+    big = spark.range(n).select(
+        F.concat(F.lit("tok"), F.col("id")).alias("token")
+    )
+    pinned = materialize_vocab(big)
+    try:
+        lvl = pinned.storageLevel
+        assert lvl.useMemory or lvl.useDisk  # persisted, not re-created
+        assert "LocalTableScan" not in (
+            pinned._jdf.queryExecution().executedPlan().toString()
+        )
+        docs = spark.createDataFrame(
+            [(1, "tok1 tok2 zzz"), (2, "tok49999 qqq qqq")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in apply_vocab(docs, pinned).collect()}
+        assert out[1].n_tokens == 3 and out[1].n_oov == 1
+        assert out[2].n_tokens == 3 and out[2].n_oov == 2
+        assert out[2].oov_rate == pytest.approx(2 / 3, abs=1e-4)
+    finally:
+        pinned.unpersist()

@@ -216,3 +216,22 @@ def test_packing_efficiency_respects_stream_keys(spark):
     for r in rows:
         assert r.total_tokens == 15  # 3 docs x 5 tokens per stream
         assert r.n_seqs == 2 and r.padded_tokens == 1
+
+
+def test_packing_efficiency_zero_token_stream(spark):
+    """A stream whose docs ALL tokenize to zero tokens fills zero
+    sequences: capacity 0 → efficiency is NULL (try_divide), never a
+    divide-by-zero error, and the count columns stay exact zeros."""
+    from dump1090_postgis_spark.datapipe.packing import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    packed = pack_sequences(df, F.lit(0), seq_len=8, n_shards=1)
+    [row] = packing_efficiency(packed, seq_len=8).collect()
+    assert row.n_docs == 3
+    assert row.total_tokens == 0
+    assert row.n_seqs == 0
+    assert row.padded_tokens == 0
+    assert row.efficiency is None
