@@ -56,12 +56,19 @@ __all__ = [
 
 def _on_day(events: DataFrame, day: datetime.date, ts: str = "time") -> DataFrame:
     """FLT-5 (create_public_schema.sql:331-339): d <= time < d+1,
-    time ASC."""
+    time ASC.
+
+    On a date-partitioned frame (engine outputs carry the `_dt`
+    directory column — operators/storage.py) the equivalent `_dt = d`
+    predicate is added so the scan PRUNES PARTITIONS, not just row
+    groups; the time predicate stays for exactness."""
     d = F.lit(day).cast("date")
-    return events.filter(
-        (F.col(ts) >= d.cast("timestamp_ntz"))
-        & (F.col(ts) < F.date_add(d, 1).cast("timestamp_ntz"))
-    ).orderBy(ts)
+    pred = (F.col(ts) >= d.cast("timestamp_ntz")) & (
+        F.col(ts) < F.date_add(d, 1).cast("timestamp_ntz")
+    )
+    if "_dt" in events.columns:
+        pred = pred & (F.col("_dt") == d)
+    return events.filter(pred).orderBy(ts)
 
 
 def landings_on(landings: DataFrame, day: datetime.date) -> DataFrame:
@@ -74,11 +81,19 @@ def takeoffs_on(takeoffs: DataFrame, day: datetime.date) -> DataFrame:
 
 def _fromto(events: DataFrame, from_, to_, tz: str = "Europe/Paris",
             ts: str = "time") -> DataFrame:
-    """FLT-6 (create_materialized_views.sql:3-46): local-date range."""
+    """FLT-6 (create_materialized_views.sql:3-46): local-date range.
+
+    On a date-partitioned frame the UTC `_dt` partition column brackets
+    the local-date window by ±1 day (any tz offset < 24 h), so the
+    scan prunes to the range's directories; the exact local-date
+    predicate then trims the edges."""
     local = F.to_date(to_local(F.col(ts), tz))
-    return events.filter(
-        (local >= F.lit(from_).cast("date")) & (local < F.lit(to_).cast("date"))
-    ).orderBy(ts)
+    pred = (local >= F.lit(from_).cast("date")) & (local < F.lit(to_).cast("date"))
+    if "_dt" in events.columns:
+        pred = pred & (F.col("_dt") >= F.date_sub(F.lit(from_).cast("date"), 1)) & (
+            F.col("_dt") <= F.lit(to_).cast("date")
+        )
+    return events.filter(pred).orderBy(ts)
 
 
 def landings_fromto(landings: DataFrame, from_, to_) -> DataFrame:

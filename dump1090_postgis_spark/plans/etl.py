@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.conversions import interpolated_track
@@ -56,9 +57,13 @@ def build_tables(
     persisted DISK_ONLY):
 
     - ``output_path`` given — the scale path: each table is written to
-      ``{output_path}/{name}`` as parquet, every internal cache is
-      unpersisted, and the returned DataFrames read back from parquet.
-      Nothing stays pinned after the call (asserted in tests).
+      ``{output_path}/{name}`` as parquet (time tables date-partitioned
+      with a ``_dt`` directory column, positions clustered by
+      flight_id — operators/storage.py; the read-back frames carry
+      ``_dt`` and plans/adsb.py's FLT-5/6 helpers prune on it), every
+      internal cache is unpersisted, and the returned DataFrames read
+      back from parquet.  Nothing stays pinned after the call
+      (asserted in tests).
     - ``caches`` given — lazy mode for composition: internal persists
       are appended; call ``operators.ids.release_caches(caches)`` after
       materializing the outputs.
@@ -191,12 +196,34 @@ def build_tables(
         "takeoffs": takeoffs,
     }
     if output_path is not None:
+        from ..operators.storage import write_time_partitioned
+
         spark = raw_lines.sparkSession
         out: dict[str, DataFrame] = {}
         for name, df in tables.items():
             path = f"{output_path}/{name}"
-            df.write.mode("overwrite").parquet(path)
-            out[name] = spark.read.parquet(path)
+            # The Spark analog of the reference's physical schema
+            # (create_public_schema.sql:759-811 btree-on-time indexes +
+            # CLUSTER ON idx_positions_flight_id): time tables are
+            # date-partitioned so FLT-5/6 predicates prune whole
+            # directories, positions additionally clustered by
+            # flight_id so trajectory assembly reads co-located,
+            # pre-sorted keys.  Read-back frames therefore carry the
+            # `_dt` partition column (adsb.py's date helpers use it).
+            if name in ("positions", "landings", "takeoffs"):
+                write_time_partitioned(
+                    df, path, ts="time",
+                    cluster_key="flight_id" if name == "positions" else None,
+                )
+                # explicit schema: an EMPTY partitioned write leaves no
+                # data files to infer from (zero-takeoff captures)
+                schema = T.StructType(
+                    df.schema.fields + [T.StructField("_dt", T.DateType())]
+                )
+                out[name] = spark.read.schema(schema).parquet(path)
+            else:
+                df.write.mode("overwrite").parquet(path)
+                out[name] = spark.read.parquet(path)
         release_caches(registry)
         return out
     return tables

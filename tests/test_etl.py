@@ -129,3 +129,42 @@ def test_caches_registry_mode(spark):
     release_caches(caches)
     assert caches == []
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+
+
+def test_output_path_partition_pruning(spark, tmp_path):
+    """Engine-written time tables are DATE-PARTITIONED (the Spark
+    analog of create_public_schema.sql:759-811's time indexes +
+    CLUSTER): FLT-5/6 over the engine's own output must prune
+    PARTITIONS (PartitionFilters on _dt in the scan), not just push
+    row-group filters — the first lever a 100 TB user reaches for."""
+    import re
+
+    raw = spark.createDataFrame([(l,) for l in CAPTURE], "value string")
+    out = build_tables(
+        raw, nte_runways(spark), nte_airport(spark),
+        output_path=str(tmp_path / "etl_part"),
+    )
+    for name in ("positions", "landings", "takeoffs"):
+        assert "_dt" in out[name].columns
+
+    day = datetime.date(2024, 5, 1)
+    plan = (
+        adsb.landings_on(out["landings"], day)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "_dt" in m.group(1), plan
+    # rows still correct through the partitioned layout
+    assert adsb.landings_on(out["landings"], day).count() == 1
+    assert adsb.landings_on(out["landings"], datetime.date(2024, 5, 2)).count() == 0
+
+    # FLT-6 local-date range prunes too (±1-day UTC bracket)
+    plan6 = (
+        adsb.landings_fromto(out["landings"], day, datetime.date(2024, 5, 2))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    m6 = re.search(r"PartitionFilters: \[([^\]]*)\]", plan6)
+    assert m6 and "_dt" in m6.group(1), plan6
+    assert adsb.landings_fromto(
+        out["landings"], day, datetime.date(2024, 5, 2)
+    ).count() == 1
