@@ -4,10 +4,12 @@ silhouettes — read_csv_data.sql:24-38).
 
 The decode/feature steps run as Arrow-batched ``mapInPandas`` — the
 Spark-side plumbing (schemas, batch iteration, partition-preserving
-projection) is real and tested; the actual codec calls are stubbed
-behind ``_decode_image_bytes`` because the image/audio libraries are
-not in this container (clearly marked; swap the stub for
-PIL/libav when deploying).
+projection) is real and tested, and BMP / PNG / JPEG header parses
+(format + dimensions) are REAL byte-level implementations of the
+public specs; only full pixel decode is stubbed behind the
+``decoder`` seam because the image/audio libraries are not in this
+container (clearly marked; wrap PIL/turbojpeg/libav there when
+deploying).
 
 Scale notes: binary payloads never shuffle here — metadata extraction
 is a mapPartitions-shaped projection; downstream joins should carry
@@ -34,17 +36,55 @@ DECODE_SCHEMA = (
 #: reference's silhouettes are .bmp BYTEA (read_csv_data.sql:24-38).
 BMP_MIN_HEADER = 26
 
+#: PNG: 8-byte signature, then the IHDR chunk MUST come first (spec):
+#: 4-byte length + 'IHDR' at offset 8, width/height as BIG-endian
+#: uint32 at offsets 16 / 20 — parseable from any ≥24-byte payload.
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+PNG_MIN_HEADER = 24
+
+#: JPEG: segments between SOI (FFD8) and SOS; dimensions live in the
+#: SOFn segment (FFC0-FFCF minus DHT/JPG/DAC): height/width as
+#: BIG-endian uint16 at segment offsets +5 / +7.  The scan walks
+#: segment length fields, bounded to this many segments.
+JPEG_MAX_SEGMENTS = 64
+
+
+def _jpeg_size(p: bytes):
+    """Bounded SOF-marker scan (public JFIF/JPEG spec): walk segments
+    from offset 2 via their big-endian length fields until an SOFn
+    frame header yields (width, height); None on any malformation."""
+    i = 2
+    for _ in range(JPEG_MAX_SEGMENTS):
+        if i + 4 > len(p) or p[i] != 0xFF:
+            return None
+        m = p[i + 1]
+        if m == 0x01 or 0xD0 <= m <= 0xD9:  # standalone markers, no length
+            i += 2
+            continue
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):  # SOFn
+            if i + 9 > len(p):
+                return None
+            h = int.from_bytes(p[i + 5:i + 7], "big")
+            w = int.from_bytes(p[i + 7:i + 9], "big")
+            return w, h
+        seg = int.from_bytes(p[i + 2:i + 4], "big")
+        if seg < 2:
+            return None
+        i += 2 + seg
+    return None
+
 
 def _decode_image_bytes(payload: bytes) -> dict[str, Any]:
-    """BMP: REAL header parse (no codec library needed — width/height
-    are little-endian int32 at fixed offsets).  Other formats: a
-    deterministic fake derives pseudo-metadata from the byte length so
-    the pipeline shape (schema, nullability, error rows) is exercised
-    end-to-end without codec dependencies (swap via the ``decoder``
-    seam of decode_metadata for PIL/turbojpeg/libav).
+    """BMP / PNG / JPEG: REAL header parses (no codec library needed —
+    dimensions sit at fixed offsets or in a bounded marker scan).
+    Other formats: a deterministic fake derives pseudo-metadata from
+    the byte length so the pipeline shape (schema, nullability, error
+    rows) is exercised end-to-end without codec dependencies (swap via
+    the ``decoder`` seam of decode_metadata for PIL/turbojpeg/libav —
+    full pixel decode stays behind that seam).
 
-    A 'BM' prefix without a complete 26-byte header falls through to
-    the raw path — format detection requires a parseable header.
+    A magic prefix without a complete parseable header falls through
+    to the raw path — format detection requires a parseable header.
     """
     if not payload:
         return {"format": None, "width": None, "height": None, "ok": False}
@@ -52,6 +92,18 @@ def _decode_image_bytes(payload: bytes) -> dict[str, Any]:
         w = int.from_bytes(payload[18:22], "little", signed=True)
         h = int.from_bytes(payload[22:26], "little", signed=True)
         return {"format": "bmp", "width": w, "height": h, "ok": True}
+    if (
+        payload[:8] == PNG_MAGIC
+        and len(payload) >= PNG_MIN_HEADER
+        and payload[12:16] == b"IHDR"
+    ):
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return {"format": "png", "width": w, "height": h, "ok": True}
+    if payload[:2] == b"\xff\xd8":
+        size = _jpeg_size(payload)
+        if size is not None:
+            return {"format": "jpeg", "width": size[0], "height": size[1], "ok": True}
     # deterministic fake keyed on BYTE LENGTH (not content bytes) so an
     # SQL oracle can restate it with octet_length alone — content-byte
     # arithmetic would diverge from character-based SQL on multibyte
@@ -80,6 +132,40 @@ def synth_bmp_payload(width, height) -> "F.Column":
     return F.unhex(
         F.concat(
             F.lit("424D"), F.lit("00" * 16), _le32_hex(width), _le32_hex(height)
+        )
+    )
+
+
+def _be_hex(c, chars: int) -> "F.Column":
+    """Non-negative int column → fixed-width big-endian hex chars."""
+    return F.lpad(F.hex(c.cast("bigint")), chars, "0")
+
+
+def synth_png_payload(width, height) -> "F.Column":
+    """Minimal 24-byte PNG prefix as binary: 8-byte signature, IHDR
+    chunk length + tag, then BE-uint32 width/height at offsets 16/20 —
+    pure-projection generator for exercising the real header parser
+    (values must be non-negative int32)."""
+    return F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A"),      # signature
+            F.lit("0000000D49484452"),      # IHDR length (13) + 'IHDR'
+            _be_hex(width, 8), _be_hex(height, 8),
+        )
+    )
+
+
+def synth_jpeg_payload(width, height) -> "F.Column":
+    """Minimal JPEG stream (17 bytes): SOI, a 2-byte-payload APP0
+    segment (forces the scanner to WALK a segment length, not just
+    read a fixed offset), then an SOF0 frame header carrying BE-uint16
+    height/width (values must fit uint16)."""
+    return F.unhex(
+        F.concat(
+            F.lit("FFD8"),                  # SOI
+            F.lit("FFE000040000"),          # APP0, len=4 (2 len + 2 payload)
+            F.lit("FFC0000708"),            # SOF0, len=7, precision 8
+            _be_hex(height, 4), _be_hex(width, 4),
         )
     )
 
@@ -114,8 +200,8 @@ def decode_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id",
         import pandas as _pd
 
         # nested (pickled by value): keep in sync with
-        # _decode_image_bytes — a module-level reference would require
-        # the package on the executors' PYTHONPATH
+        # _decode_image_bytes / _jpeg_size — a module-level reference
+        # would require the package on the executors' PYTHONPATH
         def _stub(payload):
             if not payload:
                 return {"format": None, "width": None, "height": None, "ok": False}
@@ -123,6 +209,33 @@ def decode_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id",
                 w = int.from_bytes(payload[18:22], "little", signed=True)
                 h = int.from_bytes(payload[22:26], "little", signed=True)
                 return {"format": "bmp", "width": w, "height": h, "ok": True}
+            if (
+                payload[:8] == b"\x89PNG\r\n\x1a\n"
+                and len(payload) >= 24
+                and payload[12:16] == b"IHDR"
+            ):
+                w = int.from_bytes(payload[16:20], "big")
+                h = int.from_bytes(payload[20:24], "big")
+                return {"format": "png", "width": w, "height": h, "ok": True}
+            if payload[:2] == b"\xff\xd8":
+                i = 2
+                for _ in range(64):
+                    if i + 4 > len(payload) or payload[i] != 0xFF:
+                        break
+                    m = payload[i + 1]
+                    if m == 0x01 or 0xD0 <= m <= 0xD9:
+                        i += 2
+                        continue
+                    if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                        if i + 9 > len(payload):
+                            break
+                        h = int.from_bytes(payload[i + 5:i + 7], "big")
+                        w = int.from_bytes(payload[i + 7:i + 9], "big")
+                        return {"format": "jpeg", "width": w, "height": h, "ok": True}
+                    seg = int.from_bytes(payload[i + 2:i + 4], "big")
+                    if seg < 2:
+                        break
+                    i += 2 + seg
             n = len(payload)
             w = 1 + n % 64
             h = 1 + (n // 64) % 64

@@ -414,6 +414,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "dq",
                 ["doc_id", "byte_len", "format", "width", "height", "ok"],
             ),
+            (
+                "multimodal_png_jpeg_header",
+                "dq",
+                ["doc_id", "byte_len", "format", "width", "height", "ok"],
+            ),
         ],
         [
             ("doc_id", "bigint"),

@@ -797,6 +797,37 @@ FROM documents
 """
 
 
+def q_multimodal_png_jpeg_header(spark, sf):
+    """Real PNG/JPEG round trip: even doc_ids get a synthesized PNG
+    prefix (BE-uint32 IHDR dims), odd doc_ids a minimal JPEG stream
+    whose SOF0 sits BEHIND an APP0 segment (the parser must walk the
+    segment length, not read a fixed offset) — both decoded through
+    the SAME mapInPandas path as every other payload.  The oracle
+    states the expected metadata independently from doc_id parity."""
+    from ..datapipe.multimodal import synth_jpeg_payload, synth_png_payload
+
+    w = (1 + F.col("doc_id") % 3000).cast("int")
+    h = (1 + F.col("doc_id") % 2200).cast("int")
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, synth_png_payload(w, h))
+        .otherwise(synth_jpeg_payload(w, h))
+        .alias("payload"),
+    )
+    return decode_metadata(docs)
+
+
+SQL_MULTIMODAL_PNG_JPEG = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 17 END)::BIGINT AS byte_len,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       (1 + doc_id % 3000)::INT AS width,
+       (1 + doc_id % 2200)::INT AS height,
+       TRUE AS ok
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Packing / mixture / scrubbing / tf-idf (round 3 curation additions)
 # ---------------------------------------------------------------------------
@@ -1376,6 +1407,10 @@ REGISTRY: dict = {
     "curate_documents": (q_curate_documents, SQL_CURATE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL),
     "multimodal_bmp_header": (q_multimodal_bmp_header, SQL_MULTIMODAL_BMP),
+    "multimodal_png_jpeg_header": (
+        q_multimodal_png_jpeg_header,
+        SQL_MULTIMODAL_PNG_JPEG,
+    ),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "quality_quantile_filter": (q_quality_quantile_filter, SQL_QUALITY_QUANTILE),
     "curate_to_shards": (q_curate_to_shards, SQL_CURATE_TO_SHARDS),

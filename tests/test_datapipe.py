@@ -493,3 +493,57 @@ def test_materialize_vocab_large_persists_never_collects(spark):
         assert out[2].oov_rate == pytest.approx(2 / 3, abs=1e-4)
     finally:
         pinned.unpersist()
+
+
+def test_multimodal_png_jpeg_header_parse(spark):
+    """Real PNG (BE-uint32 IHDR dims) and JPEG (SOF scan across a
+    leading APP0 segment) parses; malformed variants fall to raw."""
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + (800).to_bytes(4, "big") + (600).to_bytes(4, "big"))
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0\x00\x04\x00\x00"                    # APP0, len 4
+            + b"\xff\xc4\x00\x04\x00\x00"                    # DHT (skipped)
+            + b"\xff\xc2\x00\x07\x08"                        # SOF2 (progressive)
+            + (70000 % 65536).to_bytes(2, "big")             # height u16
+            + (1920).to_bytes(2, "big"))                     # width u16
+    rows = [
+        (1, png),
+        (2, jpeg),
+        (3, b"\x89PNG\r\n\x1a\nshort"),        # truncated → raw
+        (4, b"\xff\xd8\xff\xd9"),              # SOI+EOI, no SOF → raw
+        (5, b"\xff\xd8" + b"\xff\xe0\x00\x01"),  # bogus segment len → raw
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_metadata(docs).collect()}
+    assert out[1].format == "png" and (out[1].width, out[1].height) == (800, 600)
+    assert out[2].format == "jpeg" and out[2].width == 1920
+    assert out[2].height == 70000 % 65536
+    assert out[3].format == "raw" and out[4].format == "raw"
+    assert out[5].format == "raw"
+
+
+def test_synth_png_jpeg_payload_roundtrip(spark):
+    """Spark-side synthesizers and the Python-side parsers agree —
+    byte order is real on both sides (BE, unlike BMP's LE)."""
+    from dump1090_postgis_spark.datapipe.multimodal import (
+        synth_jpeg_payload,
+        synth_png_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 70000, 3), (2, 1920, 1080)], "doc_id long, w int, h int"
+    )
+    png = docs.select(
+        "doc_id", synth_png_payload(F.col("w"), F.col("h")).alias("payload")
+    )
+    out = {r.doc_id: r for r in decode_metadata(png).collect()}
+    assert out[1].format == "png" and out[1].width == 70000  # > u16
+    assert out[2].width == 1920 and out[2].height == 1080
+    assert all(r.byte_len == 24 for r in out.values())
+
+    jpg = docs.filter("doc_id = 2").select(
+        "doc_id", synth_jpeg_payload(F.col("w"), F.col("h")).alias("payload")
+    )
+    [r] = decode_metadata(jpg).collect()
+    assert r.format == "jpeg" and r.width == 1920 and r.height == 1080
+    assert r.byte_len == 17
