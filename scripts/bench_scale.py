@@ -106,12 +106,100 @@ def generate(spark) -> None:
         print(f"generated {name} x{SCALE}", file=sys.stderr)
 
 
+SKEW_DST = os.path.join(REPO, f".bench_skew_x{SCALE}")
+
+# Hot-key stress set: the operators whose shuffle/window keys the hot
+# session key actually hits.
+SKEW_QUERIES = [
+    "state1_sessions",
+    "agg2_sliding_hour_counts",
+    "agg6_session_summaries",
+]
+
+
+def generate_skew(spark) -> None:
+    """Skewed twin of the ×N events table: ONE hot session key owns
+    80% of the rows (deterministic event_id split); every other table
+    is shared with the uniform set via symlink."""
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.schemas import load_table
+
+    os.makedirs(SKEW_DST, exist_ok=True)
+    out = f"{SKEW_DST}/events.parquet"
+    if not os.path.exists(out):
+        ev = load_table(spark, DST, "events")
+        skewed = ev.withColumn(
+            "user_id",
+            F.when(F.pmod(F.col("event_id"), 10) < 8, F.lit(1)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        skewed.repartition(32).write.mode("overwrite").parquet(out)
+        print(f"generated skewed events x{SCALE} (80% one key)", file=sys.stderr)
+    for name in list(FACT_OFFSETS) + DIMS:
+        if name == "events":
+            continue
+        dst = f"{SKEW_DST}/{name}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{DST}/{name}.parquet", dst)
+
+
+def bench_skew(spark) -> int:
+    """Hot-session-key stress: the SKEW_QUERIES against the skewed
+    events twin, plus naive-vs-salted rollup on the hot key itself —
+    the evidence row that the skew story (operators/skew.py + AQE)
+    holds at ×N."""
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.operators.skew import salted_counts
+    from dump1090_postgis_spark.plans import full_registry
+    from dump1090_postgis_spark.schemas import load_table
+
+    generate_skew(spark)
+    registry = full_registry()
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    def timed(build):
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        return round(best, 3)
+
+    timings: dict[str, float] = {}
+    for name in SKEW_QUERIES:
+        fn, _sql = registry[name]
+        timings[name] = timed(lambda: fn(spark, SKEW_DST))
+
+    ev = load_table(spark, SKEW_DST, "events")
+    timings["rollup_naive"] = timed(
+        lambda: ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("rows"))
+    )
+    timings["rollup_salted"] = timed(lambda: salted_counts(ev, "user_id"))
+
+    print(json.dumps({
+        "metric": "bench_skew_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1 * SCALE,
+        "hot_key_share": 0.8,
+    }))
+    return 0
+
+
 def main() -> int:
     from dump1090_postgis_spark.plans import full_registry
     from dump1090_postgis_spark.session import get_spark
 
     spark = get_spark(app_name="bench_scale")
     generate(spark)
+    if os.environ.get("SPARK_GRAFT_SKEW") == "1":
+        return bench_skew(spark)
 
     registry = full_registry()
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))

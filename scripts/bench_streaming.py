@@ -1,15 +1,24 @@
 #!/usr/bin/env python
-"""Streaming ingest throughput: replay the sf events table as SBS-1
-wire lines through the FULL stateful pipeline (parse → regex gate →
-dispatch → applyInPandasWithState sessions/edges/debounce) and report
-messages/second.
+"""Streaming ingest benchmarks over the FULL stateful pipeline
+(parse → regex gate → dispatch → applyInPandasWithState
+sessions/edges/debounce):
 
-Context: the reference's live feed is a single dump1090 receiver at
-~10-100 msg/s (SURVEY §6); its ingest path is one Python thread.  This
-measures how far the Spark pipeline is from that envelope on one node.
+1. **file replay** — the sf events table rendered as SBS-1 wire lines,
+   replayed with availableNow: peak drain throughput (msg/s).
+2. **sustained socket** — a local TCP server paces the same lines at a
+   fixed target rate for a fixed window (the reference's dump1090
+   :30003 shape, SURVEY §6): sustained msg/s actually processed,
+   keep-up ratio, and state-store rows / memory from progress events.
+3. **checkpoint recovery** — stop the file-replay query mid-stream,
+   restart on the same checkpoint: seconds until the restarted query
+   completes its first batch (state restore + source re-offset), and
+   end-to-end completion to prove no data loss.
 
-Prints ONE JSON line {"metric": "streaming_ingest_rate", "value":
-msgs_per_sec, ...}.
+Context: the reference's live feed is a single receiver at ~10-100
+msg/s and its ingest path is one Python thread; these numbers bound
+how far one Spark node is from that envelope.
+
+Prints ONE JSON line with all three metric groups.
 """
 
 from __future__ import annotations
@@ -17,55 +26,62 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import socketserver
 import sys
 import tempfile
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SOCKET_RATE = int(os.environ.get("SPARK_GRAFT_SOCKET_RATE", "15000"))  # msg/s
+SOCKET_SECS = int(os.environ.get("SPARK_GRAFT_SOCKET_SECS", "30"))
 
 
-def main() -> int:
+def _wire_lines(ev):
+    """The etl_full_pipeline wire-line synthesis."""
     from pyspark.sql import functions as F
 
-    from dump1090_postgis_spark.schemas import load_table
-    from dump1090_postgis_spark.session import get_spark
+    return ev.select(
+        F.concat_ws(
+            ",",
+            F.lit("MSG"), F.lit("3"), F.lit("1"), F.lit("1"),
+            F.concat(F.lit("A"), F.col("user_id").cast("string")),
+            F.lit("1"),
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy/MM/dd"),
+            F.date_format(F.col("ts").cast("timestamp"), "HH:mm:ss.SSS"),
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy/MM/dd"),
+            F.date_format(F.col("ts").cast("timestamp"), "HH:mm:ss.SSS"),
+            F.lit(""),
+            F.round(F.col("value") * 10).cast("int").cast("string"),
+            F.lit(""), F.lit(""),
+            F.round(F.lit(47.0) + F.col("value") / 1000.0, 5).cast("string"),
+            F.round(F.lit(-1.6) + F.col("value") / 1000.0, 5).cast("string"),
+            F.lit(""), F.lit(""), F.lit("0"), F.lit(""), F.lit("0"),
+            F.when(F.col("event_id") % 7 == 0, "-1").otherwise("0"),
+        ).alias("value")
+    )
+
+
+def _state_metrics(progress) -> dict:
+    ops = (progress or {}).get("stateOperators") or []
+    return {
+        "state_rows": sum(o.get("numRowsTotal", 0) for o in ops),
+        "state_memory_bytes": sum(o.get("memoryUsedBytes", 0) for o in ops),
+    }
+
+
+def bench_file_replay(spark, drop: str) -> dict:
+    """availableNow drain of the rendered line files: peak msg/s."""
     from dump1090_postgis_spark.streaming.pipeline import (
         event_stream,
         parsed_stream,
     )
 
-    spark = get_spark(app_name="bench_streaming")
-    ev = load_table(spark, SF_DIR, "events")
-
-    # wire lines (same synthesis as the etl_full_pipeline query)
-    line = F.concat_ws(
-        ",",
-        F.lit("MSG"), F.lit("3"), F.lit("1"), F.lit("1"),
-        F.concat(F.lit("A"), F.col("user_id").cast("string")),
-        F.lit("1"),
-        F.date_format(F.col("ts").cast("timestamp"), "yyyy/MM/dd"),
-        F.date_format(F.col("ts").cast("timestamp"), "HH:mm:ss.SSS"),
-        F.date_format(F.col("ts").cast("timestamp"), "yyyy/MM/dd"),
-        F.date_format(F.col("ts").cast("timestamp"), "HH:mm:ss.SSS"),
-        F.lit(""),
-        F.round(F.col("value") * 10).cast("int").cast("string"),
-        F.lit(""), F.lit(""),
-        F.round(F.lit(47.0) + F.col("value") / 1000.0, 5).cast("string"),
-        F.round(F.lit(-1.6) + F.col("value") / 1000.0, 5).cast("string"),
-        F.lit(""), F.lit(""), F.lit("0"), F.lit(""), F.lit("0"),
-        F.when(F.col("event_id") % 7 == 0, "-1").otherwise("0"),
-    )
-
-    drop = tempfile.mkdtemp(prefix="ingest_drop")
+    n_msgs = spark.read.text(drop).count()
     ckpt = tempfile.mkdtemp(prefix="ingest_ckpt")
     try:
-        ev.select(line.alias("value")).coalesce(8).write.mode(
-            "overwrite"
-        ).text(drop)
-        n_msgs = spark.read.text(drop).count()
-
         raw = spark.readStream.text(drop)
         events = event_stream(parsed_stream(raw))
         t0 = time.time()
@@ -83,29 +99,219 @@ def main() -> int:
         # zero-input progress event: all data batches are done by then.
         deadline = time.time() + 600
         elapsed = None
+        state = {}
         while time.time() < deadline and q.isActive:
             p = q.lastProgress
             if p and p.get("numInputRows", 0) == 0 and p.get("batchId", 0) > 0:
                 elapsed = time.time() - t0
+                state = _state_metrics(p)
                 q.stop()
                 break
             time.sleep(0.2)
         if elapsed is None:
             q.awaitTermination(60)
             elapsed = time.time() - t0
-        rate = n_msgs / elapsed
-        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
-        print(json.dumps({
-            "metric": "streaming_ingest_rate",
-            "value": round(rate, 1),
-            "unit": "msgs_per_sec",
+        return {
+            "file_replay_rate": round(n_msgs / elapsed, 1),
             "messages": n_msgs,
             "elapsed_sec": round(elapsed, 2),
-            "sf": sf,
-        }))
+            **state,
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def bench_socket_sustained(spark, lines: list[str]) -> dict:
+    """A paced TCP feed at SOCKET_RATE msg/s for SOCKET_SECS: the
+    sustained shape the reference ingests, ~150-1500× its receiver
+    rate.  Keep-up is judged from the query's own progress events
+    (processed vs input rows); state-store rows/memory come from the
+    stateOperators block of the LAST progress."""
+    from dump1090_postgis_spark.sources.sbs1 import socket_stream
+    from dump1090_postgis_spark.streaming.pipeline import (
+        event_stream,
+        parsed_stream,
+    )
+
+    stop_feed = threading.Event()
+    sent = {"n": 0}
+
+    class Feeder(socketserver.BaseRequestHandler):
+        def handle(self):
+            # pace in 100 ms slices; loop the line list as needed
+            slice_n = max(1, SOCKET_RATE // 10)
+            deadline = time.time() + SOCKET_SECS
+            i = 0
+            try:
+                while time.time() < deadline and not stop_feed.is_set():
+                    t_slice = time.time()
+                    chunk = []
+                    for _ in range(slice_n):
+                        chunk.append(lines[i % len(lines)])
+                        i += 1
+                    self.request.sendall(("\n".join(chunk) + "\n").encode())
+                    sent["n"] += len(chunk)
+                    dt = time.time() - t_slice
+                    if dt < 0.1:
+                        time.sleep(0.1 - dt)
+                # feed window over: keep the connection open while the
+                # query drains, until the bench signals shutdown
+                while not stop_feed.is_set():
+                    time.sleep(0.2)
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Feeder)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    ckpt = tempfile.mkdtemp(prefix="sock_ckpt")
+    try:
+        raw = socket_stream(spark, "127.0.0.1", srv.server_address[1])
+        events = event_stream(parsed_stream(raw))
+        t0 = time.time()
+        q = (
+            events.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        # run for the feed window + a short drain, then read progress
+        time.sleep(SOCKET_SECS + 5)
+        progresses = list(q.recentProgress)  # StreamingQueryProgress: dict subclass
+        last = q.lastProgress or {}
+        stop_feed.set()
+        q.stop()
+        elapsed = time.time() - t0
+        total_in = sum(p.get("numInputRows", 0) for p in progresses)
+        batch_ms = [
+            p["durationMs"]["triggerExecution"]
+            for p in progresses
+            if p.get("numInputRows", 0) > 0 and "durationMs" in p
+        ]
+        return {
+            "socket_target_rate": SOCKET_RATE,
+            "socket_sent": sent["n"],
+            "socket_processed": total_in,
+            "socket_sustained_rate": round(total_in / elapsed, 1),
+            # >= ~1.0 means the pipeline kept pace with the feed
+            "socket_keepup_ratio": round(total_in / max(sent["n"], 1), 3),
+            "socket_max_batch_sec": round(max(batch_ms) / 1000, 2) if batch_ms else None,
+            **{f"socket_{k}": v for k, v in _state_metrics(last).items()},
+        }
+    finally:
+        srv.shutdown()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def bench_checkpoint_recovery(spark, drop: str) -> dict:
+    """Kill the file-replay query mid-stream, restart on the SAME
+    checkpoint: time until the restarted query finishes its first
+    batch (state-store restore + source re-offset), then completion —
+    the operational number a pipeline operator plans around."""
+    from dump1090_postgis_spark.streaming.pipeline import (
+        event_stream,
+        parsed_stream,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="recover_ckpt")
+    try:
+        def start(trigger_kwargs, max_files=None):
+            reader = spark.readStream
+            if max_files is not None:
+                reader = reader.option("maxFilesPerTrigger", max_files)
+            raw = reader.text(drop)
+            events = event_stream(parsed_stream(raw))
+            return (
+                events.writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger_kwargs)
+                .start()
+            )
+
+        # phase 1: one file per batch (8 files total), paced at 1 s so
+        # the kill lands mid-stream deterministically (zero-interval
+        # triggers drain every remaining file during stop() latency)
+        q1 = start({"processingTime": "1 second"}, max_files=1)
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            p = q1.lastProgress
+            if p and p.get("batchId", 0) >= 3:
+                break
+            time.sleep(0.2)
+        interrupted_batches = (q1.lastProgress or {}).get("batchId", 0)
+        q1.stop()
+
+        # phase 2: restart from the checkpoint; time to first batch
+        t0 = time.time()
+        q2 = start({"availableNow": True})
+        deadline = time.time() + 600
+        done = None
+        while time.time() < deadline and q2.isActive:
+            p = q2.lastProgress
+            if p and p.get("numInputRows", 0) == 0 and p.get("batchId") is not None:
+                done = time.time() - t0
+                break
+            time.sleep(0.2)
+        # first-batch latency from the query's own progress timestamps
+        # (poll granularity would otherwise fold it into the drain time)
+        first_batch = None
+        recovered_rows = 0
+        for p in q2.recentProgress:
+            if p.get("numInputRows", 0) > 0:
+                recovered_rows += p["numInputRows"]
+                if first_batch is None:
+                    try:
+                        from datetime import datetime, timezone
+
+                        ts = (
+                            datetime.strptime(
+                                p["timestamp"], "%Y-%m-%dT%H:%M:%S.%fZ"
+                            )
+                            .replace(tzinfo=timezone.utc)
+                            .timestamp()
+                        )
+                        first_batch = ts + p.get("batchDuration", 0) / 1000 - t0
+                    except (ValueError, KeyError):
+                        first_batch = None
+        q2.stop()
+        return {
+            "recovery_interrupted_after_batches": interrupted_batches,
+            "recovery_rows_after_restart": recovered_rows,
+            "recovery_first_batch_sec": round(first_batch, 2) if first_batch else None,
+            "recovery_drain_sec": round(done, 2) if done else None,
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def main() -> int:
+    from dump1090_postgis_spark.schemas import load_table
+    from dump1090_postgis_spark.session import get_spark
+
+    which = os.environ.get("SPARK_GRAFT_STREAM_BENCH", "all")
+    spark = get_spark(app_name="bench_streaming")
+    ev = load_table(spark, SF_DIR, "events")
+    drop = tempfile.mkdtemp(prefix="ingest_drop")
+    out: dict = {"metric": "streaming_ingest", "unit": "msgs_per_sec"}
+    out["sf"] = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    try:
+        # repartition, not coalesce: the source parquet is often a
+        # single partition and coalesce cannot raise the file count —
+        # the recovery bench needs one-file-per-batch granularity
+        _wire_lines(ev).repartition(8).write.mode("overwrite").text(drop)
+        if which in ("all", "file"):
+            out.update(bench_file_replay(spark, drop))
+        if which in ("all", "socket"):
+            lines = [r.value for r in spark.read.text(drop).limit(200_000).collect()]
+            out.update(bench_socket_sustained(spark, lines))
+        if which in ("all", "recovery"):
+            out.update(bench_checkpoint_recovery(spark, drop))
+        out["value"] = out.get("file_replay_rate") or out.get("socket_sustained_rate")
+        print(json.dumps(out))
     finally:
         shutil.rmtree(drop, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
     return 0
 
 
