@@ -395,10 +395,10 @@ def vocab_top_terms(df, text: str = "text", top_n: int = 100):
     The rank self-join is O(top_n²) comparisons inside a
     BroadcastNestedLoopJoin — negligible at the default ``top_n=100``
     (10⁴ cheap predicates) and fine to ~5k, but quadratic beyond: for
-    a full tokenizer-scale vocabulary (10⁵-10⁶ entries) rank with
-    ``operators.ids.with_dense_ids(counts, ["neg_n", "token"])`` (the
-    partitioned two-pass assignment, no self-join and no global
-    window) and pin the result with :func:`materialize_vocab`.
+    a full tokenizer-scale vocabulary (10⁵-10⁶ entries) use
+    :func:`vocab_rank_table` (partitioned two-pass dense-id ranking,
+    no self-join and no global window) and pin the result with
+    :func:`materialize_vocab`.
     """
     from .dedup import explode_computed, spread_for_compute
 
@@ -416,6 +416,37 @@ def vocab_top_terms(df, text: str = "text", top_n: int = 100):
         .groupBy(F.col("_a.token").alias("token"), F.col("_a.n").alias("n"))
         .agg((F.count(F.col("_b.token")) + F.lit(1)).cast("long").alias("rank"))
     )
+
+
+def vocab_rank_table(df, text: str = "text", min_count: int = 1, caches=None):
+    """FULL ranked vocabulary — the tokenizer-scale path
+    :func:`vocab_top_terms`'s docstring points at: every surviving
+    token with its corpus count and dense rank (count desc, token asc),
+    with NO top-k cut, NO O(V²) rank self-join, and NO global window.
+
+    Scale shape: one explode + one partial-agg groupBy (identical to
+    vocab_top_terms), an optional ``min_count`` pre-filter (the
+    standard vocabulary floor — drops the hapax tail BEFORE ranking),
+    then rank via ``operators.ids.with_dense_ids`` over (-count,
+    token): the two-pass range-partitioned assignment — rank order is
+    total and deterministic, each partition numbers its own rows, and
+    the only driver-side data is the per-partition count array.
+    A 10⁶-token vocabulary ranks without any single-task sort.
+    """
+    from ..operators.ids import with_dense_ids
+    from .dedup import explode_computed, spread_for_compute
+
+    tokens = explode_computed(
+        spread_for_compute(df), _words(F.col(text)), "token", keep=[]
+    ).filter(F.col("token") != "")
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    ranked = with_dense_ids(
+        counts.withColumn("_neg_n", -F.col("n")), ["_neg_n", "token"], "rank",
+        caches=caches,
+    )
+    return ranked.select("token", F.col("n").cast("bigint").alias("n"), "rank")
 
 
 # Vocab rows above this count are pinned by persist, not collected to

@@ -75,8 +75,8 @@ DRIVER_WINDOW: list[str] = [
     "packing_efficiency",
     "text_scrub",
     "tfidf_top_terms",
-    "vocab_apply_oov",
-    "vocab_top_tokens",
+    "vocab_bundle",
+    "multimodal_png_jpeg_header",
 ]
 
 

@@ -401,6 +401,27 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("seq_last", "bigint"),
         ],
     ),
+    # Vocabulary family: top-k build, coverage apply, full-rank table
+    "vocab_bundle": (
+        [
+            ("vocab_top_tokens", "dq", ["token", "n", "rank"]),
+            (
+                "vocab_apply_oov",
+                "dq",
+                ["doc_id", "n_tokens", "n_oov", "oov_rate"],
+            ),
+            ("vocab_full_rank", "dq", ["token", "n", "rank"]),
+        ],
+        [
+            ("token", "string"),
+            ("n", "bigint"),
+            ("rank", "bigint"),
+            ("doc_id", "bigint"),
+            ("n_tokens", "bigint"),
+            ("n_oov", "bigint"),
+            ("oov_rate", "double"),
+        ],
+    ),
     # Multimodal binary metadata: generic decode seam + real BMP header
     "multimodal_bundle": (
         [

@@ -1312,6 +1312,28 @@ GROUP BY t.doc_id
 """
 
 
+def q_vocab_full_rank(spark, sf):
+    """FULL ranked vocabulary with a min-count floor
+    (datapipe/text.py vocab_rank_table): every token with corpus count
+    and dense rank (count desc, token asc) — ranked by the two-pass
+    partitioned dense-id assignment, so a tokenizer-scale vocabulary
+    never crosses the O(top_n²) rank self-join or a global window."""
+    docs = load_table(spark, sf, "documents")
+    return tx.vocab_rank_table(docs, min_count=2)
+
+
+SQL_VOCAB_FULL = f"""
+WITH w AS (
+  SELECT unnest(str_split({_ONORM}, ' ')) AS token FROM documents
+), c AS (
+  SELECT token, count(*)::BIGINT AS n FROM w WHERE token <> '' GROUP BY token
+)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+FROM c WHERE n >= 2
+"""
+
+
 def q_packing_efficiency(spark, sf):
     """Padding-waste accounting over the 512-token packed layout
     (datapipe/packing.py packing_efficiency): per md5 shard, sequences
@@ -1422,6 +1444,7 @@ REGISTRY: dict = {
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP),
     "corpus_shuffle_shard": (q_corpus_shuffle_shard, SQL_SHUFFLE_SHARD),
     "vocab_apply_oov": (q_vocab_apply_oov, SQL_VOCAB_APPLY),
+    "vocab_full_rank": (q_vocab_full_rank, SQL_VOCAB_FULL),
     "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFF),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
 }

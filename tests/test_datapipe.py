@@ -547,3 +547,29 @@ def test_synth_png_jpeg_payload_roundtrip(spark):
     [r] = decode_metadata(jpg).collect()
     assert r.format == "jpeg" and r.width == 1920 and r.height == 1080
     assert r.byte_len == 17
+
+
+def test_vocab_rank_table_matches_topk_and_scales(spark, docs):
+    """Full-rank table agrees with vocab_top_terms on the overlap
+    (same (token, n, rank) for every top-k row), applies the
+    min_count floor BEFORE ranking, and contains no global window or
+    rank self-join in its plan."""
+    full = {r.token: r for r in tx.vocab_rank_table(docs).collect()}
+    top = {r.token: r for r in tx.vocab_top_terms(docs, top_n=5).collect()}
+    for t, row in top.items():
+        assert (full[t].n, full[t].rank) == (row.n, row.rank), t
+    # dense 1..V ranks, count-desc total order
+    ranks = sorted(r.rank for r in full.values())
+    assert ranks == list(range(1, len(full) + 1))
+    # min_count floor drops the tail and re-ranks densely
+    floored = {r.token: r for r in tx.vocab_rank_table(docs, min_count=2).collect()}
+    assert set(floored) == {t for t, r in full.items() if r.n >= 2}
+    assert sorted(r.rank for r in floored.values()) == list(
+        range(1, len(floored) + 1)
+    )
+    plan = (
+        tx.vocab_rank_table(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
