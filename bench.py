@@ -76,6 +76,13 @@ BENCH_QUERIES = [
     "corpus_shuffle_shard",
     "vocab_apply_oov",
     "packing_efficiency",
+    # round-5 additions
+    "passage_mine_top",
+    "passage_coverage_filter",
+    "passage_mask_digest",
+    "semdedup_prune",
+    "decontaminate_bloom",
+    "mixture_temperature",
 ]
 
 

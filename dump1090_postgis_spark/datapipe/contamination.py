@@ -84,3 +84,128 @@ def decontaminate(
     predicate upstream if the split demands it)."""
     hits = ngram_contamination(docs, bench_pred, text, id_col, k)
     return docs.join(hits, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+
+#: Bloom sizing: m bits / k hashes.  At the default 2^16 bits the
+#: bitmap is 8 KiB — a plan-side literal-class payload; production
+#: sizing is m ≈ 10–15 bits per benchmark gram (e.g. 2^27 bits = 16 MiB
+#: for a 10M-gram eval suite — still broadcast-class).
+DEFAULT_BLOOM_BITS = 1 << 16
+DEFAULT_BLOOM_HASHES = 5
+
+
+def _bloom_bit(col: str, seed: int, n_bits: int):
+    """Bit index of `seed`'s hash of string column `col` — the seed is
+    hashed as a second INT column, which is how both the build and the
+    probe sides derive k independent-enough hash functions from one
+    xxhash64."""
+    return F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(n_bits))
+
+
+def bloom_bitmap(
+    grams: DataFrame,
+    col: str = "g",
+    n_bits: int = DEFAULT_BLOOM_BITS,
+    n_hashes: int = DEFAULT_BLOOM_HASHES,
+) -> DataFrame:
+    """Distributed bloom-filter build: ONE row holding the bitmap as
+    ``array<bigint>`` (n_bits/64 words).
+
+    Pure DataFrame — per-gram bit positions explode to (word, mask)
+    rows, ``bit_or`` partial-aggregates per word (map-side combine, at
+    most n_bits/64 rows reach the final reduce), and the single-row
+    array materializes via map_from_entries + a dense index transform.
+    No driver collect: the bitmap row rides to consumers as a
+    broadcast single-row crossJoin (the sampling.py threshold-frame
+    pattern).
+    """
+    n_words = n_bits // 64
+    pos = grams.select(
+        F.explode(
+            F.array(*[_bloom_bit(col, s, n_bits) for s in range(n_hashes)])
+        ).alias("bit")
+    )
+    words = pos.select(
+        F.expr("bit div 64").alias("w"),
+        F.expr("shiftleft(1L, cast(bit % 64 as int))").alias("m"),
+    )
+    agg = words.groupBy("w").agg(F.bit_or("m").alias("word"))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("bigint")), F.lit(0).cast("bigint")
+        ),
+    )
+    return agg.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("_m")
+    ).select(dense.alias("_bloom"))
+
+
+def _might_contain(col: str, n_bits: int, n_hashes: int):
+    """Boolean membership probe against a ``_bloom`` array column in
+    scope.  Bit positions are staged per seed; word lookup + variable
+    shift run through SQL exprs (the PySpark shiftleft wrapper only
+    takes literal shift amounts)."""
+    from functools import reduce
+
+    conds = []
+    for s in range(n_hashes):
+        bit = f"pmod(xxhash64({col}, {s}), {n_bits})"
+        conds.append(
+            F.expr(
+                f"(element_at(_bloom, cast(({bit}) div 64 as int) + 1)"
+                f" & shiftleft(1L, cast(({bit}) % 64 as int))) != 0"
+            )
+        )
+    return reduce(lambda a, b: a & b, conds)
+
+
+def ngram_contamination_bloom(
+    docs: DataFrame,
+    bench_pred: Column,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_NGRAM,
+    n_bits: int = DEFAULT_BLOOM_BITS,
+    n_hashes: int = DEFAULT_BLOOM_HASHES,
+) -> DataFrame:
+    """:func:`ngram_contamination` with a bloom prefilter — IDENTICAL
+    output (bloom has no false negatives; the exact verify join removes
+    its false positives), different scale profile.
+
+    Why it exists: the plain path broadcasts the benchmark's full
+    distinct gram STRINGS and hash-probes every corpus gram against
+    them.  With a large eval suite the broadcast hash table is the
+    bottleneck (gram strings dominate); here the first probe is an
+    O(bits) bitmap — 8 KiB vs megabytes — so the (rare) bloom
+    survivors alone reach the exact string join.  At 100 TB the
+    corpus side stays a single scan either way; the bloom cuts the
+    probe's memory footprint and the exact join's input by ~the true
+    contamination rate + bloom FPR.
+    """
+    from .dedup import explode_computed, spread_for_compute
+
+    docs = spread_for_compute(docs, id_col)
+    staged = with_shingles(docs, text=text, k=k).select(
+        id_col, bench_pred.alias("_is_bench"), "_shingles"
+    )
+    grams = explode_computed(
+        staged, F.col("_shingles"), "g", keep=[id_col, "_is_bench"]
+    )
+    bench = grams.filter(F.col("_is_bench")).select("g").distinct()
+    bitmap = bloom_bitmap(bench, "g", n_bits, n_hashes)
+    survivors = (
+        grams.filter(~F.col("_is_bench"))
+        .crossJoin(F.broadcast(bitmap))
+        .filter(_might_contain("g", n_bits, n_hashes))
+        .select(id_col, "g")
+    )
+    return (
+        survivors.join(F.broadcast(bench), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

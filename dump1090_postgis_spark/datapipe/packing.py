@@ -193,3 +193,58 @@ def packing_efficiency(
             4,
         ).alias("efficiency"),
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.3,
+    budget_tokens: int = 100_000,
+    source_col: str = "source",
+    tokens: Column | None = None,
+    text: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual-sampling
+    rule of XLM-R / mT5: p_s ∝ n_s^α): one row per source with its
+    token mass, normalized sampling weight, and the per-doc keep rate
+    that realizes a ``budget_tokens`` training budget.
+
+    α < 1 upweights small sources (α→0 is uniform-over-sources, α=1
+    is proportional); keep_rate_s = min(1, p_s·B / n_s) caps at one
+    epoch — a rate above 1 means the source must repeat to meet its
+    share, surfaced here as the uncapped ``epochs`` column.
+
+    Plan: one partial-agg groupBy to source grain (tiny), the
+    normalizer as a broadcast single-row crossJoin (the
+    threshold-frame pattern) — nothing corpus-sized shuffles twice.
+    Pair with :func:`mixture_sample` (feeding ``weight`` in as its
+    target mixture) for the per-document Bernoulli realization.
+    """
+    from .dedup import normalize_text
+
+    if tokens is None:
+        tokens = F.size(F.split(normalize_text(F.col(text)), " "))
+    stats = (
+        df.select(F.col(source_col), tokens.alias("_t"))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").cast("bigint").alias("total_tokens"),
+        )
+        .withColumn("_pw", F.pow(F.col("total_tokens").cast("double"), F.lit(alpha)))
+    )
+    norm = stats.agg(F.sum("_pw").alias("_z"))
+    p = F.col("_pw") / F.col("_z")
+    b = F.lit(float(budget_tokens))
+    return (
+        stats.crossJoin(F.broadcast(norm))
+        .select(
+            source_col,
+            "n_docs",
+            "total_tokens",
+            F.round(p, 6).alias("weight"),
+            F.round(p * b / F.col("total_tokens"), 6).alias("epochs"),
+            F.round(
+                F.least(F.lit(1.0), p * b / F.col("total_tokens")), 6
+            ).alias("keep_rate"),
+        )
+    )

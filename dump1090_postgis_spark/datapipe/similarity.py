@@ -177,6 +177,11 @@ def _centroid_array(centroids: DataFrame):
 # broadcast single-row array join.
 _LITERAL_COMPILE_LIMIT = 20_000
 
+#: Salt fan-out for semantic_dedup's within-cluster pairwise join —
+#: parallelism becomes num_centroids × _SEM_SALT instead of
+#: num_centroids, and a hot cluster splits across this many tasks.
+_SEM_SALT = 8
+
 
 def _centroid_literal(centroids: DataFrame):
     """Plan-time compile of a broadcast-class centroid table into a
@@ -402,4 +407,118 @@ def label_outliers(
         label_col,
         cos.alias("cosine_to_centroid"),
         F.coalesce(cos < F.lit(threshold), F.lit(True)).alias("is_outlier"),
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    num_centroids: int = 8,
+    tau: float = 0.3,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then inside each cluster drop every row whose
+    cosine to a LOWER-id cluster-mate is ≥ ``tau`` — the cheap
+    cluster-then-pairwise alternative to all-pairs semantic dedup.
+
+    Output: (id_col, list_id, keep) for EVERY corpus row; ``keep`` is
+    false for the dropped near-duplicates (the canonical survivor of
+    each dup group is its minimum id, matching the exact-dedup and
+    cluster-resolution conventions in :mod:`.dedup` / :mod:`.cluster`).
+
+    Plan shape, Spark-first:
+    - assignment is the :func:`with_nearest_centroid` pure projection
+      (centroids compiled to a plan literal under the 20k budget,
+      broadcast past it) — zero corpus shuffle;
+    - within-cluster pairs come from a salted self equi-join on
+      ``(list_id, salt)`` with the cosine filter inside the join; the
+      staged assignment feeds three consumers (both join sides and
+      the final keep flag), so it is persisted MEMORY_AND_DISK —
+      computed once, never recomputed per branch;
+    - the drop set is ``distinct`` over matched higher ids, then a
+      pk-keyed left join flags survivors.
+
+    Scale: cluster size is corpus_size / num_centroids — the paper
+    runs k ≈ 10⁵ clusters at web scale precisely so each cluster's
+    O(b²) pairwise stays bounded; ``num_centroids`` is that knob here.
+    The pairwise never crosses clusters, so the worst case is
+    sum(bᵢ²), not n².
+    """
+    from .dedup import spread_for_compute
+
+    if centroids is None:
+        centroids = build_centroids(corpus, num_centroids, vec=vec, id_col=id_col)
+    cen_lit = _centroid_literal(centroids)
+    # spread: a small parquet arrives as ONE scan partition, which
+    # would serialize the interpreted assignment ranking onto a single
+    # core (no-op at real scale — see dedup.spread_for_compute).
+    assigned = with_nearest_centroid(
+        spread_for_compute(corpus.select(id_col, vec), id_col),
+        centroids, vec, "list_id", _cen_lit=cen_lit,
+    ).select(id_col, "list_id", F.col(vec).alias("_v"))
+
+    # Stage the double cast and the vector norm ONCE PER ROW before the
+    # pairwise join: the interpreted higher-order norm subtree would
+    # otherwise re-evaluate per PAIR (O(b²) per cluster instead of
+    # O(b)).  dot/(na*nb) below is the exact embedding_cosine
+    # expression tree over the staged inputs, so 4-decimal rounding
+    # stays bitwise-identical to the oracle's inline formula.
+    dbl = F.transform(F.col("_v"), lambda x: x.cast("double"))
+    staged = (
+        assigned.withColumn("_dv", dbl)
+        .withColumn(
+            "_nn",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("_dv"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+            ),
+        )
+        # three consumers (join sides a/b, final keep flag): one eager
+        # localCheckpoint materializes the assignment + staged norms so
+        # the interpreted ranking runs once, not thrice (the
+        # cluster.py label-propagation precedent).  One extra pass over
+        # the corpus at scale, traded for never re-deriving it.
+        .localCheckpoint()
+    )
+    # Salt the pairwise join: with few clusters the plain list_id key
+    # caps parallelism at num_centroids (and a hot cluster at 100 TB
+    # is one straggler task).  The b side takes a deterministic salt,
+    # the a side replicates across all _SEM_SALT salts — pairs are
+    # unchanged, the per-cluster O(b²) work fans out ×_SEM_SALT.
+    a = staged.select(
+        F.col(id_col).alias("_ida"), "list_id",
+        F.col("_dv").alias("_va"), F.col("_nn").alias("_na"),
+    ).withColumn("_s", F.explode(F.sequence(F.lit(0), F.lit(_SEM_SALT - 1))))
+    b = staged.select(
+        F.col(id_col).alias("_idb"), "list_id",
+        F.col("_dv").alias("_vb"), F.col("_nn").alias("_nb"),
+    ).withColumn("_s", F.pmod(F.xxhash64(F.col("_idb")), F.lit(_SEM_SALT)).cast("int"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    drops = (
+        a.join(b, ["list_id", "_s"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(dot / (F.col("_na") * F.col("_nb")), 4) >= F.lit(tau)
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        staged.select(id_col, "list_id")
+        .join(drops, id_col, "left")
+        .select(
+            id_col,
+            F.col("list_id").cast("bigint").alias("list_id"),
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
     )

@@ -62,9 +62,9 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_lsh_fast",
     "dedup_clusters",
     "dedup_incremental",
-    "decontaminate_ngram",
+    "decontaminate_bundle",
     "sampling_bundle",
-    "corpus_shuffle_shard",
+    "semdedup_prune",
     "ann_bundle",
     "text_metrics_bundle",
     "curate_documents",
@@ -72,7 +72,7 @@ DRIVER_WINDOW: list[str] = [
     "quality_quantile_filter",
     "multimodal_bundle",
     "sequence_bundle",
-    "packing_efficiency",
+    "passage_bundle",
     "text_scrub",
     "tfidf_top_terms",
     "vocab_bundle",

@@ -355,6 +355,12 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("split_assign", "dq", ["doc_id", "bucket", "split"]),
             ("mixture_sample", "dq", ["doc_id", "source", "keep_rate"]),
             ("sample_top_per_lang", "dq", ["doc_id", "lang", "quality", "rank"]),
+            ("corpus_shuffle_shard", "dq", ["doc_id", "pos", "shard"]),
+            (
+                "mixture_temperature",
+                "dq",
+                ["source", "n_docs", "total_tokens", "weight", "epochs", "keep_rate"],
+            ),
         ],
         [
             ("doc_id", "bigint"),
@@ -365,6 +371,12 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("lang", "string"),
             ("quality", "double"),
             ("rank", "int"),
+            ("pos", "bigint"),
+            ("shard", "bigint"),
+            ("n_docs", "bigint"),
+            ("total_tokens", "bigint"),
+            ("weight", "double"),
+            ("epochs", "double"),
         ],
     ),
     # Training-sequence prep: context-window chunking + packed spans
@@ -388,6 +400,18 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                     "seq_last",
                 ],
             ),
+            (
+                "packing_efficiency",
+                "dq",
+                [
+                    "shard",
+                    "n_docs",
+                    "total_tokens",
+                    "n_seqs",
+                    "padded_tokens",
+                    "efficiency",
+                ],
+            ),
         ],
         [
             ("doc_id", "bigint"),
@@ -399,6 +423,51 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("end_tok", "bigint"),
             ("seq_first", "bigint"),
             ("seq_last", "bigint"),
+            ("n_docs", "bigint"),
+            ("total_tokens", "bigint"),
+            ("n_seqs", "bigint"),
+            ("padded_tokens", "bigint"),
+            ("efficiency", "double"),
+        ],
+    ),
+    # Benchmark decontamination: exact broadcast semi-join + the
+    # bloom-prefiltered twin (identical output by construction)
+    "decontaminate_bundle": (
+        [
+            ("decontaminate_ngram", "dq", ["doc_id", "n_hits"]),
+            ("decontaminate_bloom", "dq", ["doc_id", "n_hits"]),
+        ],
+        [
+            ("doc_id", "bigint"),
+            ("n_hits", "bigint"),
+        ],
+    ),
+    # Repeated-passage mining: corpus document-frequency of 3-grams,
+    # coverage filter, and passage masking (datapipe/passages.py)
+    "passage_bundle": (
+        [
+            ("passage_mine_top", "dq", ["g", "n_docs"]),
+            (
+                "passage_coverage_filter",
+                "dq",
+                ["doc_id", "n_tokens", "covered_tokens", "coverage", "keep"],
+            ),
+            (
+                "passage_mask_digest",
+                "dq",
+                ["doc_id", "n_tokens", "n_masked", "masked_md5"],
+            ),
+        ],
+        [
+            ("g", "string"),
+            ("n_docs", "bigint"),
+            ("doc_id", "bigint"),
+            ("n_tokens", "bigint"),
+            ("covered_tokens", "bigint"),
+            ("coverage", "double"),
+            ("keep", "boolean"),
+            ("n_masked", "bigint"),
+            ("masked_md5", "string"),
         ],
     ),
     # Vocabulary family: top-k build, coverage apply, full-rank table

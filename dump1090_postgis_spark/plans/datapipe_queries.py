@@ -1406,6 +1406,198 @@ FROM corpus r JOIN cent ct USING (label)
 """
 
 
+def q_mixture_temperature(spark, sf):
+    """Temperature mixture weights (datapipe/packing.py
+    temperature_weights — XLM-R/mT5 p_s ∝ n_s^0.3): per-source token
+    mass → normalized sampling weight, uncapped epochs, and capped
+    keep rate for a 100k-token budget.  One tiny groupBy + broadcast
+    normalizer row."""
+    from ..datapipe.packing import temperature_weights
+
+    docs = load_table(spark, sf, "documents")
+    return temperature_weights(docs, alpha=0.3, budget_tokens=100_000)
+
+
+SQL_MIXTURE_TEMPERATURE = f"""
+WITH stats AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len({_OWORDS}))::BIGINT AS total_tokens
+  FROM documents GROUP BY source
+), powed AS (
+  SELECT *, pow(total_tokens::DOUBLE, 0.3) AS pw FROM stats
+), norm AS (
+  SELECT sum(pw) AS z FROM powed
+)
+SELECT source, n_docs, total_tokens,
+       round(pw / z, 6) AS weight,
+       round(pw / z * 100000.0 / total_tokens, 6) AS epochs,
+       round(least(1.0, pw / z * 100000.0 / total_tokens), 6) AS keep_rate
+FROM powed, norm
+"""
+
+
+def q_decontaminate_bloom(spark, sf):
+    """Bloom-prefiltered decontamination
+    (datapipe/contamination.py ngram_contamination_bloom): the 8 KiB
+    bitmap probes every corpus gram before the exact verify join, so
+    only bloom survivors reach the string join.  Output is IDENTICAL
+    to decontaminate_ngram (no false negatives + exact verify), so the
+    oracle is the same SQL — the bloom is a physical-plan accelerator,
+    not a semantics change."""
+    from ..datapipe.contamination import ngram_contamination_bloom
+
+    docs = load_table(spark, sf, "documents")
+    return ngram_contamination_bloom(docs, F.col("doc_id") % 7 == 0, k=8)
+
+
+def q_semdedup_prune(spark, sf):
+    """SemDeDup (datapipe/similarity.py semantic_dedup): cluster the
+    embeddings (same deterministic pmod-seed-mean centroids as the IVF
+    family), then drop rows with within-cluster cosine ≥ 0.3 to a
+    lower-id mate.  Assignment is a projection; pairs never cross
+    clusters; the oracle restates the whole pipeline as CTEs."""
+    emb = load_table(spark, sf, "embeddings")
+    return sim.semantic_dedup(emb, num_centroids=8, tau=0.3)
+
+
+SQL_SEMDEDUP = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeded AS (
+  SELECT vec_id % 8 AS centroid_id, unnest(v) AS x,
+         unnest(range(1, len(v) + 1)) AS pos
+  FROM corpus
+), cent_elems AS (
+  SELECT centroid_id, pos, avg(x) AS m FROM seeded GROUP BY centroid_id, pos
+), cent AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS centroid
+  FROM cent_elems GROUP BY centroid_id
+), scored AS (
+  SELECT c.vec_id, c.v, ct.centroid_id,
+         {_SQL_COS.format(a='c.v', b='ct.centroid')} AS sim
+  FROM corpus c CROSS JOIN cent ct
+), assigned AS (
+  SELECT vec_id, v, centroid_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE round({_SQL_COS.format(a='a.v', b='b.v')}, 4) >= 0.3
+)
+SELECT s.vec_id, s.list_id::BIGINT AS list_id,
+       d.vec_id IS NULL AS keep
+FROM assigned s LEFT JOIN drops d USING (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repeated-passage family (datapipe/passages.py)
+# ---------------------------------------------------------------------------
+
+#: k=3-gram start positions, one row per (doc, position) — shared CTE
+#: prefix of the passage oracles.  ``range`` is end-exclusive, slices
+#: are 1-based inclusive; WHERE len >= 3 mirrors the Spark family's
+#: "no k-gram in a shorter doc" rule.
+_OPASSAGE_POS = f"""
+prep AS (
+  SELECT doc_id, {_OWORDS} AS words FROM documents
+), pos AS (
+  SELECT doc_id, i AS p, array_to_string(words[i:i+2], ' ') AS g
+  FROM prep, unnest(range(1, greatest(len(words) - 1, 1))) AS t(i)
+  WHERE len(words) >= 3
+)"""
+
+
+def q_passage_mine_top(spark, sf):
+    """Repeated-passage mining (datapipe/passages.py): the 50 most
+    document-frequent word 3-grams across the corpus — per-doc
+    distinct via array_distinct in the projection, ONE shuffle on the
+    gram key, TakeOrderedAndProject for the cut."""
+    from ..datapipe import passages as ps
+
+    docs = load_table(spark, sf, "documents")
+    return ps.passage_doc_freq(docs).orderBy(
+        F.col("n_docs").desc(), "g"
+    ).limit(50)
+
+
+SQL_PASSAGE_MINE = f"""
+WITH {_OPASSAGE_POS}
+SELECT g, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM pos GROUP BY g
+ORDER BY n_docs DESC, g LIMIT 50
+"""
+
+
+def q_passage_coverage_filter(spark, sf):
+    """Frequent-passage coverage filter: fraction of each doc's token
+    positions under any 3-gram found in ≥4 docs (distinct positions —
+    overlaps never double-count); keep = coverage ≤ 0.5.  The
+    frequent set broadcasts; the corpus never shuffles to find its
+    covered positions."""
+    from ..datapipe import passages as ps
+
+    docs = load_table(spark, sf, "documents")
+    return ps.passage_coverage(docs)
+
+
+SQL_PASSAGE_COVERAGE = f"""
+WITH {_OPASSAGE_POS},
+dfreq AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g)
+  WHERE df >= 4
+), hits AS (
+  SELECT doc_id, len(list_distinct(flatten(list(range(p, p + 3))))) AS covered
+  FROM pos WHERE g IN (SELECT g FROM dfreq) GROUP BY doc_id
+)
+SELECT p.doc_id,
+       len(p.words)::BIGINT AS n_tokens,
+       coalesce(h.covered, 0)::BIGINT AS covered_tokens,
+       round(coalesce(h.covered, 0)::DOUBLE / greatest(len(p.words), 1), 4)
+         AS coverage,
+       round(coalesce(h.covered, 0)::DOUBLE / greatest(len(p.words), 1), 4)
+         <= 0.5 AS keep
+FROM prep p LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_passage_mask_digest(spark, sf):
+    """Passage masking: rewrite each doc with covered positions
+    replaced by '[DUP]', emit md5 of the rewritten text (digest, not
+    text — small and hashable).  Rewrite is a pure projection over
+    the pk-joined start positions."""
+    from ..datapipe import passages as ps
+
+    docs = load_table(spark, sf, "documents")
+    out = ps.mask_passages(docs)
+    return out.select(
+        "doc_id", "n_tokens", "n_masked", F.md5("masked_text").alias("masked_md5")
+    )
+
+
+SQL_PASSAGE_MASK = f"""
+WITH {_OPASSAGE_POS},
+dfreq AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g)
+  WHERE df >= 4
+), covlist AS (
+  SELECT doc_id, list_distinct(flatten(list(range(p, p + 3)))) AS cov
+  FROM pos WHERE g IN (SELECT g FROM dfreq) GROUP BY doc_id
+)
+SELECT p.doc_id,
+       len(p.words)::BIGINT AS n_tokens,
+       coalesce(len(c.cov), 0)::BIGINT AS n_masked,
+       md5(array_to_string(list_transform(range(1, len(p.words) + 1),
+           i -> CASE WHEN list_contains(c.cov, i) THEN '[DUP]'
+                     ELSE p.words[i] END), ' ')) AS masked_md5
+FROM prep p LEFT JOIN covlist c USING (doc_id)
+"""
+
+
 REGISTRY: dict = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
@@ -1447,4 +1639,13 @@ REGISTRY: dict = {
     "vocab_full_rank": (q_vocab_full_rank, SQL_VOCAB_FULL),
     "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFF),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
+    "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE),
+    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
+    "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP),
+    "passage_mine_top": (q_passage_mine_top, SQL_PASSAGE_MINE),
+    "passage_coverage_filter": (
+        q_passage_coverage_filter,
+        SQL_PASSAGE_COVERAGE,
+    ),
+    "passage_mask_digest": (q_passage_mask_digest, SQL_PASSAGE_MASK),
 }

@@ -109,3 +109,48 @@ def start_pipeline(
         .trigger(processingTime=trigger)
         .start()
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    before: str = "5 minutes",
+    after: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left row matches
+    right rows with the same ``on`` key whose event time falls in
+    [left_ts - before, left_ts + after].
+
+    The reference has no streaming join — its event enrichment
+    (STATE-5) joins a live stream against STATIC dims inside the
+    commit thread.  This is the Spark-native generalization for
+    stream×stream enrichment (e.g. landing events × position fixes):
+    both sides carry a watermark and the join condition carries a
+    time-range predicate, which is exactly what Structured Streaming
+    needs to BOUND the join state store — rows older than
+    watermark + interval are evicted, so state is O(rate × window),
+    not O(stream).  Append output mode only (results final once the
+    watermark passes).
+
+    Columns surface with ``l_`` / ``r_`` prefixes (except the shared
+    key) so downstream selects never hit ambiguous attributes.
+    """
+    l = left.withWatermark(left_ts, watermark).select(
+        F.col(on).alias("_k"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != on],
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        F.col(on).alias("_rk"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != on],
+    )
+    lts, rts = F.col(f"l_{left_ts}"), F.col(f"r_{right_ts}")
+    cond = (
+        (F.col("_k") == F.col("_rk"))
+        & (rts >= lts - F.expr(f"INTERVAL {before}"))
+        & (rts <= lts + F.expr(f"INTERVAL {after}"))
+    )
+    return l.join(r, cond, "inner").drop("_rk").withColumnRenamed("_k", on)

@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "vocab_top_tokens",
     "corpus_shuffle_shard",
     "vocab_apply_oov",
+    # round-5 additions
+    "passage_coverage_filter",
+    "semdedup_prune",
+    "decontaminate_bloom",
 ]
 
 

@@ -1,0 +1,146 @@
+"""Repeated-passage mining, coverage filtering, masking
+(datapipe/passages.py); SemDeDup pruning (similarity.semantic_dedup);
+bloom-prefiltered decontamination (contamination)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dump1090_postgis_spark.datapipe import passages as ps
+
+# "alpha beta gamma" is the boilerplate passage: planted in 4 of 5
+# docs (min_df=4 → frequent); everything else is unique filler.
+DOCS = [
+    (1, "alpha beta gamma one two three four five six seven"),
+    (2, "eight nine alpha beta gamma ten eleven twelve thirteen"),
+    (3, "fourteen fifteen sixteen alpha beta gamma seventeen"),
+    (4, "alpha beta gamma"),
+    (5, "eighteen nineteen twenty twentyone twentytwo twentythree"),
+    (6, "xy"),  # shorter than k=3 words: no 3-gram, coverage 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_passage_doc_freq_counts_documents_not_occurrences(spark):
+    # the same gram twice within one doc must count once
+    df = spark.createDataFrame(
+        [(1, "a b c x a b c"), (2, "a b c y")], "doc_id long, text string"
+    )
+    freq = {r.g: r.n_docs for r in ps.passage_doc_freq(df).collect()}
+    assert freq["a b c"] == 2
+
+
+def test_frequent_passages_threshold(spark, docs):
+    freq = {r.g for r in ps.frequent_passages(docs, min_df=4).collect()}
+    assert freq == {"alpha beta gamma"}
+    none = ps.frequent_passages(docs, min_df=5).count()
+    assert none == 0
+
+
+def test_passage_coverage_values(spark, docs):
+    rows = {r.doc_id: r for r in ps.passage_coverage(docs, min_df=4).collect()}
+    assert len(rows) == 6  # every doc, including uncovered ones
+    # doc 4 is exactly the passage: fully covered, dropped at 0.5
+    assert rows[4].covered_tokens == 3 and rows[4].coverage == 1.0
+    assert not rows[4].keep
+    # doc 1: 3 of 10 tokens covered
+    assert rows[1].covered_tokens == 3 and rows[1].n_tokens == 10
+    assert rows[1].coverage == 0.3 and rows[1].keep
+    # doc 5: no frequent gram; doc 6: too short for any 3-gram
+    assert rows[5].covered_tokens == 0 and rows[5].keep
+    assert rows[6].covered_tokens == 0 and rows[6].n_tokens == 1
+
+
+def test_passage_coverage_overlaps_do_not_double_count(spark):
+    # "a b c" and "b c d" both frequent and overlapping: positions
+    # 1..4 covered once each, not 3+3
+    df = spark.createDataFrame(
+        [(i, "a b c d") for i in range(1, 5)] + [(9, "z z z z")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ps.passage_coverage(df, min_df=4).collect()}
+    assert rows[1].covered_tokens == 4 and rows[1].coverage == 1.0
+
+
+def test_mask_passages_rewrites_covered_positions(spark, docs):
+    out = {r.doc_id: r for r in ps.mask_passages(docs, min_df=4).collect()}
+    m1 = out[1]
+    assert m1.n_masked == 3
+    assert m1.masked_text.startswith("[DUP] [DUP] [DUP] one two")
+    # untouched doc passes through verbatim
+    assert out[5].masked_text == DOCS[4][1]
+    assert out[5].n_masked == 0
+
+
+def test_semantic_dedup_drops_near_identical_cluster_mates(spark):
+    from dump1090_postgis_spark.datapipe.similarity import semantic_dedup
+
+    # two near-identical vectors (cos ≈ 1) + two orthogonal ones
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.keep for r in
+           semantic_dedup(emb, num_centroids=2, tau=0.9).collect()}
+    assert out[0] is True      # canonical survivor = min id
+    assert out[1] is False     # dropped against 0
+    assert out[2] and out[3]   # orthogonal rows untouched
+
+
+def test_bloom_contamination_matches_exact_path(spark):
+    from dump1090_postgis_spark.datapipe.contamination import (
+        ngram_contamination,
+        ngram_contamination_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = F.col("doc_id") % 7 == 0
+    exact = {(r.doc_id, r.n_hits)
+             for r in ngram_contamination(docs, pred, k=8).collect()}
+    bloom = {(r.doc_id, r.n_hits)
+             for r in ngram_contamination_bloom(docs, pred, k=8).collect()}
+    assert exact == bloom and exact
+
+
+def test_bloom_bitmap_has_no_false_negatives(spark):
+    from dump1090_postgis_spark.datapipe.contamination import (
+        _might_contain,
+        bloom_bitmap,
+    )
+
+    grams = spark.createDataFrame(
+        [(f"gram {i}",) for i in range(200)], "g string"
+    )
+    bitmap = bloom_bitmap(grams)
+    probed = (
+        grams.crossJoin(F.broadcast(bitmap))
+        .filter(_might_contain("g", 1 << 16, 5))
+        .count()
+    )
+    assert probed == 200  # every inserted member must probe positive
+
+
+def test_temperature_weights_upweight_small_sources(spark):
+    from dump1090_postgis_spark.datapipe.packing import temperature_weights
+
+    # big source: 9 docs x 4 tokens; small source: 1 doc x 4 tokens
+    rows = [(i, "w x y z", "big") for i in range(9)] + [(9, "w x y z", "small")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in
+           temperature_weights(df, alpha=0.3, budget_tokens=40).collect()}
+    assert out["big"].total_tokens == 36 and out["small"].total_tokens == 4
+    # α=0.3 compresses the 9:1 mass ratio to 36^.3 : 4^.3 ≈ 1.93 : 1
+    assert out["big"].weight < 0.9 * 0.75  # far below proportional 0.9
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-6
+    # small source must repeat (epochs > 1) and its rate caps at 1
+    assert out["small"].epochs > 1.0 and out["small"].keep_rate == 1.0
+    # alpha=1 recovers proportional weighting
+    prop = {r.source: r.weight for r in
+            temperature_weights(df, alpha=1.0, budget_tokens=40).collect()}
+    assert abs(prop["big"] - 0.9) < 1e-6

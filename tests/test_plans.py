@@ -244,3 +244,49 @@ def test_label_outlier_centroids_partial_agg(spark):
     plan = plan_of(q_embedding_outliers(spark, SF))
     assert "partial_avg" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_passage_coverage_frequent_set_is_broadcast(spark):
+    """The frequent-passage probe must be a broadcast hash join (the
+    mined set is Zipf-small) — the corpus side must never shuffle on
+    the gram key to discover its covered positions — and no window
+    may appear anywhere in the family."""
+    from dump1090_postgis_spark.datapipe.passages import passage_coverage
+    from dump1090_postgis_spark.schemas import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(passage_coverage(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_bloom_decontaminate_probe_side_broadcasts(spark):
+    """Bloom-prefiltered decontamination: both the single-row bitmap
+    and the exact verify set ride broadcast exchanges; the corpus gram
+    stream itself must not hash-shuffle before the per-doc count."""
+    from dump1090_postgis_spark.datapipe.contamination import (
+        ngram_contamination_bloom,
+    )
+    from dump1090_postgis_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    out = ngram_contamination_bloom(docs, F.col("doc_id") % 7 == 0, k=8)
+    plan = plan_of(out)
+    assert plan.count("BroadcastExchange") >= 2
+    # the only non-broadcast exchange is the final per-doc partial count
+    assert "Window" not in plan
+
+
+def test_semdedup_assignment_zero_shuffle_before_pairwise(spark):
+    """semantic_dedup's checkpointed assignment must carry no Window
+    and no cartesian/nested-loop join — pairs come from the salted
+    equi-join only."""
+    from dump1090_postgis_spark.datapipe.similarity import semantic_dedup
+    from dump1090_postgis_spark.schemas import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(semantic_dedup(emb, num_centroids=4, tau=0.3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan

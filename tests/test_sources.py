@@ -217,3 +217,35 @@ def test_attribution_scales_to_full_runways_csv(spark):
     assert plan.count("CASE WHEN") < 100
     out = {r.event_id: r.runway for r in out_df.collect()}
     assert out[1] == "03" and out[2] == "21" and out[3] == "UNK"
+
+
+def test_read_documents_jsonl_quarantines_malformed(spark, tmp_path):
+    """SRC discipline on the JSONL corpus reader: good rows parse from
+    one scan, malformed/incomplete records land in quarantine as raw
+    lines, nothing vanishes."""
+    from dump1090_postgis_spark.sources.corpus import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s1"}\n'
+        'not json at all\n'
+        '{"doc_id": "notanint", "text": "x"}\n'
+        '{"doc_id": 3}\n'  # missing required text
+    )
+    good, bad = read_documents_jsonl(spark, str(p))
+    g = {r.doc_id: r.text for r in good.collect()}
+    assert g == {1: "hello world", 2: "bonjour"}
+    b = [r.raw for r in bad.collect()]
+    assert len(b) == 3 and any("not json" in x for x in b)
+
+    # round-trip: export good rows sharded, re-read, same content
+    out = str(tmp_path / "export")
+    write_documents_jsonl(good, out, shards=2)
+    again, none = read_documents_jsonl(spark, out)
+    assert {r.doc_id: r.text for r in again.collect()} == g
+    assert none.count() == 0

@@ -257,3 +257,58 @@ def test_streaming_incremental_dedup_with_signature_store(spark, tmp_path):
         assert pair & b0_ids and pair & b1_ids
     # store now holds both batches' signatures
     assert spark.read.parquet(store).select("_id").distinct().count() == 4
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream×stream enrichment: a watermarked interval join matches
+    right-side fixes within ±2 minutes of each left event, same key
+    only, and drops everything outside the interval."""
+    import tempfile
+
+    from dump1090_postgis_spark.streaming.pipeline import interval_join_streams
+
+    ldrop = tempfile.mkdtemp(prefix="ssjl")
+    rdrop = tempfile.mkdtemp(prefix="ssjr")
+    ckpt = tempfile.mkdtemp(prefix="ssjc")
+    try:
+        with open(os.path.join(ldrop, "a.csv"), "w") as f:
+            f.write("AAA111,2024-05-01 10:00:00,landing\n")
+            f.write("BBB222,2024-05-01 12:00:00,takeoff\n")
+        with open(os.path.join(rdrop, "a.csv"), "w") as f:
+            f.write("AAA111,2024-05-01 09:58:30,480\n")   # in window
+            f.write("AAA111,2024-05-01 10:01:00,120\n")   # in window
+            f.write("AAA111,2024-05-01 10:30:00,90\n")    # outside ±2m
+            f.write("BBB222,2024-05-01 10:00:30,300\n")   # wrong time
+            f.write("CCC333,2024-05-01 10:00:30,300\n")   # wrong key
+        left = (
+            spark.readStream.schema("hexident string, ts timestamp, kind string")
+            .csv(ldrop)
+        )
+        right = (
+            spark.readStream.schema("hexident string, ts timestamp, alt int")
+            .csv(rdrop)
+        )
+        joined = interval_join_streams(
+            left, right, on="hexident", before="2 minutes", after="2 minutes"
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ssj_out")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.hexident, str(r.r_ts), r.r_alt)
+            for r in spark.sql("select * from ssj_out").collect()
+        }
+        assert got == {
+            ("AAA111", "2024-05-01 09:58:30", 480),
+            ("AAA111", "2024-05-01 10:01:00", 120),
+        }
+    finally:
+        shutil.rmtree(ldrop, ignore_errors=True)
+        shutil.rmtree(rdrop, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
