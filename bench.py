@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "semdedup_prune",
     "decontaminate_bloom",
     "mixture_temperature",
+    "multimodal_resize",
+    "multimodal_features",
+    "corpus_diff_status",
 ]
 
 

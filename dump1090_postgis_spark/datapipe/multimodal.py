@@ -268,3 +268,78 @@ def frame_sample_plan(video_meta: DataFrame, every_n: int = 30) -> DataFrame:
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.greatest(F.col("width") - 1, F.lit(0)), F.lit(every_n))),
     )
+
+
+def resize_meta(
+    decoded: DataFrame, max_w: int = 32, max_h: int = 32
+) -> DataFrame:
+    """Aspect-preserving resize PLAN over decoded metadata: the target
+    dimensions every thumbnailing job needs, as a pure projection —
+    scale = min(1, max_w/w, max_h/h), floor-scaled, clamped ≥ 1px.
+
+    The pixel work itself belongs in the :func:`decode_metadata`
+    ``decoder=`` seam (PIL/libvips — not in this container); computing
+    the geometry ENGINE-side keeps the work list exact (rows where
+    scale = 1.0 can skip the codec entirely) and shuffle-free.
+    """
+    w, h = F.col("width").cast("double"), F.col("height").cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(max_w)) / w, F.lit(float(max_h)) / h)
+    return decoded.select(
+        "*",
+        F.when(
+            F.col("ok") & F.col("width").isNotNull(),
+            F.greatest(F.lit(1), F.floor(w * scale).cast("int")),
+        ).alias("out_w"),
+        F.when(
+            F.col("ok") & F.col("height").isNotNull(),
+            F.greatest(F.lit(1), F.floor(h * scale).cast("int")),
+        ).alias("out_h"),
+    )
+
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, bin int, value double"
+)
+
+
+def byte_histogram_features(
+    docs_with_payload: DataFrame, id_col: str = "doc_id", bins: int = 16
+) -> DataFrame:
+    """REAL feature extraction over a binary column: L2-normalized
+    byte-value histogram per payload, exploded to (id, bin, value)
+    rows — the content-addressable signature that feeds the ANN /
+    semantic-dedup operators without any external codec.
+
+    Arrow-batched mapInPandas (numpy bincount per payload — one Python
+    round-trip per batch); emits RAW doubles, so callers round with
+    ``F.round`` (JVM HALF_UP — the engine's cross-engine convention)
+    rather than numpy's half-to-even.  256 must divide evenly into
+    ``bins``.
+    """
+    assert 256 % bins == 0, "bins must divide 256"
+    width = 256 // bins
+    cols = docs_with_payload.select(id_col, "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, out_bins, vals = [], [], []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                arr = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                counts = _np.bincount(arr // width, minlength=bins)[:bins]
+                norm = _np.sqrt(float((counts.astype(_np.int64) ** 2).sum()))
+                v = counts / norm
+                ids.extend([int(i)] * bins)
+                out_bins.extend(range(bins))
+                vals.extend(float(x) for x in v)
+            yield _pd.DataFrame(
+                {"doc_id": _pd.Series(ids, dtype="int64"),
+                 "bin": _pd.Series(out_bins, dtype="int32"),
+                 "value": _pd.Series(vals, dtype="float64")}
+            )
+
+    return cols.mapInPandas(extract, FEATURE_SCHEMA)

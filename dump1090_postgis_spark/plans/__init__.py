@@ -56,7 +56,7 @@ DRIVER_WINDOW: list[str] = [
     "olap_bundle",
     "type_stats_bundle",
     "meta_geojson_bundle",
-    "dedup_exact",
+    "corpus_maintenance_bundle",
     "dedup_pairs_bundle",
     "doc_signature_bundle",
     "dedup_minhash_lsh_fast",

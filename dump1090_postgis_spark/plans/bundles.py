@@ -278,6 +278,20 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
         ],
     ),
     # Candidate-pair dedup family (jaccard / cosine scored pairs)
+    # Corpus maintenance: exact dedup groups + version-diff status
+    "corpus_maintenance_bundle": (
+        [
+            ("dedup_exact", "dq", ["text_hash", "keep_id", "n_copies"]),
+            ("corpus_diff_status", "dq", ["doc_id", "status"]),
+        ],
+        [
+            ("text_hash", "string"),
+            ("keep_id", "bigint"),
+            ("n_copies", "bigint"),
+            ("doc_id", "bigint"),
+            ("status", "string"),
+        ],
+    ),
     "dedup_pairs_bundle": (
         [
             ("dedup_ngram_jaccard", "dq", ["id_a", "id_b", "jaccard"]),
@@ -509,6 +523,21 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "dq",
                 ["doc_id", "byte_len", "format", "width", "height", "ok"],
             ),
+            (
+                "multimodal_resize",
+                "dq",
+                [
+                    "doc_id",
+                    "byte_len",
+                    "format",
+                    "width",
+                    "height",
+                    "ok",
+                    "out_w",
+                    "out_h",
+                ],
+            ),
+            ("multimodal_features", "dq", ["doc_id", "bin", "value"]),
         ],
         [
             ("doc_id", "bigint"),
@@ -517,6 +546,10 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("width", "int"),
             ("height", "int"),
             ("ok", "boolean"),
+            ("out_w", "int"),
+            ("out_h", "int"),
+            ("bin", "int"),
+            ("value", "double"),
         ],
     ),
 }

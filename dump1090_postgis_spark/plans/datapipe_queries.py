@@ -1406,6 +1406,118 @@ FROM corpus r JOIN cent ct USING (label)
 """
 
 
+def q_corpus_diff_status(spark, sf):
+    """Corpus version diff (datapipe/versioning.py corpus_diff):
+    documents vs a deterministic v2 (docs %11 removed, %13 edited,
+    %17 re-added under shifted ids) — every id classified
+    added/removed/changed/unchanged via content-hash full-outer join
+    on the pk; hashes travel, text never does."""
+    from ..datapipe.versioning import corpus_diff
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    v2 = (
+        docs.filter(did % 11 != 0)
+        .withColumn(
+            "text",
+            F.when(did % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionByName(
+            docs.filter(did % 17 == 0).select(
+                (did + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(docs, v2)
+
+
+SQL_CORPUS_DIFF = f"""
+WITH old AS (
+  SELECT doc_id, md5({_ONORM}) AS ho FROM documents
+), v2src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+), new AS (
+  SELECT doc_id, md5({_ONORM}) AS hn FROM v2src
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.ho IS NULL THEN 'added'
+            WHEN n.hn IS NULL THEN 'removed'
+            WHEN o.ho <> n.hn THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n USING (doc_id)
+"""
+
+
+def q_multimodal_resize(spark, sf):
+    """Aspect-preserving resize plan (datapipe/multimodal.py
+    resize_meta): decode metadata → target thumbnail geometry as a
+    pure projection (scale = min(1, 32/w, 32/h), floor, ≥1px clamp) —
+    the engine-side work list for the codec seam."""
+    from ..datapipe.multimodal import resize_meta
+
+    docs = attach_binary(load_table(spark, sf, "documents"))
+    return resize_meta(decode_metadata(docs), max_w=32, max_h=32)
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+SELECT doc_id, byte_len, format, width, height, ok,
+       CASE WHEN ok AND width IS NOT NULL THEN
+         greatest(1, floor(width::DOUBLE *
+           least(1.0, 32.0 / width::DOUBLE, 32.0 / height::DOUBLE))::INT)
+       END AS out_w,
+       CASE WHEN ok AND height IS NOT NULL THEN
+         greatest(1, floor(height::DOUBLE *
+           least(1.0, 32.0 / width::DOUBLE, 32.0 / height::DOUBLE))::INT)
+       END AS out_h
+FROM ({SQL_MULTIMODAL}) AS _mm
+"""
+
+
+def q_multimodal_features(spark, sf):
+    """Byte-histogram feature extraction (datapipe/multimodal.py
+    byte_histogram_features): Arrow-batched numpy bincount per binary
+    payload, L2-normalized, exploded to (doc_id, bin, value) — real
+    content features with no external codec; rounding happens
+    JVM-side (HALF_UP) for cross-engine parity."""
+    from ..datapipe.multimodal import byte_histogram_features
+
+    docs = attach_binary(load_table(spark, sf, "documents"))
+    feats = byte_histogram_features(docs, bins=16)
+    return feats.select(
+        "doc_id", "bin", F.round("value", 4).alias("value")
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH hexed AS (
+  SELECT doc_id, octet_length(encode(text))::BIGINT AS n,
+         hex(encode(text)) AS h
+  FROM documents
+), bytes AS (
+  SELECT doc_id, ('0x' || substr(h, k*2-1, 2))::BIGINT // 16 AS bin
+  FROM hexed, unnest(range(1, n + 1)) AS t(k) WHERE n > 0
+), counts AS (
+  SELECT doc_id, bin, count(*)::BIGINT AS c FROM bytes GROUP BY doc_id, bin
+), allbins AS (
+  SELECT x.doc_id, b.bin FROM (SELECT doc_id FROM hexed WHERE n > 0) x,
+       unnest(range(0, 16)) AS b(bin)
+), filled AS (
+  SELECT ab.doc_id, ab.bin::INT AS bin, coalesce(c.c, 0) AS c
+  FROM allbins ab LEFT JOIN counts c ON c.doc_id = ab.doc_id AND c.bin = ab.bin
+), nrm AS (
+  SELECT doc_id, sqrt(sum(c * c)) AS z FROM filled GROUP BY doc_id
+)
+SELECT f.doc_id, f.bin, round(f.c / n.z, 4) AS value
+FROM filled f JOIN nrm n USING (doc_id)
+"""
+
+
 def q_mixture_temperature(spark, sf):
     """Temperature mixture weights (datapipe/packing.py
     temperature_weights — XLM-R/mT5 p_s ∝ n_s^0.3): per-source token
@@ -1641,6 +1753,9 @@ REGISTRY: dict = {
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE),
     "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
+    "corpus_diff_status": (q_corpus_diff_status, SQL_CORPUS_DIFF),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP),
     "passage_mine_top": (q_passage_mine_top, SQL_PASSAGE_MINE),
     "passage_coverage_filter": (

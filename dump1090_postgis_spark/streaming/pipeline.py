@@ -154,3 +154,22 @@ def interval_join_streams(
         & (rts <= lts + F.expr(f"INTERVAL {after}"))
     )
     return l.join(r, cond, "inner").drop("_rk").withColumnRenamed("_k", on)
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, dropping
+    re-deliveries that land within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` is the bounded-state form —
+    per-key state is evicted once the watermark passes its event time,
+    so state is O(rate × horizon), not O(stream) (plain
+    ``dropDuplicates`` on a stream retains every key forever).  The
+    batch analog is datapipe/dedup.exact_dedup; at-least-once sources
+    (replayed sockets, kafka) are the reason this exists.
+    """
+    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)

@@ -144,3 +144,70 @@ def test_temperature_weights_upweight_small_sources(spark):
     prop = {r.source: r.weight for r in
             temperature_weights(df, alpha=1.0, budget_tokens=40).collect()}
     assert abs(prop["big"] - 0.9) < 1e-6
+
+
+def test_resize_meta_geometry(spark):
+    from dump1090_postgis_spark.datapipe.multimodal import resize_meta
+
+    meta = spark.createDataFrame(
+        [(1, 64, 16, True), (2, 16, 64, True), (3, 8, 8, True),
+         (4, None, None, False), (5, 1000, 1, True)],
+        "doc_id long, width int, height int, ok boolean",
+    )
+    out = {r.doc_id: (r.out_w, r.out_h)
+           for r in resize_meta(meta, 32, 32).collect()}
+    assert out[1] == (32, 8)     # landscape scales by width
+    assert out[2] == (8, 32)     # portrait scales by height
+    assert out[3] == (8, 8)      # already within budget: untouched
+    assert out[4] == (None, None)  # undecoded rows carry no plan
+    assert out[5] == (32, 1)     # degenerate strip clamps to >= 1px
+
+
+def test_byte_histogram_features_are_l2_normalized(spark):
+    from dump1090_postgis_spark.datapipe.multimodal import (
+        byte_histogram_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x10\xff")), (2, bytearray(b"")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = byte_histogram_features(df, bins=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.bin] = r.value
+    # empty / NULL payloads emit nothing
+    assert set(by_doc) == {1}
+    v = by_doc[1]
+    assert len(v) == 16
+    # bytes 0x00,0x00 -> bin 0 (count 2); 0x10 -> bin 1; 0xff -> bin 15
+    import math
+    z = math.sqrt(2 * 2 + 1 + 1)
+    assert abs(v[0] - 2 / z) < 1e-12 and abs(v[1] - 1 / z) < 1e-12
+    assert abs(v[15] - 1 / z) < 1e-12 and v[2] == 0.0
+    # L2 norm = 1
+    assert abs(sum(x * x for x in v.values()) - 1.0) < 1e-9
+
+
+def test_corpus_diff_classifies_all_four_states(spark):
+    from dump1090_postgis_spark.datapipe.versioning import (
+        changed_set,
+        corpus_diff,
+        diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed now"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    st = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert st == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    summary = {r.status: r.n for r in diff_summary(old, new).collect()}
+    assert summary == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+    # the incremental work list = new-side added+changed rows
+    work = {r.doc_id for r in changed_set(old, new).collect()}
+    assert work == {2, 4}

@@ -312,3 +312,40 @@ def test_stream_stream_interval_join(spark):
         shutil.rmtree(ldrop, ignore_errors=True)
         shutil.rmtree(rdrop, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_dedup_stream_drops_redelivery_within_watermark(spark):
+    """Streaming exact dedup: a re-delivered key inside the watermark
+    horizon is dropped; distinct keys all pass."""
+    import tempfile
+
+    from dump1090_postgis_spark.streaming.pipeline import dedup_stream
+
+    drop = tempfile.mkdtemp(prefix="sdedup")
+    ckpt = tempfile.mkdtemp(prefix="sdedupc")
+    try:
+        with open(os.path.join(drop, "a.csv"), "w") as f:
+            f.write("k1,2024-05-01 10:00:00,first\n")
+            f.write("k1,2024-05-01 10:00:30,redelivery\n")
+            f.write("k2,2024-05-01 10:01:00,other\n")
+        stream = (
+            spark.readStream.schema("k string, ts timestamp, note string")
+            .csv(drop)
+        )
+        q = (
+            dedup_stream(stream, ["k"], ts="ts", watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sdedup_out")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from sdedup_out").collect()
+        assert sorted((r.k, r.note) for r in rows) == [
+            ("k1", "first"), ("k2", "other"),
+        ]
+    finally:
+        shutil.rmtree(drop, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
