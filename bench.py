@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "multimodal_resize",
     "multimodal_features",
     "corpus_diff_status",
+    "kmeans_refine",
+    "token_zipf",
+    "length_buckets",
+    "corpus_datacard",
+    "forward_fill_reading",
+    "rolling_value_avg",
 ]
 
 

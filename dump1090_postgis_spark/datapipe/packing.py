@@ -248,3 +248,78 @@ def temperature_weights(
             ).alias("keep_rate"),
         )
     )
+
+
+def pow2_bucket(n: Column, min_bucket: int = 16, cap: int = 512) -> Column:
+    """Smallest power of two >= ``n``, clamped to [min_bucket, cap].
+
+    Integer-exact: the power is ``1 << bit_length(n_eff - 1)`` with the
+    bit length read off the binary-string representation — no floating
+    ``log2`` whose last-ulp rounding could flip a doc at an exact
+    power-of-two boundary into the wrong bucket (and differ between
+    engines).  ``cap`` is the model context length: longer docs are
+    truncated into the top bucket.
+    """
+    n_eff = F.least(F.greatest(n, F.lit(1)), F.lit(cap))
+    # pow(2, k) is exactly representable in a double for every k ≤ 62,
+    # so the bigint cast is exact (shiftleft's numBits arg only takes
+    # a Python int, not a per-row column).
+    p2 = F.pow(F.lit(2.0), F.length(F.bin(n_eff - 1)).cast("double")).cast("bigint")
+    return F.when(n_eff <= min_bucket, F.lit(min_bucket).cast("bigint")).otherwise(
+        F.least(p2, F.lit(cap).cast("bigint"))
+    )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    tokens: Column,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    min_bucket: int = 16,
+) -> DataFrame:
+    """Length-bucketed dynamic batching — the inference/eval-side
+    counterpart of :func:`pack_sequences`: instead of concatenating
+    docs into one causal stream, group similar-length docs into padded
+    batches so attention is never computed over another document and
+    padding waste stays bounded by the pow-2 bucket geometry (the
+    standard dynamic-batching layout for embedding / reward-model /
+    eval inference over a corpus).
+
+    Per doc: ``bucket`` = pow-2 length bucket (docs longer than
+    ``seq_len`` truncate into the top bucket), ``batch_idx`` = which
+    fixed-token-budget batch of its (shard, bucket) group it lands in
+    (each batch holds ``seq_len // bucket`` docs — constant token
+    budget per batch regardless of bucket), ``pad`` = padding tokens
+    this doc wastes.
+
+    Scale shape: bucket assignment is a pure projection; the only
+    non-projection op is ONE row_number window per (shard, bucket)
+    partition — the shard is an md5 hash bucket of the id, so
+    partitions are corpus_size / (n_shards × n_buckets) regardless of
+    length skew; at 100 TB raise ``n_shards`` and every window
+    partition stays executor-sized.  Deterministic: shard = md5
+    bucket, order within (shard, bucket) = id asc.
+    """
+    from pyspark.sql import Window
+
+    n_eff = F.least(F.greatest(tokens.cast("bigint"), F.lit(0)), F.lit(seq_len))
+    out = df.select(
+        F.col(id_col),
+        hash_bucket(F.col(id_col), n_shards).alias("shard"),
+        tokens.cast("bigint").alias("n_tokens"),
+        n_eff.alias("_n_eff"),
+        pow2_bucket(tokens.cast("bigint"), min_bucket, seq_len).alias("bucket"),
+    )
+    capacity = F.greatest(F.lit(1).cast("bigint"), F.lit(seq_len) / F.col("bucket"))
+    w = Window.partitionBy("shard", "bucket").orderBy(id_col)
+    return out.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        "bucket",
+        F.floor((F.row_number().over(w) - 1) / capacity).cast("bigint").alias(
+            "batch_idx"
+        ),
+        (F.col("bucket") - F.col("_n_eff")).cast("bigint").alias("pad"),
+    )

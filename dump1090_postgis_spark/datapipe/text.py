@@ -519,3 +519,38 @@ def apply_vocab(
             F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 4
         ).alias("oov_rate"),
     )
+
+
+def zipf_stats(df, text: str = "text", caches=None):
+    """One-row corpus frequency-distribution summary — the data-card
+    statistics a corpus release publishes about its token
+    distribution: type count, total tokens, type/token ratio, the
+    head share (top-ranked token's fraction of all tokens), and the
+    Zipf slope (least-squares slope of ln(count) on ln(rank) over the
+    FULL ranked vocabulary — natural text sits near -1; a slope far
+    from it is a corpus-health signal for boilerplate or synthetic
+    spam).
+
+    Scale shape: the ranked vocabulary comes from
+    :func:`vocab_rank_table` (two-pass partitioned dense ranking —
+    no global window), and the summary is ONE partial-agg aggregate
+    over the vocabulary-sized frame; ``regr_slope`` is a built-in
+    running-sums aggregate (sum x, sum y, sum xy, sum x²) so the
+    regression never materializes points anywhere.
+    """
+    ranked = vocab_rank_table(df, text=text, min_count=1, caches=caches)
+    n = F.col("n").cast("double")
+    rank = F.col("rank").cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("n").cast("double"), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            F.max(F.when(F.col("rank") == 1, F.col("n"))).cast("double")
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("top_share"),
+        F.round(F.regr_slope(F.log(n), F.log(rank)), 4).alias("zipf_slope"),
+    )

@@ -222,3 +222,74 @@ def multigrain_rollup(
         F.coalesce("hour_s", F.lit("")).alias("hour_s"),
         *[c for c in rolled.columns if c not in ("_gid", "day_s", "hour_s", *keys)],
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: list[str],
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward per key: for each listed
+    column, NULLs take the most recent non-NULL value earlier in the
+    key's timeline (the telemetry gap-fill every sparse sensor /
+    irregular reading table needs — the reference interpolates missing
+    track the same way at parse time, adsb_parser.py PRJ-7, but has no
+    general imputation operator).
+
+    ``last(ignorenulls) OVER (key, ROWS UNBOUNDED PRECEDING)`` —
+    Spark's running-state window: ONE shuffle on the key, one
+    partition-local sort, O(1) state per column while scanning.  Rows
+    before a key's first observation stay NULL.  ``tiebreak`` must
+    make the ordering total (same-timestamp rows otherwise make the
+    fill nondeterministic).
+
+    Filled values surface as ``<col>_ff`` next to the originals.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, *(tiebreak or []))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        *df.columns,
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"{c}_ff")
+            for c in cols
+        ],
+    )
+
+
+def rolling_range_agg(
+    df: DataFrame,
+    value: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    width_s: int = 3600,
+) -> DataFrame:
+    """Trailing time-window aggregate per key: for every row, count /
+    sum / avg of ``value`` over the key's rows with event time in
+    ``[t - width_s, t]`` seconds (inclusive both ends — the moving
+    average an ops dashboard or anomaly detector reads per event, at
+    event grain rather than the fixed bins of AGG-1/AGG-2).
+
+    A RANGE frame over integer epoch-MICROSECOND ordering: exact
+    sub-second membership (no float seconds), one shuffle on the key,
+    partition-local sort, and Spark evaluates the frame with two
+    sliding pointers — O(rows) per partition, not O(rows × frame).
+    Same-timestamp rows share one frame by RANGE semantics, so no
+    tiebreak is needed for determinism.
+    """
+    from ..functions.timeutil import epoch_micros
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(epoch_micros(F.col(ts_col)))
+        .rangeBetween(-int(width_s) * 1_000_000, 0)
+    )
+    return df.select(
+        *df.columns,
+        F.count(F.col(value)).over(w).cast("bigint").alias("n_window"),
+        F.round(F.avg(F.col(value)).over(w), 4).alias("avg_window"),
+    )

@@ -199,6 +199,16 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "tq",
                 ["r_name", "n_name", "revenue_cents", "n_items"],
             ),
+            (
+                "forward_fill_reading",
+                "tq",
+                ["event_id", "user_id", "ts_s", "event_type", "last_reading"],
+            ),
+            (
+                "rolling_value_avg",
+                "tq",
+                ["event_id", "user_id", "ts_s", "n_window", "avg_window"],
+            ),
         ],
         [
             ("o_orderpriority", "string"),
@@ -209,6 +219,13 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("n_name", "string"),
             ("revenue_cents", "bigint"),
             ("n_items", "bigint"),
+            ("event_id", "bigint"),
+            ("user_id", "bigint"),
+            ("ts_s", "string"),
+            ("event_type", "string"),
+            ("last_reading", "double"),
+            ("n_window", "bigint"),
+            ("avg_window", "double"),
         ],
     ),
     # Salted skew rollup + exact percentiles (per-event_type grain)
@@ -283,6 +300,19 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
         [
             ("dedup_exact", "dq", ["text_hash", "keep_id", "n_copies"]),
             ("corpus_diff_status", "dq", ["doc_id", "status"]),
+            (
+                "corpus_datacard",
+                "dq",
+                [
+                    "source",
+                    "n_docs",
+                    "total_chars",
+                    "n_langs",
+                    "avg_chars",
+                    "p50_chars",
+                    "p95_chars",
+                ],
+            ),
         ],
         [
             ("text_hash", "string"),
@@ -290,6 +320,13 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("n_copies", "bigint"),
             ("doc_id", "bigint"),
             ("status", "string"),
+            ("source", "string"),
+            ("n_docs", "bigint"),
+            ("total_chars", "bigint"),
+            ("n_langs", "bigint"),
+            ("avg_chars", "double"),
+            ("p50_chars", "double"),
+            ("p95_chars", "double"),
         ],
     ),
     "dedup_pairs_bundle": (
@@ -314,18 +351,23 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
         ],
         [("doc_id", "bigint"), ("simhash", "int"), ("fp", "bigint")],
     ),
-    # ANN top-k: brute force (verifier) + IVF + int8-quantized
+    # ANN top-k: brute force (verifier) + IVF + int8-quantized, plus
+    # the iterative Lloyd refinement the IVF index trains with
     "ann_bundle": (
         [
             ("ann_topk_bruteforce", "dq", ["query_id", "rank", "neighbor_id", "cosine"]),
             ("ann_topk_ivf", "dq", ["query_id", "rank", "neighbor_id", "cosine"]),
             ("ann_topk_quantized", "dq", ["query_id", "rank", "neighbor_id", "cosine"]),
+            ("kmeans_refine", "dq", ["centroid_id", "dim", "x"]),
         ],
         [
             ("query_id", "bigint"),
             ("rank", "int"),
             ("neighbor_id", "bigint"),
             ("cosine", "double"),
+            ("centroid_id", "int"),
+            ("dim", "int"),
+            ("x", "double"),
         ],
     ),
     # Per-document text metrics: lang-ID, quality, tokens, repetition
@@ -426,6 +468,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                     "efficiency",
                 ],
             ),
+            (
+                "length_buckets",
+                "dq",
+                ["doc_id", "n_tokens", "shard", "bucket", "batch_idx", "pad"],
+            ),
         ],
         [
             ("doc_id", "bigint"),
@@ -442,6 +489,9 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("n_seqs", "bigint"),
             ("padded_tokens", "bigint"),
             ("efficiency", "double"),
+            ("bucket", "bigint"),
+            ("batch_idx", "bigint"),
+            ("pad", "bigint"),
         ],
     ),
     # Benchmark decontamination: exact broadcast semi-join + the
@@ -484,7 +534,8 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("masked_md5", "string"),
         ],
     ),
-    # Vocabulary family: top-k build, coverage apply, full-rank table
+    # Vocabulary family: top-k build, coverage apply, full-rank table,
+    # and the one-row token-distribution data card over the full rank
     "vocab_bundle": (
         [
             ("vocab_top_tokens", "dq", ["token", "n", "rank"]),
@@ -494,6 +545,17 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ["doc_id", "n_tokens", "n_oov", "oov_rate"],
             ),
             ("vocab_full_rank", "dq", ["token", "n", "rank"]),
+            (
+                "token_zipf",
+                "dq",
+                [
+                    "n_types",
+                    "total_tokens",
+                    "type_token_ratio",
+                    "top_share",
+                    "zipf_slope",
+                ],
+            ),
         ],
         [
             ("token", "string"),
@@ -503,6 +565,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("n_tokens", "bigint"),
             ("n_oov", "bigint"),
             ("oov_rate", "double"),
+            ("n_types", "bigint"),
+            ("total_tokens", "bigint"),
+            ("type_token_ratio", "double"),
+            ("top_share", "double"),
+            ("zipf_slope", "double"),
         ],
     ),
     # Multimodal binary metadata: generic decode seam + real BMP header

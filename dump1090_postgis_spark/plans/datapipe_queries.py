@@ -1710,6 +1710,175 @@ FROM prep p LEFT JOIN covlist c USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Iterative k-means, corpus statistics, dynamic batching
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_refine(spark, sf):
+    """Lloyd-refined k-means centroids (datapipe/similarity.py
+    build_centroids, iterations=2) — the ITERATIVE path the IVF index
+    trains with: deterministic pmod seed means, then two rounds of
+    projection-argmax assignment (centroids compiled into the plan as
+    literals — zero shuffle and zero join on the corpus side) + one
+    element-wise mean aggregation per round.  Output is the final
+    centroid table exploded to (centroid_id, dim, x) so the oracle —
+    the same two Lloyd rounds restated as CTEs — hash-checks every
+    coordinate."""
+    emb = load_table(spark, sf, "embeddings")
+    cent = sim.build_centroids(emb, num_centroids=4, iterations=2)
+    return (
+        cent.select(
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.posexplode("centroid").alias("dim", "x"),
+        )
+        .select(
+            "centroid_id",
+            F.col("dim").cast("int").alias("dim"),
+            # + 0.0 on BOTH engines: a mean that rounds to zero from
+            # below must be +0.0, not -0.0, on each side of the hash.
+            (F.round("x", 4) + F.lit(0.0)).alias("x"),
+        )
+    )
+
+
+def _sql_lloyd_round(src: str, cent: str) -> str:
+    """One Lloyd iteration as CTE text: argmax-cosine reassignment of
+    every corpus vector against `cent`, then element-wise means."""
+    return f"""
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos, avg(x) AS m FROM (
+      SELECT a.cid, unnest(a.v) AS x, unnest(range(1, len(a.v) + 1)) AS pos
+      FROM (
+        SELECT vec_id, v, cid FROM (
+          SELECT c.vec_id, c.v, ct.cid,
+                 row_number() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_SQL_COS.format(a='c.v', b='ct.c')} DESC, ct.cid
+                 ) AS rn
+          FROM {src} c CROSS JOIN {cent} ct
+        ) WHERE rn = 1
+      ) a
+    ) GROUP BY cid, pos
+  ) GROUP BY cid"""
+
+
+SQL_KMEANS_REFINE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cent0 AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos, avg(x) AS m FROM (
+      SELECT vec_id % 4 AS cid, unnest(v) AS x,
+             unnest(range(1, len(v) + 1)) AS pos
+      FROM corpus
+    ) GROUP BY cid, pos
+  ) GROUP BY cid
+), cent1 AS ({_sql_lloyd_round('corpus', 'cent0')}
+), cent2 AS ({_sql_lloyd_round('corpus', 'cent1')}
+)
+SELECT cid::INT AS centroid_id,
+       (pos - 1)::INT AS dim,
+       round(m, 4) + 0.0 AS x
+FROM (SELECT cid, unnest(c) AS m, unnest(range(1, len(c) + 1)) AS pos
+      FROM cent2)
+"""
+
+
+def q_token_zipf(spark, sf):
+    """Corpus token-distribution data card (datapipe/text.py
+    zipf_stats): type count, total tokens, type/token ratio, head
+    share, and the Zipf slope of ln(count) on ln(rank) over the FULL
+    ranked vocabulary — ranked by the two-pass partitioned dense-id
+    assignment (no global window), summarized by one running-sums
+    regr_slope aggregate."""
+    docs = load_table(spark, sf, "documents")
+    return tx.zipf_stats(docs)
+
+
+SQL_TOKEN_ZIPF = f"""
+WITH w AS (
+  SELECT unnest(str_split({_ONORM}, ' ')) AS token FROM documents
+), c AS (
+  SELECT token, count(*)::BIGINT AS n FROM w WHERE token <> '' GROUP BY token
+), r AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c
+)
+SELECT count(*)::BIGINT AS n_types,
+       sum(n)::BIGINT AS total_tokens,
+       round(count(*)::DOUBLE / sum(n), 6) AS type_token_ratio,
+       round(max(CASE WHEN rank = 1 THEN n END)::DOUBLE / sum(n), 6)
+         AS top_share,
+       round(regr_slope(ln(n::DOUBLE), ln(rank::DOUBLE)), 4) AS zipf_slope
+FROM r
+"""
+
+
+def q_length_buckets(spark, sf):
+    """Length-bucketed dynamic batching (datapipe/packing.py
+    length_bucket_batches): pow-2 length buckets (integer-exact bit
+    arithmetic, no float log2), constant-token-budget batches of
+    seq_len//bucket docs within each (md5 shard, bucket) group, and
+    per-doc padding waste — one bounded window per (shard, bucket)."""
+    docs = load_table(spark, sf, "documents")
+    from ..datapipe.packing import length_bucket_batches
+
+    return length_bucket_batches(
+        docs, tx.token_count_regex(F.col("text")), seq_len=512, n_shards=8
+    )
+
+
+SQL_LENGTH_BUCKETS = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens, shard,
+         least(greatest(n_tokens, 0), 512) AS n_eff,
+         CASE WHEN least(greatest(n_tokens, 1), 512) <= 16 THEN 16
+              ELSE least(1 << length(bin(least(greatest(n_tokens, 1), 512)
+                                          - 1)), 512) END::BIGINT AS bucket
+  FROM t
+)
+SELECT doc_id, n_tokens, shard, bucket,
+       ((row_number() OVER (PARTITION BY shard, bucket ORDER BY doc_id) - 1)
+        // greatest(1, 512 // bucket))::BIGINT AS batch_idx,
+       (bucket - n_eff)::BIGINT AS pad
+FROM b
+"""
+
+
+def q_corpus_datacard(spark, sf):
+    """Per-source corpus data card: doc/char totals, language breadth,
+    mean and exact interpolated p50/p95 char lengths — the release
+    summary table a corpus ships with.  One partial-agg groupBy on
+    source (percentile is a partial aggregate too); source cardinality
+    is configuration-sized, never corpus-sized."""
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 2).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 2).alias("p95_chars"),
+    )
+
+
+SQL_CORPUS_DATACARD = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       round(avg(n_chars), 2) AS avg_chars,
+       round(quantile_cont(n_chars, 0.5), 2) + 0.0 AS p50_chars,
+       round(quantile_cont(n_chars, 0.95), 2) + 0.0 AS p95_chars
+FROM documents GROUP BY source
+"""
+
+
 REGISTRY: dict = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
@@ -1763,4 +1932,8 @@ REGISTRY: dict = {
         SQL_PASSAGE_COVERAGE,
     ),
     "passage_mask_digest": (q_passage_mask_digest, SQL_PASSAGE_MASK),
+    "kmeans_refine": (q_kmeans_refine, SQL_KMEANS_REFINE),
+    "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),
+    "length_buckets": (q_length_buckets, SQL_LENGTH_BUCKETS),
+    "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
 }

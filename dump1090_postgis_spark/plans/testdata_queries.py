@@ -1525,10 +1525,80 @@ FROM rolled
 
 
 # ---------------------------------------------------------------------------
+# Window-class temporal extensions: gap-fill + trailing range frame
+# ---------------------------------------------------------------------------
+
+
+def q_forward_fill_reading(spark, sf):
+    """Per-user forward fill (operators/temporal.py forward_fill):
+    treat `value` as a sparse sensor present only on purchase events
+    and carry the last reading forward onto every later event — the
+    general imputation form of the reference's parse-time track
+    interpolation (PRJ-7).  One keyed window, running last()."""
+    from ..operators.temporal import forward_fill
+
+    ev = _ev(spark, sf).withColumn(
+        "reading",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    out = forward_fill(
+        ev, ["reading"], ["user_id"], ts_col="ts", tiebreak=["event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _fmt(F.col("ts")).alias("ts_s"),
+        "event_type",
+        F.round("reading_ff", 4).alias("last_reading"),
+    )
+
+
+SQL_FORWARD_FILL = f"""
+SELECT event_id, user_id, {_OFMT.format(c='ts')} AS ts_s, event_type,
+       round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING), 4) AS last_reading
+FROM events
+"""
+
+
+def q_rolling_value_avg(spark, sf):
+    """Trailing 1-hour per-user moving aggregate at event grain
+    (operators/temporal.py rolling_range_agg): RANGE frame over exact
+    integer epoch-micros ordering — the continuous counterpart of the
+    fixed AGG-1/AGG-2 bins."""
+    from ..operators.temporal import rolling_range_agg
+
+    out = rolling_range_agg(
+        _ev(spark, sf), "value", ["user_id"], ts_col="ts", width_s=3600
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _fmt(F.col("ts")).alias("ts_s"),
+        "n_window",
+        "avg_window",
+    )
+
+
+SQL_ROLLING_AVG = f"""
+SELECT event_id, user_id, {_OFMT.format(c='ts')} AS ts_s,
+       count(value) OVER w::BIGINT AS n_window,
+       round(avg(value) OVER w, 4) AS avg_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict = {
+    "forward_fill_reading": (q_forward_fill_reading, SQL_FORWARD_FILL),
+    "rolling_value_avg": (q_rolling_value_avg, SQL_ROLLING_AVG),
     "flt1_value_band": (q_flt1_value_band, SQL_FLT1),
     "flt5_events_on_day": (q_flt5_events_on_day, SQL_FLT5),
     "flt6_fromto_paris": (q_flt6_fromto_paris, SQL_FLT6),

@@ -235,3 +235,48 @@ def test_packing_efficiency_zero_token_stream(spark):
     assert row.n_seqs == 0
     assert row.padded_tokens == 0
     assert row.efficiency is None
+
+
+def test_pow2_bucket_boundaries(spark):
+    from dump1090_postgis_spark.datapipe.packing import pow2_bucket
+
+    cases = [(0, 16), (1, 16), (16, 16), (17, 32), (31, 32), (32, 32),
+             (33, 64), (64, 64), (65, 128), (511, 512), (512, 512),
+             (513, 512), (100000, 512)]
+    df = spark.createDataFrame([(n,) for n, _ in cases], "n long")
+    got = {r.n: r.b for r in df.select(
+        "n", pow2_bucket(F.col("n"), 16, 512).alias("b")).collect()}
+    for n, want in cases:
+        assert got[n] == want, (n, got[n], want)
+
+
+def test_length_bucket_batches_invariants(spark):
+    """Each batch stays inside its token budget (capacity docs of
+    bucket length = seq_len), batch indices are dense from 0 per
+    (shard, bucket), and pad = bucket - effective length."""
+    from dump1090_postgis_spark.datapipe.packing import length_bucket_batches
+
+    docs = spark.createDataFrame(
+        [(i, 3 + (i * 37) % 700) for i in range(300)], "doc_id long, n long"
+    )
+    out = length_bucket_batches(
+        docs, F.col("n"), seq_len=256, n_shards=4, min_bucket=8
+    ).collect()
+    assert len(out) == 300
+    groups: dict = {}
+    for r in out:
+        assert r.bucket <= 256 and r.bucket >= 8
+        assert r.pad == r.bucket - min(r.n_tokens, 256)
+        groups.setdefault((r.shard, r.bucket), []).append(r)
+    for (shard, bucket), rows in groups.items():
+        cap = max(1, 256 // bucket)
+        idxs = sorted(r.batch_idx for r in rows)
+        # dense from zero, never more than cap docs per batch
+        from collections import Counter
+
+        counts = Counter(idxs)
+        assert min(counts) == 0
+        assert max(counts.values()) <= cap
+        # every batch except the last is exactly full
+        for b in range(max(idxs)):
+            assert counts[b] == cap

@@ -122,3 +122,51 @@ def test_multigrain_rollup_grains_are_consistent(spark):
     # hour rows carry both day and hour labels
     hour = {(r["hour_s"], r["sv"]) for r in by_grain["hour"]}
     assert ("2024-01-01 00:00:00", 3) in hour and len(hour) == 3
+
+
+def test_forward_fill_carries_last_observation(spark):
+    from dump1090_postgis_spark.operators.temporal import forward_fill
+
+    rows = [
+        # (id, key, ts, reading)  — key 1: gap then new value; key 2:
+        # leading NULLs stay NULL
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0), 10.0),
+        (2, 1, dt.datetime(2024, 1, 1, 0, 1), None),
+        (3, 1, dt.datetime(2024, 1, 1, 0, 2), None),
+        (4, 1, dt.datetime(2024, 1, 1, 0, 3), 20.0),
+        (5, 1, dt.datetime(2024, 1, 1, 0, 4), None),
+        (6, 2, dt.datetime(2024, 1, 1, 0, 0), None),
+        (7, 2, dt.datetime(2024, 1, 1, 0, 1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, ts timestamp, r double")
+    got = {
+        r.id: r.r_ff
+        for r in forward_fill(df, ["r"], ["k"], tiebreak=["id"]).collect()
+    }
+    assert got == {1: 10.0, 2: 10.0, 3: 10.0, 4: 20.0, 5: 20.0,
+                   6: None, 7: 5.0}
+
+
+def test_rolling_range_agg_window_membership(spark):
+    """Inclusive [t-width, t] membership, per-key isolation, and
+    same-timestamp rows sharing one frame."""
+    from dump1090_postgis_spark.operators.temporal import rolling_range_agg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + dt.timedelta(seconds=3600), 3.0),   # exactly on edge: in
+        (3, 1, t0 + dt.timedelta(seconds=3601), 5.0),   # row 1 out now
+        (4, 1, t0 + dt.timedelta(seconds=3601), 7.0),   # tie with row 3
+        (5, 2, t0 + dt.timedelta(seconds=3600), 100.0), # other key isolated
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, ts timestamp, v double")
+    got = {
+        r.id: (r.n_window, r.avg_window)
+        for r in rolling_range_agg(df, "v", ["k"], width_s=3600).collect()
+    }
+    assert got[1] == (1, 1.0)
+    assert got[2] == (2, 2.0)          # includes row 1 (inclusive edge)
+    # rows 3+4 share a frame: {3.0, 5.0, 7.0} (row 1 aged out)
+    assert got[3] == (3, 5.0) and got[4] == (3, 5.0)
+    assert got[5] == (1, 100.0)
