@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "corpus_datacard",
     "forward_fill_reading",
     "rolling_value_avg",
+    "gram_novelty",
+    "source_overlap",
+    "event_transitions",
+    "profile_events",
 ]
 
 

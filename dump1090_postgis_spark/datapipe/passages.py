@@ -225,3 +225,48 @@ def mask_passages(
         F.size("_cov").cast("bigint").alias("n_masked"),
         F.concat_ws(" ", masked_words).alias("masked_text"),
     )
+
+
+def gram_novelty(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = DEFAULT_K
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's DISTINCT k-grams
+    whose first corpus occurrence (minimum ``id_col``) is this doc —
+    the freshness signal an ordered-ingest pipeline uses to downrank
+    documents that only restate earlier material (a soft,
+    doc-granular complement to passage masking).
+
+    Returns ``(id_col, n_grams, n_novel, novelty)``; documents
+    shorter than ``k`` words have no k-gram and are absent (same
+    semantics as :func:`passage_doc_freq`).
+
+    Scale shape: the gram set is the same staged
+    projection+array_distinct as :func:`passage_doc_freq`; first-seen
+    is ONE groupBy-min on the gram key, and the join back is on that
+    same key — co-partitioned with the aggregation's exchange, so the
+    sort-merge join reuses it.  Final doc-grain rollup is a
+    partial-agg groupBy.  No windows, nothing corpus-wide on the
+    driver.
+    """
+    staged = _with_words(spread_for_compute(docs, id_col), text)
+    grams = staged.withColumn(
+        "_pg", F.array_distinct(F.transform(_positional_grams(k), lambda x: x["g"]))
+    )
+    exploded = grams.select(id_col, F.explode_outer("_pg").alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    first = exploded.groupBy("g").agg(F.min(id_col).alias("_first"))
+    return (
+        exploded.join(first, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 4),
+        )
+    )

@@ -72,3 +72,43 @@ def changed_set(
         F.col("status").isin(ADDED, CHANGED)
     )
     return new.join(work.select(id_col), id_col, "left_semi")
+
+
+def source_overlap(
+    df: DataFrame,
+    text: str = "text",
+    group_col: str = "source",
+    key=None,
+) -> DataFrame:
+    """Cross-source duplicate-mass matrix: for every unordered source
+    pair (a < b), how many DISTINCT normalized texts appear in both —
+    the governance table that tells a corpus owner which ingest feeds
+    are re-crawling each other before mixture weights double-count
+    them.
+
+    ``key`` overrides the identity used for "the same text": default
+    is the exact normalized-text md5; pass a coarser fingerprint
+    Column (a shingle/prefix hash, a MinHash band, a SimHash bucket)
+    to measure NEAR-duplicate mass instead — the shape of the plan is
+    identical, only the projected key changes.
+
+    Scale shape: texts travel as md5 hashes only; ONE distinct on
+    (hash, source) — cardinality ≤ corpus — then a self-equi-join on
+    the hash key.  Fan-out per hash is bounded by the source count
+    (a configuration constant), so the join output is ≤ distinct
+    texts × sources², never corpus².  Final rollup is a partial-agg
+    groupBy on the tiny (a, b) key space.
+    """
+    key_col = F.md5(normalize_text(F.col(text))) if key is None else key
+    d = df.select(
+        key_col.alias("_h"),
+        F.col(group_col).alias("_s"),
+    ).distinct()
+    a = d.select("_h", F.col("_s").alias("src_a"))
+    b = d.select("_h", F.col("_s").alias("src_b"))
+    return (
+        a.join(b, "_h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_texts"))
+    )

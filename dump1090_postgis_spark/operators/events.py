@@ -92,3 +92,34 @@ def classify_intention(flights: DataFrame) -> DataFrame:
         .when(F.col("first_onground").isNull() & F.col("last_onground").isNull(), "unknown")
         .otherwise("enroute"),
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Event-transition (Markov edge) counts: how often each
+    ``from → to`` event-type pair occurs consecutively within a key's
+    timeline — the funnel/journey matrix behind drop-off analysis,
+    next-event prediction features, and anomalous-flow detection.
+    Generalizes STATE-3's single hard-coded landing/takeoff edge to
+    the full type×type matrix.
+
+    One ``lag`` window per key (keyed shuffle + partition-local sort,
+    exactly the sessionize exchange), then a partial-agg groupBy on
+    the tiny type-pair space.  ``tiebreak`` makes same-timestamp
+    ordering total, so counts are deterministic.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    return (
+        df.select(
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )

@@ -237,6 +237,16 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ["event_type", "n_events", "sum_cents", "min_event_id", "max_event_id"],
             ),
             ("percentile_value_by_type", "tq", ["event_type", "p50", "p90", "p99"]),
+            (
+                "event_transitions",
+                "tq",
+                ["from_type", "to_type", "n_transitions"],
+            ),
+            (
+                "profile_events",
+                "tq",
+                ["col_name", "n_rows", "n_nulls", "n_distinct"],
+            ),
         ],
         [
             ("event_type", "string"),
@@ -247,6 +257,13 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("p50", "double"),
             ("p90", "double"),
             ("p99", "double"),
+            ("from_type", "string"),
+            ("to_type", "string"),
+            ("n_transitions", "bigint"),
+            ("col_name", "string"),
+            ("n_rows", "bigint"),
+            ("n_nulls", "bigint"),
+            ("n_distinct", "bigint"),
         ],
     ),
     # SNK-4 meta-schema GeoJSON views ×3
@@ -313,6 +330,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                     "p95_chars",
                 ],
             ),
+            (
+                "source_overlap",
+                "dq",
+                ["src_a", "src_b", "shared_texts"],
+            ),
         ],
         [
             ("text_hash", "string"),
@@ -327,6 +349,9 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("avg_chars", "double"),
             ("p50_chars", "double"),
             ("p95_chars", "double"),
+            ("src_a", "string"),
+            ("src_b", "string"),
+            ("shared_texts", "bigint"),
         ],
     ),
     "dedup_pairs_bundle": (
@@ -521,6 +546,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "dq",
                 ["doc_id", "n_tokens", "n_masked", "masked_md5"],
             ),
+            (
+                "gram_novelty",
+                "dq",
+                ["doc_id", "n_grams", "n_novel", "novelty"],
+            ),
         ],
         [
             ("g", "string"),
@@ -532,6 +562,9 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("keep", "boolean"),
             ("n_masked", "bigint"),
             ("masked_md5", "string"),
+            ("n_grams", "bigint"),
+            ("n_novel", "bigint"),
+            ("novelty", "double"),
         ],
     ),
     # Vocabulary family: top-k build, coverage apply, full-rank table,

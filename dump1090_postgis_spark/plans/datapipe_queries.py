@@ -1879,7 +1879,72 @@ FROM documents GROUP BY source
 """
 
 
+def q_gram_novelty(spark, sf):
+    """Per-doc k-gram novelty vs earlier ingest order
+    (datapipe/passages.py gram_novelty): fraction of a doc's distinct
+    3-grams first seen in this doc — groupBy-min on the gram key +
+    co-partitioned join back, partial-agg doc rollup."""
+    from ..datapipe import passages as ps
+
+    docs = load_table(spark, sf, "documents")
+    return ps.gram_novelty(docs)
+
+
+SQL_GRAM_NOVELTY = f"""
+WITH prep AS (
+  SELECT doc_id, {_OWORDS} AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(words) - 1),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS g
+  FROM prep WHERE len(words) >= 3
+), fs AS (
+  SELECT g, min(doc_id) AS fid FROM g GROUP BY g
+)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN f.fid = t.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN f.fid = t.doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS novelty
+FROM g t JOIN fs f USING (g) GROUP BY t.doc_id
+"""
+
+
+def q_source_overlap(spark, sf):
+    """Cross-source duplicate-mass matrix (datapipe/versioning.py
+    source_overlap): distinct (fingerprint, source) self-join on the
+    fingerprint key, fan-out bounded by the source count.  The
+    fingerprint here is the 3-word-opener prefix (the synthetic corpus
+    has zero EXACT cross-source duplicates — dedup_exact shows every
+    text unique — so the exact-md5 default would be a vacuous 0-row
+    check; the prefix key exercises the same plan with real overlap
+    mass, and the exact-key default is covered by the unit test)."""
+    from ..datapipe.versioning import source_overlap
+
+    docs = load_table(spark, sf, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(dd.normalize_text(F.col("text")), " "), 1, 3)
+    )
+    return source_overlap(docs, key=F.md5(prefix))
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH d AS (
+  SELECT DISTINCT
+         md5(array_to_string(({_OWORDS})[1:3], ' ')) AS h,
+         source
+  FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       count(*)::BIGINT AS shared_texts
+FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict = {
+    "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
+    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),

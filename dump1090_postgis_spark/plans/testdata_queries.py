@@ -1596,9 +1596,55 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 # registry
 # ---------------------------------------------------------------------------
 
+def q_event_transitions(spark, sf):
+    """Event-transition (Markov edge) matrix (operators/events.py
+    transition_counts): one lag window per user (the sessionize
+    exchange), partial-agg rollup on the type-pair key."""
+    from ..operators.events import transition_counts
+
+    return transition_counts(_ev(spark, sf))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH t AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type,
+       count(*)::BIGINT AS n_transitions
+FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+#: Columns profiled by the events census query (and its oracle).
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def q_profile_events(spark, sf):
+    """Data-quality census of the events table
+    (operators/profile.py profile_columns): per-column exact null and
+    distinct counts from ONE scan (Expand + two-level partial agg),
+    unpivoted to rows via stack over the single result row."""
+    from ..operators.profile import profile_columns
+
+    return profile_columns(_ev(spark, sf), _PROFILE_COLS)
+
+
+SQL_PROFILE_EVENTS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct FROM events"""
+    for c in _PROFILE_COLS
+)
+
+
 REGISTRY: dict = {
     "forward_fill_reading": (q_forward_fill_reading, SQL_FORWARD_FILL),
     "rolling_value_avg": (q_rolling_value_avg, SQL_ROLLING_AVG),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
     "flt1_value_band": (q_flt1_value_band, SQL_FLT1),
     "flt5_events_on_day": (q_flt5_events_on_day, SQL_FLT5),
     "flt6_fromto_paris": (q_flt6_fromto_paris, SQL_FLT6),

@@ -293,3 +293,51 @@ def test_salted_aggregate_requires_aggs(spark):
     df = spark.createDataFrame([("a", 1)], "k string, v long")
     with pytest.raises(ValueError):
         salted_aggregate(df, "k")
+
+
+def test_source_overlap_counts_distinct_shared_texts(spark):
+    from dump1090_postgis_spark.datapipe.versioning import source_overlap
+
+    rows = [
+        (1, "x", "A"), (2, "x", "B"),     # x shared by A,B
+        (3, "y", "A"), (4, "y", "B"), (5, "y", "C"),  # y by A,B,C
+        (6, "x", "A"),                     # dup within A: still 1 text
+        (7, "z", "C"),                     # z only in C
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.src_a, r.src_b): r.shared_texts
+           for r in source_overlap(df).collect()}
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_transition_counts_lag_per_key(spark):
+    import datetime as dt
+    from dump1090_postgis_spark.operators.events import transition_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "view"), (2, 1, t0.replace(minute=1), "click"),
+        (3, 1, t0.replace(minute=2), "buy"),
+        (4, 2, t0, "view"), (5, 2, t0.replace(minute=1), "click"),
+        (6, 3, t0, "view"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {(r.from_type, r.to_type): r.n_transitions
+           for r in transition_counts(df).collect()}
+    assert got == {("view", "click"): 2, ("click", "buy"): 1}
+
+
+def test_profile_columns_census(spark):
+    from dump1090_postgis_spark.operators.profile import profile_columns
+
+    rows = [(1, "a", None), (2, "a", 1.0), (3, None, 2.0), (4, "b", 2.0)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    got = {r.col_name: r for r in profile_columns(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    for r in got.values():
+        assert r.n_rows == 4
+    assert (got["id"].n_nulls, got["id"].n_distinct) == (0, 4)
+    assert (got["s"].n_nulls, got["s"].n_distinct) == (1, 2)
+    assert (got["v"].n_nulls, got["v"].n_distinct) == (1, 2)

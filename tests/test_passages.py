@@ -211,3 +211,20 @@ def test_corpus_diff_classifies_all_four_states(spark):
     # the incremental work list = new-side added+changed rows
     work = {r.doc_id for r in changed_set(old, new).collect()}
     assert work == {2, 4}
+
+
+def test_gram_novelty_first_seen_wins(spark):
+    from dump1090_postgis_spark.datapipe.passages import gram_novelty
+
+    rows = [
+        (1, "a b c d"),          # grams: abc, bcd — all first here
+        (2, "a b c d"),          # exact dup: nothing novel
+        (3, "a b c x y z"),      # abc seen; bcx, cxy, xyz novel
+        (4, "q r"),              # too short: absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gram_novelty(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_grams, got[1].n_novel, got[1].novelty) == (2, 2, 1.0)
+    assert (got[2].n_grams, got[2].n_novel, got[2].novelty) == (2, 0, 0.0)
+    assert (got[3].n_grams, got[3].n_novel, got[3].novelty) == (4, 3, 0.75)
