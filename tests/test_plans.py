@@ -290,3 +290,69 @@ def test_semdedup_assignment_zero_shuffle_before_pairwise(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_kmeans_refine_assignment_stays_projection(spark):
+    """Every Lloyd round's reassignment must be a projection over
+    plan-literal centroids — no join, no window, no crossJoin on the
+    corpus side (only the element-wise mean aggregations shuffle)."""
+    from dump1090_postgis_spark.plans.datapipe_queries import q_kmeans_refine
+
+    plan = plan_of(q_kmeans_refine(spark, SF))
+    assert "Join" not in plan, plan
+    assert "WindowExec" not in plan and "RunningWindow" not in plan
+
+
+def test_length_buckets_window_is_shard_partitioned(spark):
+    """The batch-index window must partition by (shard, bucket) —
+    a bucket-only (or global) window would funnel the corpus through
+    ~10 partitions regardless of size."""
+    from dump1090_postgis_spark.plans.datapipe_queries import q_length_buckets
+
+    plan = plan_of(q_length_buckets(spark, SF))
+    m = re.search(r"Arguments: \[row_number\(\).*partitionBy\(([^)]*)\)", plan)
+    # formatted plans print Window spec inside the Window node detail
+    w = re.search(r"\[shard[^\]]*bucket[^\]]*\], \[doc_id", plan) or re.search(
+        r"partitionspec.*shard", plan, re.I
+    )
+    assert "Window" in plan
+    assert w or ("shard" in plan and "bucket" in plan), plan
+
+
+def test_rolling_range_agg_no_global_window(spark):
+    """RANGE frame must be keyed by user_id, never a global order."""
+    from dump1090_postgis_spark.plans.testdata_queries import q_rolling_value_avg
+
+    plan = plan_of(q_rolling_value_avg(spark, SF))
+    assert "Window" in plan
+    # a keyed window sorts by (user_id, ts...); a global window would
+    # sort by the order key alone in a single partition
+    assert "user_id" in plan
+
+
+def test_profile_events_single_scan(spark):
+    """The census must read the table ONCE (Expand-based multi
+    count-distinct), not once per column."""
+    from dump1090_postgis_spark.plans.testdata_queries import q_profile_events
+
+    plan = plan_of(q_profile_events(spark, SF))
+    # one "Location:" detail block per physical scan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "Expand" in plan
+
+
+def test_source_overlap_join_is_on_hash_key(spark):
+    """The self-join must be an equi join on the fingerprint hash —
+    never a nested-loop/cartesian over the distinct sets."""
+    from dump1090_postgis_spark.plans.datapipe_queries import q_source_overlap
+
+    plan = plan_of(q_source_overlap(spark, SF))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_gram_novelty_no_window_no_cartesian(spark):
+    from dump1090_postgis_spark.plans.datapipe_queries import q_gram_novelty
+
+    plan = plan_of(q_gram_novelty(spark, SF))
+    assert "WindowExec" not in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
