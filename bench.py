@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "source_overlap",
     "event_transitions",
     "profile_events",
+    "session_window_native",
+    "collocation_pmi",
+    "containment_pairs",
 ]
 
 

@@ -639,3 +639,51 @@ def incremental_lsh_pairs(
         .select("new_id", "corpus_id")
         .distinct()
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup: k-shingle CONTAINMENT for candidate pairs —
+    ``|A∩B| / |A|`` and ``|A∩B| / |B|`` — the measure Jaccard misses
+    when a short document is wholly embedded in a long one (quote
+    farms, boilerplate wrappers, page-in-page crawls): Jaccard
+    divides by the UNION, so a 50-token doc inside a 5000-token doc
+    scores ~0.01 while its containment in the big doc is 1.0.
+    Broder's resemblance/containment pair (the same shingle algebra
+    MinHash estimates) — here computed exactly on the bounded
+    candidate set.
+
+    Plan shape is jaccard_pairs': shingle once behind one id-keyed
+    exchange both pair joins reuse, then a codegen'd intersection per
+    pair — no new shuffle class.
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(F.col(id_col).alias("_id"), text)
+    sh = (
+        with_shingles(base.repartition(n_parts), text, k=k)
+        .withColumnRenamed("_shingles", "_sh")
+        .select("_id", "_sh")
+        .repartition(n_parts, "_id")
+    )
+    joined = (
+        pairs.join(
+            sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.size("sh_a").cast("double"), 6).alias("contain_a"),
+        F.round(inter / F.size("sh_b").cast("double"), 6).alias("contain_b"),
+    )

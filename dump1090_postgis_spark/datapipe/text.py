@@ -554,3 +554,77 @@ def zipf_stats(df, text: str = "text", caches=None):
         ).alias("top_share"),
         F.round(F.regr_slope(F.log(n), F.log(rank)), 4).alias("zipf_slope"),
     )
+
+
+def collocation_pmi(df, text: str = "text", min_count: int = 5):
+    """Adjacent-bigram collocations by pointwise mutual information:
+    ``pmi = ln( p(ab) / (p(a) p(b)) )`` with bigram and unigram
+    probabilities from the corpus itself — the classic collocation /
+    multi-word-expression detector (Church & Hanks 1990), and a
+    vocabulary-merge signal for tokenizer training.
+
+    ``min_count`` floors the bigram count BEFORE the pmi math — an
+    integer cut, so the surviving row set is engine-exact (a float
+    top-k cut could disagree across engines in the last ulp at the
+    boundary); pmi itself is emitted rounded.
+
+    Scale shape: one explode for bigrams, one for unigrams (same
+    staged token array), partial-agg counts for both; the bigram→
+    unigram joins are on the token key — vocabulary-sized build
+    sides, AQE broadcasts them when small.  The probability
+    normalizers are single-row broadcast frames.  No windows.
+    """
+    from .dedup import explode_computed, spread_for_compute
+
+    staged = spread_for_compute(df).select(_words(F.col(text)).alias("_w"))
+    toks = explode_computed(staged, F.col("_w"), "t", keep=[]).filter(
+        F.col("t") != ""
+    )
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    n_uni = uni.agg(F.sum("n_t").alias("_nu"))
+
+    big_arr = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.slice(F.col("_w"), 1, F.greatest(F.size("_w") - 1, F.lit(1))),
+            lambda w, i: F.struct(
+                w.alias("a"), F.element_at(F.col("_w"), i + 2).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bi = explode_computed(staged, big_arr, "_ab", keep=[]).select(
+        F.col("_ab")["a"].alias("a"), F.col("_ab")["b"].alias("b")
+    ).filter((F.col("a") != "") & (F.col("b") != ""))
+    bic = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab")).filter(
+        F.col("n_ab") >= min_count
+    )
+    n_bi = bi.groupBy().agg(F.count(F.lit(1)).alias("_nb"))
+
+    ua = uni.select(F.col("t").alias("a"), F.col("n_t").alias("n_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("n_t").alias("n_b"))
+    return (
+        bic.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            # + 0.0: a pmi rounding to zero from below must be +0.0,
+            # not -0.0, identically on every engine
+            (
+                F.round(
+                    F.log(
+                        (F.col("n_ab").cast("double") / F.col("_nb"))
+                        / (
+                            (F.col("n_a").cast("double") / F.col("_nu"))
+                            * (F.col("n_b").cast("double") / F.col("_nu"))
+                        )
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )

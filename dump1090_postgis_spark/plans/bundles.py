@@ -104,6 +104,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ],
             ),
             ("state9_intention", "tq", ["user_id", "session_id", "intention"]),
+            (
+                "session_window_native",
+                "tq",
+                ["user_id", "start_s", "end_s", "n_events"],
+            ),
         ],
         [
             ("user_id", "bigint"),
@@ -360,12 +365,19 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("dedup_minhash_lsh", "dq", ["id_a", "id_b", "jaccard"]),
             ("dedup_embedding_lsh", "dq", ["id_a", "id_b", "cosine"]),
             ("dedup_embedding_cosine", "dq", ["id_a", "id_b", "cosine"]),
+            (
+                "containment_pairs",
+                "dq",
+                ["id_a", "id_b", "contain_a", "contain_b"],
+            ),
         ],
         [
             ("id_a", "bigint"),
             ("id_b", "bigint"),
             ("jaccard", "double"),
             ("cosine", "double"),
+            ("contain_a", "double"),
+            ("contain_b", "double"),
         ],
     ),
     # Per-document signatures: SimHash + rolling-hash fingerprint
@@ -589,6 +601,7 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                     "zipf_slope",
                 ],
             ),
+            ("collocation_pmi", "dq", ["a", "b", "n_ab", "pmi"]),
         ],
         [
             ("token", "string"),
@@ -603,6 +616,10 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("type_token_ratio", "double"),
             ("top_share", "double"),
             ("zipf_slope", "double"),
+            ("a", "string"),
+            ("b", "string"),
+            ("n_ab", "bigint"),
+            ("pmi", "double"),
         ],
     ),
     # Multimodal binary metadata: generic decode seam + real BMP header

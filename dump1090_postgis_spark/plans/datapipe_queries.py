@@ -1942,9 +1942,89 @@ GROUP BY 1, 2
 """
 
 
+def q_collocation_pmi(spark, sf):
+    """Adjacent-bigram collocations by PMI (datapipe/text.py
+    collocation_pmi): integer min-count floor keeps the surviving set
+    engine-exact; pmi rounded on output."""
+    docs = load_table(spark, sf, "documents")
+    return tx.collocation_pmi(docs, min_count=5)
+
+
+SQL_COLLOCATION_PMI = f"""
+WITH w AS (
+  SELECT {_OWORDS} AS ws FROM documents
+), toks AS (
+  SELECT unnest(ws) AS t FROM w
+), tf AS (
+  SELECT t FROM toks WHERE t <> ''
+), uni AS (
+  SELECT t, count(*)::BIGINT AS n_t FROM tf GROUP BY t
+), nu AS (
+  SELECT sum(n_t)::DOUBLE AS _nu FROM uni
+), bi0 AS (
+  SELECT ws[i] AS a, ws[i + 1] AS b
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)
+), bi AS (
+  SELECT a, b FROM bi0 WHERE a <> '' AND b <> ''
+), nb AS (
+  SELECT count(*)::DOUBLE AS _nb FROM bi
+), bic AS (
+  SELECT a, b, count(*)::BIGINT AS n_ab FROM bi GROUP BY a, b
+  HAVING count(*) >= 5
+)
+SELECT bic.a, bic.b, bic.n_ab,
+       round(ln((bic.n_ab / nb._nb)
+                / ((ua.n_t / nu._nu) * (ub.n_t / nu._nu))), 4) + 0.0 AS pmi
+FROM bic
+JOIN uni ua ON bic.a = ua.t
+JOIN uni ub ON bic.b = ub.t
+CROSS JOIN nu CROSS JOIN nb
+"""
+
+
+def q_containment_pairs(spark, sf):
+    """Asymmetric shingle containment on the bounded candidate window
+    (datapipe/dedup.py containment_pairs): |A∩B|/|A| and /|B| — the
+    short-doc-inside-long-doc signal Jaccard's union denominator
+    hides."""
+    docs = load_table(spark, sf, "documents")
+    d1 = docs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"))
+    d2 = docs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"))
+    pairs = d1.join(
+        d2,
+        (F.col("id_b") > F.col("id_a"))
+        & (F.col("id_b") <= F.col("id_a") + 3)
+        & (F.col("lang_a") == F.col("lang_b")),
+    ).select("id_a", "id_b")
+    return dd.containment_pairs(docs, pairs)
+
+
+SQL_CONTAINMENT = f"""
+WITH prep AS (
+  SELECT doc_id, lang, {_OWORDS} AS words FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE list_distinct([array_to_string(words, ' ')]) END AS shingles
+  FROM prep
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(a.shingles), 6) AS contain_a,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(b.shingles), 6) AS contain_b
+FROM sh a JOIN sh b
+  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3 AND a.lang = b.lang
+"""
+
+
 REGISTRY: dict = {
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
+    "collocation_pmi": (q_collocation_pmi, SQL_COLLOCATION_PMI),
+    "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),

@@ -1640,11 +1640,56 @@ SQL_PROFILE_EVENTS = "\nUNION ALL\n".join(
 )
 
 
+def q_session_window_native(spark, sf):
+    """Per-user sessions via Spark's NATIVE session_window aggregation
+    — the declarative twin of operators/sessionize.py (STATE-1) and of
+    the streaming applyInPandasWithState handler: one groupBy over a
+    gap-merged event-time window, usable verbatim under readStream
+    with a watermark.  Window end = last event + gap (exclusive), so
+    an event landing exactly at the gap boundary starts a NEW session
+    — the oracle restates that as a >= gap island test.
+    """
+    ev = _ev(spark, sf)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            _fmt(F.col("session_window.start")).alias("start_s"),
+            _fmt(F.col("session_window.end")).alias("end_s"),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       {_OFMT.format(c='min(ts)')} AS start_s,
+       {_OFMT.format(c="max(ts) + INTERVAL 30 MINUTE")} AS end_s,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 REGISTRY: dict = {
     "forward_fill_reading": (q_forward_fill_reading, SQL_FORWARD_FILL),
     "rolling_value_avg": (q_rolling_value_avg, SQL_ROLLING_AVG),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
+    "session_window_native": (q_session_window_native, SQL_SESSION_WINDOW),
     "flt1_value_band": (q_flt1_value_band, SQL_FLT1),
     "flt5_events_on_day": (q_flt5_events_on_day, SQL_FLT5),
     "flt6_fromto_paris": (q_flt6_fromto_paris, SQL_FLT6),

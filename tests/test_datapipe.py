@@ -629,3 +629,42 @@ def test_zipf_stats_sanity(spark):
     assert abs(got.top_share - (50 * 20) / (20 * 71)) < 1e-4
     assert got.zipf_slope < 0
     assert 0 < got.type_token_ratio <= 1
+
+
+def test_containment_asymmetric_short_in_long(spark):
+    """A short doc embedded verbatim in a long doc: containment of the
+    short side is 1.0 while Jaccard stays low."""
+    from dump1090_postgis_spark.datapipe.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    c = containment_pairs(docs, pairs).collect()[0]
+    assert c.contain_a == 1.0          # every shingle of the short doc is in the long one
+    assert c.contain_b < 0.2
+    j = jaccard_pairs(docs, pairs, threshold=0.0).collect()[0]
+    assert j.jaccard < 0.2             # union denominator hides the embedding
+
+
+def test_collocation_pmi_attracts_fixed_phrase(spark):
+    """A bigram that always co-occurs gets high positive pmi; an
+    anti-correlated pair is floored out by min_count or scores low."""
+    from dump1090_postgis_spark.datapipe.text import collocation_pmi
+
+    # "new york" always adjacent; "new" also appears alone with filler
+    rows = [(i, "new york is big " + ("pad%d " % i) * 3) for i in range(10)]
+    rows += [(100 + i, "the pad town") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a, r.b): r for r in collocation_pmi(docs, min_count=5).collect()}
+    assert ("new", "york") in got
+    ny = got[("new", "york")]
+    assert ny.n_ab == 10 and ny.pmi > 1.0
+    # unrelated frequent pair scores lower than the fixed phrase
+    if ("is", "big") in got:
+        assert got[("is", "big")].pmi <= ny.pmi + 1e-9
