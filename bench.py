@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "session_window_native",
     "collocation_pmi",
     "containment_pairs",
+    "quality_percentile",
 ]
 
 

@@ -183,3 +183,47 @@ def deterministic_shuffle(
         (F.col("_pos1") - 1).cast("bigint").alias("pos"),
         F.pmod(F.col("_pos1") - 1, F.lit(n_shards)).cast("bigint").alias("shard"),
     )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    value: str,
+    keys: list[str] | None = None,
+    out: str = "pct",
+) -> DataFrame:
+    """Per-group percentile (cume_dist) normalization of ``value`` —
+    quality-score CALIBRATION across heterogeneous groups: a raw
+    score of 0.6 can be élite in one source and mediocre in another,
+    so mixture decisions should compare ranks, not raw scores.
+    Adds ``out`` = fraction of the row's group with value ≤ this
+    row's value (cume_dist semantics, exactly).
+
+    Same scale argument as :func:`rank_quantile_threshold`: a
+    ``cume_dist().over(partitionBy(keys))`` window buffers whole
+    groups (O(group) — fatal when one source is most of the corpus).
+    Bounded-cardinality values (rounded scores) make the histogram
+    route exact and mergeable: ONE corpus-sized partial-agg shuffle
+    to (keys, value) counts, a cumulative sum over the per-key
+    histogram (window partitions are histogram-sized), then a
+    broadcast join back to the rows.
+    """
+    from pyspark.sql import Window
+
+    keys = keys or []
+    hist = df.groupBy(*keys, value).agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(wn)
+    )
+    pct_tbl = cum.select(
+        *keys,
+        value,
+        F.round(F.col("_cum").cast("double") / F.col("_n"), 6).alias(out),
+    )
+    join_keys = [*keys, value]
+    return df.join(F.broadcast(pct_tbl), join_keys)

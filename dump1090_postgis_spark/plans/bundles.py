@@ -454,6 +454,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "dq",
                 ["source", "n_docs", "total_tokens", "weight", "epochs", "keep_rate"],
             ),
+            (
+                "quality_percentile",
+                "dq",
+                ["doc_id", "source", "quality", "pct"],
+            ),
         ],
         [
             ("doc_id", "bigint"),
@@ -470,6 +475,7 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("total_tokens", "bigint"),
             ("weight", "double"),
             ("epochs", "double"),
+            ("pct", "double"),
         ],
     ),
     # Training-sequence prep: context-window chunking + packed spans

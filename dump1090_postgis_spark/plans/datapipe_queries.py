@@ -2020,11 +2020,54 @@ FROM sh a JOIN sh b
 """
 
 
+def q_quality_percentile(spark, sf):
+    """Per-source percentile calibration of the quality score
+    (datapipe/sampling.py percentile_normalize): cume_dist semantics
+    computed via the bounded-cardinality histogram route — one
+    partial-agg shuffle + histogram-sized windows + broadcast join
+    back, never an O(group) cume_dist window."""
+    from ..datapipe.sampling import percentile_normalize
+
+    docs = load_table(spark, sf, "documents")
+    scored = tx.with_quality_score(docs, "text", "quality").select(
+        "doc_id", "source", "quality"
+    )
+    return percentile_normalize(scored, "quality", ["source"])
+
+
+SQL_QUALITY_PERCENTILE = f"""
+WITH prep AS (
+  SELECT doc_id, source, {_ONORM} AS norm, {_OWORDS} AS words,
+         length(text) AS n_chars
+  FROM documents
+), feats AS (
+  SELECT doc_id, source,
+         len(words) AS n_words,
+         round(len(list_filter(words, w -> list_contains([{_STOP_LIST}], w)))::DOUBLE
+               / len(words), 4) AS stopword_ratio,
+         round(len(regexp_extract_all(norm, '[^\\w\\s]'))::DOUBLE
+               / greatest(n_chars, 1), 4) AS punct_ratio
+  FROM prep
+), scored AS (
+  SELECT doc_id, source,
+         round((least(n_words::DOUBLE / 100.0, 1.0)
+                + least(stopword_ratio * 5.0, 1.0)
+                + greatest(1.0 - punct_ratio * 10.0, 0.0)) / 3.0, 4) AS quality
+  FROM feats
+)
+SELECT doc_id, source, quality,
+       round(cume_dist() OVER (PARTITION BY source ORDER BY quality), 6)
+         AS pct
+FROM scored
+"""
+
+
 REGISTRY: dict = {
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "collocation_pmi": (q_collocation_pmi, SQL_COLLOCATION_PMI),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT),
+    "quality_percentile": (q_quality_percentile, SQL_QUALITY_PERCENTILE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),

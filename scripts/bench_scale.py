@@ -76,6 +76,18 @@ BENCH_QUERIES = [
     "passage_coverage_filter",
     "semdedup_prune",
     "decontaminate_bloom",
+    "kmeans_refine",
+    "token_zipf",
+    "length_buckets",
+    "forward_fill_reading",
+    "rolling_value_avg",
+    "gram_novelty",
+    "source_overlap",
+    "event_transitions",
+    "profile_events",
+    "session_window_native",
+    "collocation_pmi",
+    "containment_pairs",
 ]
 
 

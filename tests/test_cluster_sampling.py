@@ -203,3 +203,21 @@ def test_label_outliers_flags_zero_norm_vector(spark):
     out = {r.vec_id: r for r in label_outliers(df, threshold=0.3).collect()}
     assert out[9].cosine_to_centroid is None
     assert out[9].is_outlier is True
+
+
+def test_percentile_normalize_matches_cume_dist(spark):
+    """Histogram-route percentile equals cume_dist exactly: fraction
+    of the group with value <= this row's value; ties share a pct."""
+    from dump1090_postgis_spark.datapipe.sampling import percentile_normalize
+
+    rows = [
+        ("A", 1, 0.1), ("A", 2, 0.2), ("A", 3, 0.2), ("A", 4, 0.9),
+        ("B", 5, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, q double")
+    got = {r.id: r.pct for r in
+           percentile_normalize(df, "q", ["src"]).collect()}
+    assert got[1] == 0.25
+    assert got[2] == got[3] == 0.75   # ties: both count each other
+    assert got[4] == 1.0
+    assert got[5] == 1.0              # singleton group

@@ -349,3 +349,57 @@ def test_dedup_stream_drops_redelivery_within_watermark(spark):
     finally:
         shutil.rmtree(drop, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_session_window_works_under_readstream(spark):
+    """The declarative session_window aggregation the batch query
+    session_window_native uses runs verbatim as a watermarked
+    streaming aggregation: gap-merged sessions emit once final."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    drop = tempfile.mkdtemp(prefix="swin")
+    ckpt = tempfile.mkdtemp(prefix="swck")
+    try:
+        with open(os.path.join(drop, "a.csv"), "w") as f:
+            # user 1: two events 10 min apart (one session), then a
+            # 40-min gap (new session); user 2: one event
+            f.write("1,2024-05-01 10:00:00\n")
+            f.write("1,2024-05-01 10:10:00\n")
+            f.write("1,2024-05-01 10:50:00\n")
+            f.write("2,2024-05-01 10:05:00\n")
+            # late watermark flusher
+            f.write("9,2024-05-01 13:00:00\n")
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp").csv(drop)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").cast("string").alias("s"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("swin_out")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.s, r.n_events)
+            for r in spark.sql("select * from swin_out").collect()
+        }
+        assert (1, "2024-05-01 10:00:00", 2) in got
+        assert (1, "2024-05-01 10:50:00", 1) in got
+        assert (2, "2024-05-01 10:05:00", 1) in got
+    finally:
+        shutil.rmtree(drop, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
