@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "collocation_pmi",
     "containment_pairs",
     "quality_percentile",
+    "tpch_q14_promo",
+    "tpch_q18_large_orders",
+    "tpch_q19_or_predicates",
 ]
 
 

@@ -214,6 +214,14 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "tq",
                 ["event_id", "user_id", "ts_s", "n_window", "avg_window"],
             ),
+            ("tpch_q14_promo", "tq", ["promo_cents", "total_cents"]),
+            (
+                "tpch_q18_large_orders",
+                "tq",
+                ["c_name", "o_orderkey", "o_orderdate_s", "o_totalprice_c",
+                 "total_qty_c"],
+            ),
+            ("tpch_q19_or_predicates", "tq", ["revenue_cents", "n_items"]),
         ],
         [
             ("o_orderpriority", "string"),
@@ -231,6 +239,13 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("last_reading", "double"),
             ("n_window", "bigint"),
             ("avg_window", "double"),
+            ("promo_cents", "bigint"),
+            ("total_cents", "bigint"),
+            ("c_name", "string"),
+            ("o_orderkey", "bigint"),
+            ("o_orderdate_s", "string"),
+            ("o_totalprice_c", "bigint"),
+            ("total_qty_c", "bigint"),
         ],
     ),
     # Salted skew rollup + exact percentiles (per-event_type grain)

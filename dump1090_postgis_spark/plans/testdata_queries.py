@@ -1640,6 +1640,135 @@ SQL_PROFILE_EVENTS = "\nUNION ALL\n".join(
 )
 
 
+def q_tpch_q14_promo(spark, sf):
+    """TPC-H Q14 shape: one-month scan-pruned lineitem joined to the
+    part dim (broadcast — dim is catalog-sized) with a conditional
+    aggregate computing the promo revenue share.  Exercises
+    filter-then-broadcast-join-then-agg with a CASE inside sum."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-03-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                * 100
+            ).cast("bigint").alias("promo_cents"),
+            F.round(F.sum(rev) * 100).cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END) * 100) AS BIGINT) AS promo_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS total_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+  AND l_shipdate < TIMESTAMP '1995-04-01'
+"""
+
+
+def q_tpch_q18_large_orders(spark, sf):
+    """TPC-H Q18 shape (large-volume orders): aggregate lineitem to
+    order grain, HAVING-filter the tiny survivor set, then join ORDERS
+    and CUSTOMER to it — the having-side becomes the broadcast build
+    side, so the big fact tables never shuffle on a post-agg key."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity") * 100).cast("bigint").alias("total_qty_c"))
+        .filter(F.col("total_qty_c") > 250 * 100)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            _fmt(F.col("o_orderdate")).alias("o_orderdate_s"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "o_totalprice_c"
+            ),
+            "total_qty_c",
+        )
+    )
+
+
+SQL_TPCH_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(round(sum(l_quantity) * 100) AS BIGINT) AS total_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(round(sum(l_quantity) * 100) AS BIGINT) > 25000
+)
+SELECT c_name, o_orderkey,
+       {_OFMT.format(c='o_orderdate')} AS o_orderdate_s,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c,
+       total_qty_c
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_tpch_q19_or_predicates(spark, sf):
+    """TPC-H Q19 shape: disjunctive (brand, size, quantity) branch
+    predicates across a lineitem⨝part join — the OR-pushdown /
+    join-predicate showcase: each branch constrains BOTH sides, so
+    the planner can push the common p_partkey equi key and evaluate
+    the disjunction post-join inside codegen."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#11")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#22")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#15")
+        & (F.col("p_size").between(1, 50))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(F.sum(rev) * 100).cast("bigint").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+         AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 50
+         AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_session_window_native(spark, sf):
     """Per-user sessions via Spark's NATIVE session_window aggregation
     — the declarative twin of operators/sessionize.py (STATE-1) and of
@@ -1690,6 +1819,9 @@ REGISTRY: dict = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
     "session_window_native": (q_session_window_native, SQL_SESSION_WINDOW),
+    "tpch_q14_promo": (q_tpch_q14_promo, SQL_TPCH_Q14),
+    "tpch_q18_large_orders": (q_tpch_q18_large_orders, SQL_TPCH_Q18),
+    "tpch_q19_or_predicates": (q_tpch_q19_or_predicates, SQL_TPCH_Q19),
     "flt1_value_band": (q_flt1_value_band, SQL_FLT1),
     "flt5_events_on_day": (q_flt5_events_on_day, SQL_FLT5),
     "flt6_fromto_paris": (q_flt6_fromto_paris, SQL_FLT6),
