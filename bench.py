@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "tpch_q14_promo",
     "tpch_q18_large_orders",
     "tpch_q19_or_predicates",
+    "cohort_retention",
+    "corpus_sample_n",
 ]
 
 

@@ -227,3 +227,25 @@ def percentile_normalize(
     )
     join_keys = [*keys, value]
     return df.join(F.broadcast(pct_tbl), join_keys)
+
+
+def sample_exact_n(
+    df: DataFrame, n: int, id_col: str = "doc_id", seed: str = "42"
+) -> DataFrame:
+    """Deterministic EXACT-n corpus sample: the n rows with the
+    smallest md5(seed|id) — a seeded uniform draw that is reproducible
+    across runs, engines, and cluster sizes, and re-seedable for
+    disjoint repeated draws (unlike df.sample, whose output depends on
+    partitioning and returns only an approximate fraction).
+
+    Plan shape: orderBy+limit compiles to TakeOrderedAndProject —
+    each partition keeps its local top-n (a bounded heap), the driver
+    merges partition heads; no global sort, no full shuffle.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("_h", h)
+        .orderBy("_h", id_col)
+        .limit(n)
+        .drop("_h")
+    )

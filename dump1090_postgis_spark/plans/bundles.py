@@ -267,6 +267,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "tq",
                 ["col_name", "n_rows", "n_nulls", "n_distinct"],
             ),
+            (
+                "cohort_retention",
+                "tq",
+                ["cohort_s", "week_s", "week_idx", "n_users"],
+            ),
         ],
         [
             ("event_type", "string"),
@@ -284,6 +289,10 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("n_rows", "bigint"),
             ("n_nulls", "bigint"),
             ("n_distinct", "bigint"),
+            ("cohort_s", "string"),
+            ("week_s", "string"),
+            ("week_idx", "int"),
+            ("n_users", "bigint"),
         ],
     ),
     # SNK-4 meta-schema GeoJSON views ×3
@@ -474,6 +483,7 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "dq",
                 ["doc_id", "source", "quality", "pct"],
             ),
+            ("corpus_sample_n", "dq", ["doc_id", "source", "lang"]),
         ],
         [
             ("doc_id", "bigint"),

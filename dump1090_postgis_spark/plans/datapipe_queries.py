@@ -2062,7 +2062,26 @@ FROM scored
 """
 
 
+def q_corpus_sample_n(spark, sf):
+    """Deterministic exact-n sample (datapipe/sampling.py
+    sample_exact_n): 100 docs with the smallest md5(seed|doc_id) —
+    TakeOrderedAndProject, no global sort."""
+    from ..datapipe.sampling import sample_exact_n
+
+    docs = load_table(spark, sf, "documents")
+    return sample_exact_n(docs, 100).select("doc_id", "source", "lang")
+
+
+SQL_CORPUS_SAMPLE_N = """
+SELECT doc_id, source, lang
+FROM documents
+ORDER BY md5(concat('42', '|', doc_id::VARCHAR)), doc_id
+LIMIT 100
+"""
+
+
 REGISTRY: dict = {
+    "corpus_sample_n": (q_corpus_sample_n, SQL_CORPUS_SAMPLE_N),
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "collocation_pmi": (q_collocation_pmi, SQL_COLLOCATION_PMI),

@@ -1769,6 +1769,53 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q_cohort_retention(spark, sf):
+    """Weekly cohort-retention matrix: users bucketed by first-seen
+    ISO week (the cohort), counted distinct per activity week, with
+    the week offset — the standard retention triangle every product/
+    engagement dashboard is built on.
+
+    Scale shape: first-seen is one partial-agg groupBy(user); the
+    activity set is a distinct projection at (user, week) grain; the
+    cohort attach joins on the user key (AQE broadcasts the
+    user-cardinality side when it fits); the final matrix is a tiny
+    (cohort × week) aggregate.  No windows anywhere.
+    """
+    ev = _ev(spark, sf)
+    wk = lambda c: F.date_trunc("week", c)  # noqa: E731 — ISO Monday on both engines
+    first = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("_cohort"))
+    activity = ev.select("user_id", wk(F.col("ts")).alias("_week")).distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy("_cohort", "_week")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .select(
+            _fmt(F.col("_cohort")).alias("cohort_s"),
+            _fmt(F.col("_week")).alias("week_s"),
+            (F.datediff(F.col("_week"), F.col("_cohort")) / 7)
+            .cast("int")
+            .alias("week_idx"),
+            "n_users",
+        )
+    )
+
+
+SQL_COHORT_RETENTION = f"""
+WITH fw AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+), aw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT {_OFMT.format(c='cohort')} AS cohort_s,
+       {_OFMT.format(c='week')} AS week_s,
+       CAST(date_diff('day', cohort, week) / 7 AS INTEGER) AS week_idx,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM aw JOIN fw USING (user_id)
+GROUP BY cohort, week
+"""
+
+
 def q_session_window_native(spark, sf):
     """Per-user sessions via Spark's NATIVE session_window aggregation
     — the declarative twin of operators/sessionize.py (STATE-1) and of
@@ -1822,6 +1869,7 @@ REGISTRY: dict = {
     "tpch_q14_promo": (q_tpch_q14_promo, SQL_TPCH_Q14),
     "tpch_q18_large_orders": (q_tpch_q18_large_orders, SQL_TPCH_Q18),
     "tpch_q19_or_predicates": (q_tpch_q19_or_predicates, SQL_TPCH_Q19),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "flt1_value_band": (q_flt1_value_band, SQL_FLT1),
     "flt5_events_on_day": (q_flt5_events_on_day, SQL_FLT5),
     "flt6_fromto_paris": (q_flt6_fromto_paris, SQL_FLT6),

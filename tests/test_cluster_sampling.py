@@ -221,3 +221,17 @@ def test_percentile_normalize_matches_cume_dist(spark):
     assert got[2] == got[3] == 0.75   # ties: both count each other
     assert got[4] == 1.0
     assert got[5] == 1.0              # singleton group
+
+
+def test_sample_exact_n_deterministic_and_disjoint_seeds(spark):
+    from dump1090_postgis_spark.datapipe.sampling import sample_exact_n
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a1 = {r.doc_id for r in sample_exact_n(df, 50).collect()}
+    a2 = {r.doc_id for r in sample_exact_n(df, 50).collect()}
+    assert a1 == a2 and len(a1) == 50        # exact n, reproducible
+    b = {r.doc_id for r in sample_exact_n(df, 50, seed="other").collect()}
+    assert b != a1                            # re-seed draws a different set
+    # nested property: a larger draw contains the smaller one
+    big = {r.doc_id for r in sample_exact_n(df, 100).collect()}
+    assert a1 <= big
