@@ -105,6 +105,12 @@ BENCH_QUERIES = [
     "tpch_q19_or_predicates",
     "cohort_retention",
     "corpus_sample_n",
+    "funnel_conversion",
+    "pivot_type_by_day",
+    "ntile_value_bands",
+    "cube_priority_flag",
+    "inverted_postings",
+    "bm25_search",
 ]
 
 

@@ -1,0 +1,130 @@
+"""Behavioral analytics over event streams: ordered funnels, pivoted
+activity matrices, exact n-tile banding.
+
+The reference's analytics layer stops at time-binned histograms and
+sliding peak-hour windows (`create_public_schema.sql:182-532`); an
+event warehouse at 100 TB needs the next tier of product analytics.
+All three operators are pure DataFrame compositions — one keyed
+shuffle each, no Python UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    user: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel reach: ``(step_idx, step, n_users)`` — how many
+    users performed each prefix of ``steps`` IN ORDER.
+
+    Semantics: ``t_1`` = a user's earliest step-1 event; ``t_k`` = the
+    earliest step-k event at ``ts >= t_{k-1}`` (same-timestamp events
+    may satisfy consecutive steps, matching the SQL formulation).
+
+    Scale shape: ONE shuffle on the user key, then ``len(steps)``
+    chained unbounded-frame window minima over that same partitioning
+    — Catalyst inserts a single Exchange and the follow-up WindowExecs
+    reuse it (asserted in tests/test_plans.py).  Per-user window state
+    is O(len(steps)) minima; the per-user reduction and the final
+    single-row count are partial-agg shuffles on already-partitioned
+    data.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(user)
+    cur = df
+    t_cols: list[str] = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if t_cols:
+            cond = cond & (F.col(ts) >= F.col(t_cols[-1]))
+        tcol = f"_funnel_t{i}"
+        cur = cur.withColumn(tcol, F.min(F.when(cond, F.col(ts))).over(w))
+        t_cols.append(tcol)
+    per_user = cur.groupBy(user).agg(
+        *[F.max(t).alias(t) for t in t_cols]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(F.col(t)).cast("bigint").alias(f"_n{i}")
+            for i, t in enumerate(t_cols)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', _n{i}" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)")
+    ).select(F.col("step_idx").cast("int"), "step", "n_users")
+
+
+def pivot_daily_activity(
+    df: DataFrame,
+    values: list[str],
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Wide activity matrix: one row per day, one zero-filled count
+    column per event type in ``values``.
+
+    The explicit ``values`` list keeps the pivot single-pass (no
+    hidden distinct-scan job to discover the columns) and the output
+    schema stable — the same rule Spark's own docs give for pivot at
+    scale.  One partial-agg shuffle on the day key; the pivot itself
+    is a map-side conditional projection.
+    """
+    out = df.groupBy(F.to_date(F.col(ts)).alias("day")).pivot(
+        type_col, values
+    ).count()
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("bigint").alias(f"n_{v}")
+            for v in values
+        ],
+    )
+
+
+def ntile_bands(
+    df: DataFrame,
+    n: int = 4,
+    key: str = "event_type",
+    order_val: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Exact n-tile banding per key with band summaries:
+    ``(key, band, n_rows, min_v, max_v)``.
+
+    The ordering is the TOTAL order ``(order_val, id_col)`` so ties on
+    the value never straddle a band boundary nondeterministically
+    (ntile is order-sensitive; an under-specified sort would
+    hash-mismatch any independent oracle).  NULL values are excluded —
+    engines disagree on default NULL sort placement.
+
+    Scale shape: ntile needs a per-key total sort, which is the right
+    tool for bounded-cardinality keys (event types, languages,
+    sources).  For heavy-tailed or high-cardinality keys use the
+    bounded-histogram quantile gate (datapipe/sampling.quantile_filter)
+    — exact nearest-rank without ever sorting a whole group.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(order_val), F.col(id_col))
+    banded = df.filter(F.col(order_val).isNotNull()).withColumn(
+        "band", F.ntile(n).over(w)
+    )
+    return banded.groupBy(key, "band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min(order_val), 4).alias("min_v"),
+        F.round(F.max(order_val), 4).alias("max_v"),
+    ).select(
+        key,
+        F.col("band").cast("int").alias("band"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "min_v",
+        "max_v",
+    )

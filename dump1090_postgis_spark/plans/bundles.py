@@ -222,6 +222,12 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                  "total_qty_c"],
             ),
             ("tpch_q19_or_predicates", "tq", ["revenue_cents", "n_items"]),
+            (
+                "cube_priority_flag",
+                "tq",
+                ["o_orderpriority", "l_returnflag", "gid", "revenue_cents",
+                 "n_items"],
+            ),
         ],
         [
             ("o_orderpriority", "string"),
@@ -246,6 +252,8 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("o_orderdate_s", "string"),
             ("o_totalprice_c", "bigint"),
             ("total_qty_c", "bigint"),
+            ("l_returnflag", "string"),
+            ("gid", "int"),
         ],
     ),
     # Salted skew rollup + exact percentiles (per-event_type grain)
@@ -272,6 +280,18 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "tq",
                 ["cohort_s", "week_s", "week_idx", "n_users"],
             ),
+            ("funnel_conversion", "tq", ["step_idx", "step", "n_users"]),
+            (
+                "pivot_type_by_day",
+                "tq",
+                ["day_s", "n_view", "n_click", "n_purchase", "n_signup",
+                 "n_error"],
+            ),
+            (
+                "ntile_value_bands",
+                "tq",
+                ["event_type", "band", "n_rows", "min_v", "max_v"],
+            ),
         ],
         [
             ("event_type", "string"),
@@ -293,6 +313,17 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("week_s", "string"),
             ("week_idx", "int"),
             ("n_users", "bigint"),
+            ("step_idx", "int"),
+            ("step", "string"),
+            ("day_s", "string"),
+            ("n_view", "bigint"),
+            ("n_click", "bigint"),
+            ("n_purchase", "bigint"),
+            ("n_signup", "bigint"),
+            ("n_error", "bigint"),
+            ("band", "int"),
+            ("min_v", "double"),
+            ("max_v", "double"),
         ],
     ),
     # SNK-4 meta-schema GeoJSON views ×3
@@ -633,6 +664,12 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ],
             ),
             ("collocation_pmi", "dq", ["a", "b", "n_ab", "pmi"]),
+            (
+                "inverted_postings",
+                "dq",
+                ["token", "df_docs", "cf", "min_doc", "max_doc"],
+            ),
+            ("bm25_search", "dq", ["doc_id", "score_micros", "rank"]),
         ],
         [
             ("token", "string"),
@@ -651,6 +688,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("b", "string"),
             ("n_ab", "bigint"),
             ("pmi", "double"),
+            ("df_docs", "bigint"),
+            ("cf", "bigint"),
+            ("min_doc", "bigint"),
+            ("max_doc", "bigint"),
+            ("score_micros", "bigint"),
         ],
     ),
     # Multimodal binary metadata: generic decode seam + real BMP header

@@ -2080,6 +2080,98 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Retrieval: inverted-index statistics + BM25 ranked search
+# ---------------------------------------------------------------------------
+
+
+def q_inverted_postings(spark, sf):
+    """Inverted-index statistics, top-100 tokens by document frequency
+    (datapipe/retrieval.py inverted_postings): explode → two
+    partial-agg shuffles; every per-token stat is O(1) aggregation
+    state (never an unbounded posting collect); top-100 cut is a
+    TakeOrderedAndProject."""
+    from ..datapipe.retrieval import inverted_postings
+
+    docs = load_table(spark, sf, "documents")
+    return inverted_postings(docs, top_n=100)
+
+
+SQL_INVERTED_POSTINGS = f"""
+WITH t AS (
+  SELECT doc_id, unnest(str_split({_ONORM}, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM t WHERE token <> '' GROUP BY 1, 2
+)
+SELECT token, count(*)::BIGINT AS df_docs, sum(tf)::BIGINT AS cf,
+       min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc
+FROM tf GROUP BY token
+ORDER BY df_docs DESC, token LIMIT 100
+"""
+
+
+#: BM25 query terms (drawn from the synthetic corpus vocabulary) and
+#: the standard Robertson parameters.
+_BM25_QUERY = ["spark", "query", "join"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_search(spark, sf):
+    """BM25 top-20 ranked search for a fixed query
+    (datapipe/retrieval.py bm25_topk): corpus-side shuffle carries
+    only the query terms' occurrences; term-df and corpus stats are
+    broadcast; per-term contributions micro-rounded to bigint before
+    the per-doc sum (hash-reproducible across engines)."""
+    from ..datapipe.retrieval import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    return bm25_topk(docs, _BM25_QUERY, k1=_BM25_K1, b=_BM25_B, top_n=20)
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+# Constants mirrored from the Spark plan's PYTHON-side folding:
+# tf·(k1+1) folds to tf·2.2, (1−b) folds to 0.25.  CASTs force DOUBLE
+# arithmetic (DuckDB parses bare decimals as DECIMAL, whose math
+# diverges from IEEE doubles).
+SQL_BM25 = f"""
+WITH t AS (
+  SELECT doc_id, unnest(str_split({_ONORM}, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM t WHERE token IN ({_BM25_IN}) GROUP BY 1, 2
+), dft AS (
+  SELECT token, count(*)::BIGINT AS df_t FROM tf GROUP BY token
+), dl AS (
+  SELECT doc_id,
+         len(list_filter(str_split({_ONORM}, ' '), x -> x <> ''))::BIGINT AS dl
+  FROM documents
+), corpus AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl
+), scored AS (
+  SELECT tf.doc_id,
+         sum(CAST(round(
+           ((n_docs - df_t + CAST({0.5!r} AS DOUBLE)) / (df_t + CAST({0.5!r} AS DOUBLE)))
+           * ((tf * CAST({_BM25_K1 + 1!r} AS DOUBLE))
+              / (tf + CAST({_BM25_K1!r} AS DOUBLE)
+                   * (CAST({1 - _BM25_B!r} AS DOUBLE)
+                      + (CAST({_BM25_B!r} AS DOUBLE) * dl)
+                        / (CAST(sum_dl AS DOUBLE) / n_docs))))
+           * CAST({1e6!r} AS DOUBLE)
+         ) AS BIGINT))::BIGINT AS score_micros
+  FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus
+  GROUP BY tf.doc_id
+), top AS (
+  SELECT * FROM scored ORDER BY score_micros DESC, doc_id LIMIT 20
+)
+SELECT doc_id::BIGINT AS doc_id, score_micros,
+       CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id) AS BIGINT)
+         AS rank
+FROM top
+"""
+
+
 REGISTRY: dict = {
     "corpus_sample_n": (q_corpus_sample_n, SQL_CORPUS_SAMPLE_N),
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
@@ -2143,4 +2235,6 @@ REGISTRY: dict = {
     "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),
     "length_buckets": (q_length_buckets, SQL_LENGTH_BUCKETS),
     "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
+    "inverted_postings": (q_inverted_postings, SQL_INVERTED_POSTINGS),
+    "bm25_search": (q_bm25_search, SQL_BM25),
 }

@@ -1860,6 +1860,131 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+# ---------------------------------------------------------------------------
+# Behavioral analytics: funnel, pivot matrix, n-tile bands, CUBE
+# (engine extensions — the reference's analytics stop at histograms
+# and peak-hour windows, create_public_schema.sql:182-532)
+# ---------------------------------------------------------------------------
+
+#: Ordered funnel steps over the events stream.
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_conversion(spark, sf):
+    """Ordered-funnel reach (operators/analytics.py funnel_steps): one
+    shuffle on the user key; the chained per-step window minima reuse
+    that single exchange (plan-asserted)."""
+    from ..operators.analytics import funnel_steps
+
+    return funnel_steps(_ev(spark, sf), _FUNNEL_STEPS)
+
+
+def _funnel_sql(steps: list[str]) -> str:
+    ctes = ["s0 AS (SELECT user_id, ts, event_type FROM events)"]
+    prev = None
+    for i, s in enumerate(steps):
+        cond = f"event_type = '{s}'"
+        if prev is not None:
+            cond += f" AND ts >= {prev}"
+        ctes.append(
+            f"s{i + 1} AS (SELECT *, min(CASE WHEN {cond} THEN ts END)"
+            f" OVER (PARTITION BY user_id) AS t{i} FROM s{i})"
+        )
+        prev = f"t{i}"
+    t_aggs = ", ".join(f"max(t{i}) AS t{i}" for i in range(len(steps)))
+    ctes.append(
+        f"u AS (SELECT user_id, {t_aggs} FROM s{len(steps)} GROUP BY user_id)"
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS step_idx, '{s}' AS step,"
+        f" count(t{i})::BIGINT AS n_users FROM u"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + branches
+
+
+SQL_FUNNEL = _funnel_sql(_FUNNEL_STEPS)
+
+
+#: Explicit pivot columns — never inferred from data (scale rule).
+_PIVOT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def q_pivot_type_by_day(spark, sf):
+    """Daily activity matrix (operators/analytics.py
+    pivot_daily_activity): single-pass pivot with explicit values —
+    one partial-agg shuffle on the day key, conditional-count
+    projection map-side."""
+    from ..operators.analytics import pivot_daily_activity
+
+    return pivot_daily_activity(_ev(spark, sf), _PIVOT_TYPES)
+
+
+SQL_PIVOT = (
+    "SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_s,\n"
+    + ",\n".join(
+        f"  sum(CASE WHEN event_type = '{v}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS n_{v}"
+        for v in _PIVOT_TYPES
+    )
+    + "\nFROM events GROUP BY 1"
+)
+
+
+def q_ntile_value_bands(spark, sf):
+    """Exact quartile banding of `value` per event_type
+    (operators/analytics.py ntile_bands): per-key total sort under the
+    deterministic (value, event_id) order — right for
+    bounded-cardinality keys; the histogram quantile gate
+    (quality_quantile_filter) is the heavy-tailed-key alternative."""
+    from ..operators.analytics import ntile_bands
+
+    return ntile_bands(_ev(spark, sf), n=4)
+
+
+SQL_NTILE = """
+WITH b AS (
+  SELECT event_type, value, event_id,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS band
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, band::INTEGER AS band, count(*)::BIGINT AS n_rows,
+       round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_cube_priority_flag(spark, sf):
+    """CUBE over (order priority × return flag) with grouping_id
+    (engine extension, completes the grouping-sets family next to
+    rollup_region_revenue): Catalyst expands the four grouping sets
+    map-side — still ONE shuffle."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .cube("o_orderpriority", "l_returnflag")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(F.sum(rev) * 100).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT o_orderpriority, l_returnflag,
+       CAST(GROUPING(o_orderpriority, l_returnflag) AS INTEGER) AS gid,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY CUBE (o_orderpriority, l_returnflag)
+"""
+
+
 REGISTRY: dict = {
     "forward_fill_reading": (q_forward_fill_reading, SQL_FORWARD_FILL),
     "rolling_value_avg": (q_rolling_value_avg, SQL_ROLLING_AVG),
@@ -1913,4 +2038,8 @@ REGISTRY: dict = {
     "asof_last_error": (q_asof_last_error, SQL_ASOF),
     "range_join_error_windows": (q_range_join_error_windows, SQL_RANGE_JOIN),
     "rollup_time_multigrain": (q_rollup_time_multigrain, SQL_MULTIGRAIN),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
+    "pivot_type_by_day": (q_pivot_type_by_day, SQL_PIVOT),
+    "ntile_value_bands": (q_ntile_value_bands, SQL_NTILE),
+    "cube_priority_flag": (q_cube_priority_flag, SQL_CUBE),
 }

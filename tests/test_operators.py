@@ -341,3 +341,80 @@ def test_profile_columns_census(spark):
     assert (got["id"].n_nulls, got["id"].n_distinct) == (0, 4)
     assert (got["s"].n_nulls, got["s"].n_distinct) == (1, 2)
     assert (got["v"].n_nulls, got["v"].n_distinct) == (1, 2)
+
+
+def test_funnel_steps_ordered(spark):
+    """Funnel requires IN-ORDER steps: a click BEFORE the first view
+    must not satisfy step 2."""
+    from datetime import datetime
+
+    from dump1090_postgis_spark.operators.analytics import funnel_steps
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, t(0), "view"), (2, 1, t(1), "click"), (3, 1, t(2), "purchase"),
+        # user 2: click precedes the only view -> reaches step 1 only
+        (4, 2, t(0), "click"), (5, 2, t(1), "view"),
+        # user 3: view then purchase (skips click) -> step 1 only
+        (6, 3, t(0), "view"), (7, 3, t(5), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r.step: (r.step_idx, r.n_users)
+           for r in funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": (1, 3), "click": (2, 1), "purchase": (3, 1)}
+
+
+def test_funnel_same_timestamp_satisfies_next_step(spark):
+    """ts >= t_prev: a simultaneous next-step event counts (matches
+    the SQL formulation both engines run)."""
+    from datetime import datetime
+
+    from dump1090_postgis_spark.operators.analytics import funnel_steps
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, t0, "view"), (2, 1, t0, "click")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {r.step: r.n_users for r in funnel_steps(df, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 1}
+
+
+def test_pivot_daily_activity_zero_fill(spark):
+    from datetime import datetime
+
+    from dump1090_postgis_spark.operators.analytics import pivot_daily_activity
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, datetime(2024, 1, 1, 5), "view"),
+            (2, 1, datetime(2024, 1, 1, 6), "view"),
+            (3, 2, datetime(2024, 1, 2, 5), "click"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {r.day_s: r for r in pivot_daily_activity(df, ["view", "click"]).collect()}
+    assert (got["2024-01-01"].n_view, got["2024-01-01"].n_click) == (2, 0)
+    assert (got["2024-01-02"].n_view, got["2024-01-02"].n_click) == (0, 1)
+
+
+def test_ntile_bands_deterministic_under_ties(spark):
+    """8 rows, 2 keys, all-equal values in key b: the (value, id) total
+    order still yields a deterministic 2/2 band split."""
+    from dump1090_postgis_spark.operators.analytics import ntile_bands
+
+    rows = [(i, "a", float(i)) for i in range(1, 5)]
+    rows += [(i, "b", 7.0) for i in range(5, 9)]
+    rows += [(99, "a", None)]  # NULL value excluded
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = ntile_bands(df, n=2).collect()
+    got = {(r.event_type, r.band): (r.n_rows, r.min_v, r.max_v) for r in out}
+    assert got[("a", 1)] == (2, 1.0, 2.0)
+    assert got[("a", 2)] == (2, 3.0, 4.0)
+    # ties: ids 5,6 -> band 1; ids 7,8 -> band 2
+    assert got[("b", 1)] == (2, 7.0, 7.0)
+    assert got[("b", 2)] == (2, 7.0, 7.0)
+    assert ("a", 3) not in got and len(out) == 4

@@ -356,3 +356,55 @@ def test_gram_novelty_no_window_no_cartesian(spark):
     plan = plan_of(q_gram_novelty(spark, SF))
     assert "WindowExec" not in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_funnel_single_user_exchange(spark):
+    """The chained per-step window minima must all reuse ONE
+    hash-exchange on the user key (a per-step re-shuffle would triple
+    the funnel's cost)."""
+    from dump1090_postgis_spark.plans.testdata_queries import q_funnel_conversion
+
+    plan = plan_of(q_funnel_conversion(spark, SF))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 3, plan
+
+
+def test_pivot_single_scan_explicit_values(spark):
+    """Explicit pivot values: one table scan, no hidden distinct job
+    to discover the columns."""
+    from dump1090_postgis_spark.plans.testdata_queries import q_pivot_type_by_day
+
+    plan = plan_of(q_pivot_type_by_day(spark, SF))
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_cube_is_one_expand_aggregation(spark):
+    """CUBE plans as Expand + partial agg — one shuffle, not one scan
+    per grouping set."""
+    from dump1090_postgis_spark.plans.testdata_queries import q_cube_priority_flag
+
+    plan = plan_of(q_cube_priority_flag(spark, SF))
+    assert "Expand" in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 2, plan  # lineitem+orders
+
+
+def test_inverted_postings_take_ordered_no_window(spark):
+    """The top-n cut must be TakeOrderedAndProject (per-partition
+    heaps), never a global sort or single-partition window."""
+    from dump1090_postgis_spark.plans.datapipe_queries import q_inverted_postings
+
+    plan = plan_of(q_inverted_postings(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "WindowExec" not in plan and not re.search(r"\(\d+\) Window\n", plan), plan
+
+
+def test_bm25_broadcasts_every_small_side(spark):
+    """Corpus-sized data must flow through broadcast hash joins only —
+    term stats / corpus stats / rank self-count are all broadcast;
+    no sort-merge shuffle join, no cartesian, no window."""
+    from dump1090_postgis_spark.plans.datapipe_queries import q_bm25_search
+
+    plan = plan_of(q_bm25_search(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert not re.search(r"\(\d+\) Window\n", plan), plan

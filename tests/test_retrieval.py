@@ -1,0 +1,76 @@
+"""Unit tests for datapipe/retrieval.py (inverted postings + BM25)."""
+
+from __future__ import annotations
+
+import math
+
+from dump1090_postgis_spark.datapipe.retrieval import bm25_topk, inverted_postings
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_inverted_postings_stats(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spark joins data"),
+            (2, "spark spark streams"),
+            (3, "data quality"),
+        ],
+    )
+    got = {r.token: r for r in inverted_postings(df, top_n=10).collect()}
+    assert (got["spark"].df_docs, got["spark"].cf) == (2, 3)
+    assert (got["spark"].min_doc, got["spark"].max_doc) == (1, 2)
+    assert (got["data"].df_docs, got["data"].cf) == (2, 2)
+    assert got["quality"].df_docs == 1
+
+
+def test_inverted_postings_top_n_cut_by_df_then_token(spark):
+    df = _docs(spark, [(1, "a b"), (2, "a c"), (3, "a b")])
+    out = inverted_postings(df, top_n=2).collect()
+    assert [r.token for r in out] == ["a", "b"]  # df 3, then df 2 ('b' < 'c')
+
+
+def test_bm25_ranks_higher_tf_first(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spark spark spark filler filler"),
+            (2, "spark filler filler filler filler"),
+            (3, "filler filler filler filler filler"),
+        ],
+    )
+    out = bm25_topk(df, ["spark"], top_n=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]  # doc 3 never matches
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+    assert out[0].score_micros > out[1].score_micros > 0
+
+
+def test_bm25_matches_reference_formula(spark):
+    """Cross-check one score against an independent Python evaluation
+    of the documented rational-idf BM25."""
+    texts = {1: "spark joins data data", 2: "data pipeline", 3: "other words here"}
+    df = _docs(spark, list(texts.items()))
+    k1, b = 1.2, 0.75
+    out = {r.doc_id: r.score_micros for r in bm25_topk(df, ["data"], k1=k1, b=b).collect()}
+
+    dls = {d: len(t.split()) for d, t in texts.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    n, df_t = len(texts), 2
+    idf = (n - df_t + 0.5) / (df_t + 0.5)
+
+    def score(tf, dl):
+        tfn = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return int(round(idf * tfn * 1e6))
+
+    assert out == {1: score(2, 4), 2: score(1, 2)}
+
+
+def test_bm25_multi_term_sums_contributions(spark):
+    df = _docs(spark, [(1, "x y"), (2, "x z"), (3, "z z")])
+    one = {r.doc_id: r.score_micros for r in bm25_topk(df, ["x"]).collect()}
+    two = {r.doc_id: r.score_micros for r in bm25_topk(df, ["x", "y"]).collect()}
+    assert two[1] > one[1]  # doc 1 gains the 'y' contribution
+    assert two[2] == one[2]  # doc 2 has no 'y'
