@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "cube_priority_flag",
     "inverted_postings",
     "bm25_search",
+    "scd2_doc_intervals",
 ]
 
 

@@ -395,6 +395,12 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "dq",
                 ["src_a", "src_b", "shared_texts"],
             ),
+            (
+                "scd2_doc_intervals",
+                "dq",
+                ["doc_id", "text_hash", "from_snap", "to_snap", "n_snaps",
+                 "is_current"],
+            ),
         ],
         [
             ("text_hash", "string"),
@@ -412,6 +418,10 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("src_a", "string"),
             ("src_b", "string"),
             ("shared_texts", "bigint"),
+            ("from_snap", "int"),
+            ("to_snap", "int"),
+            ("n_snaps", "bigint"),
+            ("is_current", "boolean"),
         ],
     ),
     "dedup_pairs_bundle": (

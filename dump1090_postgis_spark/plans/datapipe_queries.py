@@ -2081,6 +2081,82 @@ LIMIT 100
 
 
 # ---------------------------------------------------------------------------
+# SCD2 interval compaction over snapshot history
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_doc_intervals(spark, sf):
+    """SCD2 validity intervals over a 3-snapshot corpus history
+    (datapipe/scd.py scd2_intervals): snap 1 = base; snap 2 drops
+    doc_id%11, edits %13; snap 3 re-adds %22 (delete+re-insert gap →
+    separate run) and edits %7.  One doc-key shuffle; lag flag +
+    running run-id share the exchange; is_current from a broadcast
+    max-snapshot row."""
+    from ..datapipe.scd import scd2_intervals
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    h = lambda c: F.md5(dd.normalize_text(c))  # noqa: E731
+    v2 = F.when(did % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+        F.col("text")
+    )
+    v3 = F.when(did % 7 == 0, F.concat(v2, F.lit(" v3"))).otherwise(v2)
+    s1 = docs.select(
+        F.lit(1).alias("snapshot_id"), "doc_id", h(F.col("text")).alias("text_hash")
+    )
+    s2 = docs.filter(did % 11 != 0).select(
+        F.lit(2).alias("snapshot_id"), "doc_id", h(v2).alias("text_hash")
+    )
+    s3 = docs.filter((did % 11 != 0) | (did % 22 == 0)).select(
+        F.lit(3).alias("snapshot_id"), "doc_id", h(v3).alias("text_hash")
+    )
+    return scd2_intervals(s1.unionByName(s2).unionByName(s3))
+
+
+def _scd_onorm(e: str) -> str:
+    return f"regexp_replace(lower(trim({e})), '\\s+', ' ', 'g')"
+
+
+_SCD_V2 = "CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END"
+_SCD_V3 = (
+    f"CASE WHEN doc_id % 7 = 0 THEN ({_SCD_V2}) || ' v3' ELSE ({_SCD_V2}) END"
+)
+
+SQL_SCD2 = f"""
+WITH snaps AS (
+  SELECT 1 AS snapshot_id, doc_id, md5({_scd_onorm("text")}) AS text_hash
+  FROM documents
+  UNION ALL
+  SELECT 2, doc_id, md5({_scd_onorm(_SCD_V2)})
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT 3, doc_id, md5({_scd_onorm(_SCD_V3)})
+  FROM documents WHERE doc_id % 11 <> 0 OR doc_id % 22 = 0
+), flagged AS (
+  SELECT *, CASE WHEN lag(snapshot_id) OVER w IS NULL
+                   OR lag(text_hash) OVER w <> text_hash
+                   OR lag(snapshot_id) OVER w <> snapshot_id - 1
+                 THEN 1 ELSE 0 END AS new_run
+  FROM snaps
+  WINDOW w AS (PARTITION BY doc_id ORDER BY snapshot_id)
+), runs AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY doc_id ORDER BY snapshot_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+  FROM flagged
+), compact AS (
+  SELECT doc_id, run, text_hash,
+         min(snapshot_id)::INTEGER AS from_snap,
+         max(snapshot_id)::INTEGER AS to_snap,
+         count(*)::BIGINT AS n_snaps
+  FROM runs GROUP BY 1, 2, 3
+), cur AS (SELECT max(snapshot_id)::INTEGER AS c FROM snaps)
+SELECT doc_id, text_hash, from_snap, to_snap, n_snaps,
+       to_snap = c AS is_current
+FROM compact, cur
+"""
+
+
+# ---------------------------------------------------------------------------
 # Retrieval: inverted-index statistics + BM25 ranked search
 # ---------------------------------------------------------------------------
 
@@ -2237,4 +2313,5 @@ REGISTRY: dict = {
     "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
     "inverted_postings": (q_inverted_postings, SQL_INVERTED_POSTINGS),
     "bm25_search": (q_bm25_search, SQL_BM25),
+    "scd2_doc_intervals": (q_scd2_doc_intervals, SQL_SCD2),
 }

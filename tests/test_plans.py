@@ -408,3 +408,12 @@ def test_bm25_broadcasts_every_small_side(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert not re.search(r"\(\d+\) Window\n", plan), plan
+
+
+def test_scd2_windows_share_one_doc_exchange(spark):
+    """Lag flag + running run-id must reuse ONE hash-exchange on the
+    document key; the run compaction groupBy is co-partitioned."""
+    from dump1090_postgis_spark.plans.datapipe_queries import q_scd2_doc_intervals
+
+    plan = plan_of(q_scd2_doc_intervals(spark, SF))
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
