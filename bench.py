@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "inverted_postings",
     "bm25_search",
     "scd2_doc_intervals",
+    "approx_sketch_report",
 ]
 
 

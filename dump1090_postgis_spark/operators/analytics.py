@@ -91,6 +91,49 @@ def pivot_daily_activity(
     )
 
 
+def sketch_accuracy_report(
+    df: DataFrame,
+    key: str = "event_type",
+    id_col: str = "user_id",
+    val_col: str = "value",
+    rsd: float = 0.02,
+    rel_tol: float = 0.05,
+) -> DataFrame:
+    """Approximate-aggregate contract check:
+    ``(key, n_exact, hll_ok, pct_ok)``.
+
+    At 100 TB the exact paths (countDistinct's Expand census, the
+    per-group percentile buffer) give way to mergeable sketches —
+    HyperLogLog++ (``approx_count_distinct``) and the KLL-style
+    ``approx_percentile``.  A sketch's VALUE cannot be hash-compared
+    against an independent engine, but its ERROR CONTRACT can: this
+    report emits the exact statistic alongside booleans asserting the
+    sketch landed within tolerance (``rel_tol`` relative, floor of 5
+    absolute for HLL; ``rel_tol``·max(|p50|,1) for the percentile).
+    The DuckDB oracle states the contract as literal TRUEs — a driver
+    hash-match therefore VERIFIES the approximation bound, instead of
+    silently excluding the approximate path from correctness.
+
+    Both sketches are single-pass, mergeable, partial-agg friendly —
+    one shuffle carrying O(sketch) bytes per group.
+    """
+    exact_n = F.count_distinct(F.col(id_col))
+    hll = F.approx_count_distinct(F.col(id_col), rsd)
+    p_exact = F.expr(f"percentile({val_col}, 0.5)")
+    p_approx = F.expr(f"approx_percentile({val_col}, 0.5, 10000)")
+    return df.groupBy(key).agg(
+        exact_n.cast("bigint").alias("n_exact"),
+        (
+            F.abs(hll - exact_n)
+            <= F.greatest(exact_n * rel_tol, F.lit(5.0))
+        ).alias("hll_ok"),
+        (
+            F.abs(p_approx - p_exact)
+            <= rel_tol * F.greatest(F.abs(p_exact), F.lit(1.0))
+        ).alias("pct_ok"),
+    )
+
+
 def ntile_bands(
     df: DataFrame,
     n: int = 4,

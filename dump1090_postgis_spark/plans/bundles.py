@@ -292,6 +292,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "tq",
                 ["event_type", "band", "n_rows", "min_v", "max_v"],
             ),
+            (
+                "approx_sketch_report",
+                "tq",
+                ["event_type", "n_exact", "hll_ok", "pct_ok"],
+            ),
         ],
         [
             ("event_type", "string"),
@@ -324,6 +329,9 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("band", "int"),
             ("min_v", "double"),
             ("max_v", "double"),
+            ("n_exact", "bigint"),
+            ("hll_ok", "boolean"),
+            ("pct_ok", "boolean"),
         ],
     ),
     # SNK-4 meta-schema GeoJSON views ×3

@@ -1955,6 +1955,24 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_approx_sketch_report(spark, sf):
+    """Approximate-aggregate error-contract check (operators/
+    analytics.py sketch_accuracy_report): HLL++ distinct and
+    approx_percentile bounds emitted as oracle-checked booleans — the
+    driver hash-match VERIFIES the sketch tolerance rather than
+    excluding the approximate path from correctness."""
+    from ..operators.analytics import sketch_accuracy_report
+
+    return sketch_accuracy_report(_ev(spark, sf))
+
+
+SQL_APPROX_SKETCH = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+       TRUE AS hll_ok, TRUE AS pct_ok
+FROM events GROUP BY event_type
+"""
+
+
 def q_cube_priority_flag(spark, sf):
     """CUBE over (order priority × return flag) with grouping_id
     (engine extension, completes the grouping-sets family next to
@@ -2042,4 +2060,5 @@ REGISTRY: dict = {
     "pivot_type_by_day": (q_pivot_type_by_day, SQL_PIVOT),
     "ntile_value_bands": (q_ntile_value_bands, SQL_NTILE),
     "cube_priority_flag": (q_cube_priority_flag, SQL_CUBE),
+    "approx_sketch_report": (q_approx_sketch_report, SQL_APPROX_SKETCH),
 }

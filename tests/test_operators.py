@@ -418,3 +418,21 @@ def test_ntile_bands_deterministic_under_ties(spark):
     assert got[("b", 1)] == (2, 7.0, 7.0)
     assert got[("b", 2)] == (2, 7.0, 7.0)
     assert ("a", 3) not in got and len(out) == 4
+
+
+def test_sketch_accuracy_report_contract(spark):
+    """HLL and approx-percentile must land inside the reported
+    tolerance on a 5k-distinct group (rsd 2% ⇒ well under the 5%
+    gate), and the exact count must be exact."""
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.operators.analytics import sketch_accuracy_report
+
+    df = spark.range(5000).select(
+        F.lit("k").alias("event_type"),
+        F.col("id").alias("user_id"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    (row,) = sketch_accuracy_report(df).collect()
+    assert row.n_exact == 5000
+    assert row.hll_ok is True and row.pct_ok is True
