@@ -61,40 +61,41 @@ def _interp_track(prev_lon, prev_lat, lon, lat) -> float | None:
     return (450.0 - math.degrees(math.atan2(dy, dx))) % 360.0
 
 
-def sessionize_updates(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: Any
-) -> Iterable[pd.DataFrame]:
-    """applyInPandasWithState handler. Input rows: hexident,
-    gen_date_time, transmission_type, onground, longitude, latitude,
-    altitude, callsign (the parsed message projection, FLT-3 dispatch
-    applied upstream)."""
-    hexident = key[0]
+def _has(v) -> bool:
+    return v is not None and not (isinstance(v, float) and pd.isna(v))
 
-    if state.hasTimedOut:
-        # STATE-1 eviction: emit the final flight summary row
-        if state.exists:
-            first_seen, last_seen, n, *_rest = state.get
-            cs = state.get[5]
-            yield pd.DataFrame(
-                {
-                    "hexident": [hexident],
-                    "kind": ["flight_summary"],
-                    "event_time": [pd.Timestamp(last_seen, unit="us")],
-                    "longitude": [None],
-                    "latitude": [None],
-                    "track": [None],
-                    "first_seen": [pd.Timestamp(first_seen, unit="us")],
-                    "last_seen": [pd.Timestamp(last_seen, unit="us")],
-                    "n_messages": [n],
-                    "callsign": [cs],
-                }
-            )
-        state.remove()
-        return
 
-    if state.exists:
+def summary_row(hexident: str, state_tuple: tuple) -> dict:
+    """STATE-1 eviction payload: the final flight-summary row built
+    from a session state tuple (shared by both streaming APIs)."""
+    first_seen, last_seen, n, *_rest = state_tuple
+    return {
+        "hexident": hexident,
+        "kind": "flight_summary",
+        "event_time": pd.Timestamp(last_seen, unit="us"),
+        "longitude": None,
+        "latitude": None,
+        "track": None,
+        "first_seen": pd.Timestamp(first_seen, unit="us"),
+        "last_seen": pd.Timestamp(last_seen, unit="us"),
+        "n_messages": n,
+        "callsign": state_tuple[5],
+    }
+
+
+def advance_session(
+    hexident: str, state_tuple: tuple | None, rows
+) -> tuple[bool, tuple, list[dict]]:
+    """The pure state-transition core of the reference machine
+    (STATE-2..5 + FLT-2 admission), shared by the legacy
+    ``applyInPandasWithState`` handler and the Spark-4
+    ``transformWithStateInPandas`` processor so the two APIs cannot
+    drift.  ``rows`` iterates time-ordered message tuples; returns
+    ``(admitted, new_state_tuple, event_rows)``.
+    """
+    if state_tuple is not None:
         (first_seen, last_seen, n, onground, last_event, callsign,
-         last_lon, last_lat, prev_lon, prev_lat) = state.get
+         last_lon, last_lat, prev_lon, prev_lat) = state_tuple
         admitted = True
     else:
         first_seen = last_seen = None
@@ -107,80 +108,101 @@ def sessionize_updates(
 
     out_rows: list[dict] = []
 
-    def _has(v) -> bool:
-        return v is not None and not (isinstance(v, float) and pd.isna(v))
-
-    for pdf in pdfs:
-        pdf = pdf.sort_values("gen_date_time")
-        for row in pdf.itertuples(index=False):
-            # FLT-2 admission (flights.py:86-108 CASE B): until a
-            # flight exists, only MSG2, or MSG3 passing the strict
-            # altitude filter, creates it; other messages are dropped.
-            if not admitted:
-                tt0 = row.transmission_type
-                ok = tt0 == 2 or (
-                    tt0 == 3
-                    and _has(row.altitude)
-                    and ADMISSION_ALT_ABOVE < row.altitude < ADMISSION_ALT_BELOW
-                )
-                if not ok:
-                    continue
-                admitted = True
-
-            ts_us = int(pd.Timestamp(row.gen_date_time).value // 1_000)
-            if first_seen is None:
-                first_seen = ts_us
-            last_seen = max(last_seen or ts_us, ts_us)
-            n += 1
-            if row.callsign is not None and isinstance(row.callsign, str):
-                callsign = row.callsign
-
-            # Edge state advances ONLY from valid position rows — the
-            # reference's update_onground is called solely from the
-            # MSG3-with-lon/lat/alt and MSG2-with-lon/lat branches
-            # (models.py:196-215); onground carried by MSG1/4/8 updates
-            # a plain attribute, never the event state (_onground).
-            tt = row.transmission_type
-            valid_position = _has(row.longitude) and _has(row.latitude) and (
-                tt == 2 or (tt == 3 and _has(row.altitude))
+    for row in rows:
+        # FLT-2 admission (flights.py:86-108 CASE B): until a
+        # flight exists, only MSG2, or MSG3 passing the strict
+        # altitude filter, creates it; other messages are dropped.
+        if not admitted:
+            tt0 = row.transmission_type
+            ok = tt0 == 2 or (
+                tt0 == 3
+                and _has(row.altitude)
+                and ADMISSION_ALT_ABOVE < row.altitude < ADMISSION_ALT_BELOW
             )
-            if not valid_position:
+            if not ok:
                 continue
+            admitted = True
 
-            prev_lon, prev_lat = last_lon, last_lat
-            last_lon, last_lat = float(row.longitude), float(row.latitude)
+        ts_us = int(pd.Timestamp(row.gen_date_time).value // 1_000)
+        if first_seen is None:
+            first_seen = ts_us
+        last_seen = max(last_seen or ts_us, ts_us)
+        n += 1
+        if row.callsign is not None and isinstance(row.callsign, str):
+            callsign = row.callsign
 
-            og = row.onground
-            if _has(og):
-                og = bool(og)
-                if onground is not None and og != onground:
-                    # STATE-3 edge; STATE-4 debounce vs last candidate
-                    if last_event is None or ts_us - last_event > DEBOUNCE_US:
-                        out_rows.append(
-                            {
-                                "hexident": hexident,
-                                "kind": "landing" if og else "takeoff",
-                                "event_time": pd.Timestamp(ts_us, unit="us"),
-                                "longitude": last_lon,
-                                "latitude": last_lat,
-                                "track": _interp_track(
-                                    prev_lon, prev_lat, last_lon, last_lat
-                                ),
-                                "first_seen": pd.Timestamp(first_seen, unit="us"),
-                                "last_seen": pd.Timestamp(last_seen, unit="us"),
-                                "n_messages": n,
-                                "callsign": callsign,
-                            }
-                        )
-                    # reference updates the clock even when suppressed
-                    last_event = ts_us
-                onground = og
+        # Edge state advances ONLY from valid position rows — the
+        # reference's update_onground is called solely from the
+        # MSG3-with-lon/lat/alt and MSG2-with-lon/lat branches
+        # (models.py:196-215); onground carried by MSG1/4/8 updates
+        # a plain attribute, never the event state (_onground).
+        tt = row.transmission_type
+        valid_position = _has(row.longitude) and _has(row.latitude) and (
+            tt == 2 or (tt == 3 and _has(row.altitude))
+        )
+        if not valid_position:
+            continue
+
+        prev_lon, prev_lat = last_lon, last_lat
+        last_lon, last_lat = float(row.longitude), float(row.latitude)
+
+        og = row.onground
+        if _has(og):
+            og = bool(og)
+            if onground is not None and og != onground:
+                # STATE-3 edge; STATE-4 debounce vs last candidate
+                if last_event is None or ts_us - last_event > DEBOUNCE_US:
+                    out_rows.append(
+                        {
+                            "hexident": hexident,
+                            "kind": "landing" if og else "takeoff",
+                            "event_time": pd.Timestamp(ts_us, unit="us"),
+                            "longitude": last_lon,
+                            "latitude": last_lat,
+                            "track": _interp_track(
+                                prev_lon, prev_lat, last_lon, last_lat
+                            ),
+                            "first_seen": pd.Timestamp(first_seen, unit="us"),
+                            "last_seen": pd.Timestamp(last_seen, unit="us"),
+                            "n_messages": n,
+                            "callsign": callsign,
+                        }
+                    )
+                # reference updates the clock even when suppressed
+                last_event = ts_us
+            onground = og
+
+    new_state = (first_seen, last_seen, n, onground, last_event, callsign,
+                 last_lon, last_lat, prev_lon, prev_lat)
+    return admitted, new_state, out_rows
+
+
+def sessionize_updates(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: Any
+) -> Iterable[pd.DataFrame]:
+    """applyInPandasWithState handler. Input rows: hexident,
+    gen_date_time, transmission_type, onground, longitude, latitude,
+    altitude, callsign (the parsed message projection, FLT-3 dispatch
+    applied upstream)."""
+    hexident = key[0]
+
+    if state.hasTimedOut:
+        # STATE-1 eviction: emit the final flight summary row
+        if state.exists:
+            yield pd.DataFrame([summary_row(hexident, tuple(state.get))])
+        state.remove()
+        return
+
+    def _rows():
+        for pdf in pdfs:
+            yield from pdf.sort_values("gen_date_time").itertuples(index=False)
+
+    admitted, new_state, out_rows = advance_session(
+        hexident, tuple(state.get) if state.exists else None, _rows()
+    )
 
     if admitted:  # never create state for unadmitted hexidents
-        state.update(
-            (first_seen, last_seen, n, onground, last_event, callsign,
-             last_lon, last_lat, prev_lon, prev_lat)
-        )
+        state.update(new_state)
         state.setTimeoutDuration(SESSION_TIMEOUT_MS)
 
     if out_rows:

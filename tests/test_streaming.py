@@ -403,3 +403,127 @@ def test_session_window_works_under_readstream(spark):
     finally:
         shutil.rmtree(drop, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (absent in this "
+    "container; no installs allowed) — the shared advance_session core "
+    "is pinned by test_advance_session_core_* instead",
+)
+def test_transform_with_state_matches_legacy_handler(spark):
+    """The transformWithStateInPandas twin (streaming/tws.py) must emit
+    the same debounced events as the applyInPandasWithState path on
+    the replayed capture — one shared advance_session core."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from dump1090_postgis_spark.streaming.pipeline import parsed_stream
+    from dump1090_postgis_spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        event_stream_tws,
+    )
+
+    drop = tempfile.mkdtemp(prefix="sbs1twsdrop")
+    ckpt = tempfile.mkdtemp(prefix="sbs1twsckpt")
+    with open(os.path.join(drop, "capture.txt"), "w") as f:
+        f.write("\n".join(LINES))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        raw = spark.readStream.text(drop)
+        q = (
+            event_stream_tws(parsed_stream(raw))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_ev")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("select * from tws_ev").count() >= 2:
+                break
+            time.sleep(2)
+        rows = spark.sql(
+            "select * from tws_ev where kind != 'flight_summary'"
+            " order by event_time"
+        ).collect()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        shutil.rmtree(drop, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    # identical expectations to test_stream_emits_debounced_edges:
+    # two landings (the 1.5 s bounce takeoff suppressed), AAA111 only
+    assert [r.kind for r in rows] == ["landing", "landing"]
+    assert {r.hexident for r in rows} == {"AAA111"}
+    assert rows[0].event_time.second == 10 and rows[1].event_time.second == 21
+    assert rows[0].callsign == "TST100"
+
+
+def _msg(ts_us, tt=3, onground=False, lon=-1.6, lat=47.1, alt=100.0, callsign=None):
+    from collections import namedtuple
+
+    import pandas as pd
+
+    R = namedtuple(
+        "R",
+        "gen_date_time transmission_type onground longitude latitude altitude callsign",
+    )
+    return R(pd.Timestamp(ts_us, unit="us"), tt, onground, lon, lat, alt, callsign)
+
+
+def test_advance_session_core_edges_and_debounce():
+    """The shared state-machine core (used by BOTH streaming APIs):
+    admission, edge detection, debounce clock advancing on suppressed
+    candidates."""
+    from dump1090_postgis_spark.streaming.state import advance_session
+
+    s = 1_000_000
+    rows = [
+        _msg(0 * s, onground=False),
+        _msg(10 * s, onground=True),           # landing
+        _msg(11 * s + 500_000, onground=False),  # bounce: suppressed
+        _msg(21 * s + 500_000, onground=True),   # second landing
+    ]
+    admitted, state, events = advance_session("AAA", None, iter(rows))
+    assert admitted
+    assert [e["kind"] for e in events] == ["landing", "landing"]
+    first_seen, last_seen, n, onground, last_event, *_ = state
+    assert (first_seen, n, onground) == (0, 4, True)
+    assert last_event == 21 * s + 500_000
+
+
+def test_advance_session_core_resumes_from_state():
+    """Feeding rows in two calls (two micro-batches) must match one
+    call — the state tuple carries everything."""
+    from dump1090_postgis_spark.streaming.state import advance_session
+
+    s = 1_000_000
+    rows = [
+        _msg(0 * s, onground=False),
+        _msg(10 * s, onground=True),
+        _msg(20 * s, onground=False),
+    ]
+    _, st_all, ev_all = advance_session("AAA", None, iter(rows))
+    _, st1, ev1 = advance_session("AAA", None, iter(rows[:1]))
+    _, st2, ev2 = advance_session("AAA", st1, iter(rows[1:]))
+    assert st2 == st_all
+    assert [e["kind"] for e in ev1 + ev2] == [e["kind"] for e in ev_all]
