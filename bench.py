@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "scd2_doc_intervals",
     "approx_sketch_report",
+    "multimodal_frame_sample",
 ]
 
 

@@ -746,6 +746,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ],
             ),
             ("multimodal_features", "dq", ["doc_id", "bin", "value"]),
+            (
+                "multimodal_frame_sample",
+                "dq",
+                ["doc_id", "format", "width", "frame_idx"],
+            ),
         ],
         [
             ("doc_id", "bigint"),
@@ -758,6 +763,7 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("out_h", "int"),
             ("bin", "int"),
             ("value", "double"),
+            ("frame_idx", "int"),
         ],
     ),
 }

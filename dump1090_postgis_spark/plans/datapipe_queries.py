@@ -2080,6 +2080,48 @@ LIMIT 100
 """
 
 
+def q_multimodal_frame_sample(spark, sf):
+    """Deterministic frame-sampling work list (datapipe/multimodal.py
+    frame_sample_plan): decode metadata → explode a stride-16 frame
+    index sequence per decodable row — the shuffle-free sequence/
+    explode fan-out that feeds per-frame decode through the codec
+    seam (width stands in for the frame count in the synthetic
+    corpus)."""
+    from ..datapipe.multimodal import frame_sample_plan
+
+    docs = attach_binary(load_table(spark, sf, "documents"))
+    meta = decode_metadata(docs).filter(F.col("ok"))
+    return frame_sample_plan(meta, every_n=16).select(
+        "doc_id",
+        "format",
+        "width",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+    )
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH hexed AS (
+  SELECT doc_id, octet_length(encode(text))::BIGINT AS n,
+         hex(encode(text)) AS h
+  FROM documents
+), meta AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN NULL
+              WHEN substr(h, 1, 4) = '424D' AND n >= 26 THEN 'bmp'
+              ELSE 'raw' END AS format,
+         CASE WHEN n = 0 THEN NULL
+              WHEN substr(h, 1, 4) = '424D' AND n >= 26
+                THEN {_le32_sql(19)}::INT
+              ELSE (1 + (n % 64))::INT END AS width,
+         n > 0 AS ok
+  FROM hexed
+)
+SELECT doc_id, format, width,
+       unnest(range(0, greatest(width - 1, 0) + 1, 16))::INT AS frame_idx
+FROM meta WHERE ok
+"""
+
+
 # ---------------------------------------------------------------------------
 # SCD2 interval compaction over snapshot history
 # ---------------------------------------------------------------------------
@@ -2314,4 +2356,5 @@ REGISTRY: dict = {
     "inverted_postings": (q_inverted_postings, SQL_INVERTED_POSTINGS),
     "bm25_search": (q_bm25_search, SQL_BM25),
     "scd2_doc_intervals": (q_scd2_doc_intervals, SQL_SCD2),
+    "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
 }
