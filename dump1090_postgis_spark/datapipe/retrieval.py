@@ -90,70 +90,88 @@ def bm25_topk(
     contributions.  ``avgdl`` is exact: an integer token-count sum
     divided once (no float accumulation order).
 
-    Plan: corpus-side volume is only the query terms' occurrences
-    (filter *before* the (doc,token) shuffle); term df and corpus
-    stats are broadcast single-digit-row frames; the top-n is a
-    sort-limit (TakeOrderedAndProject); ranks are assigned to the
-    ≤top_n survivors by a window-free broadcast self-count, same
-    pattern as text.vocab_top_terms — no single-partition WindowExec
-    anywhere.
+    Plan: ONE corpus scan and ZERO corpus shuffles.  The normalized
+    words array is staged once per row (spread_for_compute guards
+    parallelism); per-term tf and the document length are
+    ``size(filter(words, ...))`` PROJECTIONS — no explode, no
+    (doc,token) aggregation.  Per-term document frequencies and the
+    corpus totals reduce to ONE single-row frame broadcast back; the
+    top-n is a sort-limit (TakeOrderedAndProject); ranks are assigned
+    to the ≤top_n survivors by a window-free broadcast self-count,
+    same pattern as text.vocab_top_terms — no single-partition
+    WindowExec anywhere.
     """
     if not query_tokens:
         raise ValueError("bm25_topk needs at least one query token")
-    toks = _tokens(df, text, id_col)
-    tf = (
-        toks.filter(F.col("token").isin(*query_tokens))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
 
     words = F.split(normalize_text(F.col(text)), " ")
-    dl = df.select(
-        F.col(id_col),
-        F.size(F.filter(words, lambda t: t != "")).cast("bigint").alias("dl"),
+    staged = spread_for_compute(df, id_col).select(
+        F.col(id_col), words.alias("_w")
     )
-    corpus = dl.agg(
+    def _eq(tokv: str):
+        # single-arg closure: a two-parameter lambda would be read by
+        # PySpark's higher-order-function arity check as (elem, index)
+        return lambda t: t == F.lit(tokv)
+
+    tf_cols = [
+        F.size(F.filter(F.col("_w"), _eq(tok))).cast("bigint").alias(f"_tf{i}")
+        for i, tok in enumerate(query_tokens)
+    ]
+    per_doc = staged.select(
+        F.col(id_col),
+        F.size(F.filter(F.col("_w"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("dl"),
+        *tf_cols,
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias(f"_df{i}")
+            for i in range(len(query_tokens))
+        ],
     )
 
-    idf = (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    tfn = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
-    )
-    contrib = F.round(idf * tfn * 1e6).cast("bigint")
 
-    scored = (
-        tf.join(F.broadcast(dft), "token")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(corpus))
-        .groupBy(id_col)
-        .agg(F.sum(contrib).cast("bigint").alias("score_micros"))
+    def _contrib(i: int) -> F.Column:
+        tf = F.col(f"_tf{i}")
+        idf = (F.col("n_docs") - F.col(f"_df{i}") + 0.5) / (
+            F.col(f"_df{i}") + 0.5
+        )
+        tfn = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * F.col("dl") / avgdl))
+        return F.when(
+            tf > 0, F.round(idf * tfn * 1e6).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    score = sum(
+        (_contrib(i) for i in range(len(query_tokens))),
+        F.lit(0).cast("bigint"),
     )
-    top = scored.orderBy(
+    scored = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), score.alias("score_micros"),
+                sum((F.col(f"_tf{i}") for i in range(len(query_tokens))),
+                    F.lit(0).cast("bigint")).alias("_hits"))
+        .filter(F.col("_hits") > 0)
+    )
+    top = scored.select(id_col, "score_micros").orderBy(
         F.col("score_micros").desc(), F.col(id_col)
     ).limit(top_n)
 
-    # Window-free rank over the ≤top_n survivors: rank = 1 + number of
-    # strictly-preceding rows under the (score desc, id asc) total
-    # order — an O(top_n²) broadcast comparison, trivial at this size.
-    left = top.select(
-        F.col(id_col).alias("_id"), F.col("score_micros").alias("_s")
-    )
-    rank = (
-        left.join(
-            F.broadcast(top),
-            (F.col("score_micros") > F.col("_s"))
-            | ((F.col("score_micros") == F.col("_s")) & (F.col(id_col) < F.col("_id"))),
-            "left",
-        )
-        .groupBy("_id", "_s")
-        .agg((F.count(F.col(id_col)) + 1).cast("bigint").alias("rank"))
-    )
-    return rank.select(
-        F.col("_id").cast("bigint").alias(id_col),
-        F.col("_s").alias("score_micros"),
-        "rank",
+    # Rank over the ≤top_n survivors via a single-partition window —
+    # bounded by top_n BY CONSTRUCTION (the limit above), so this is
+    # not the global-window anti-pattern.  (A window-free broadcast
+    # self-count, as in text.vocab_top_terms, would duplicate the
+    # whole corpus subtree into the broadcast branch here.)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score_micros").desc(), F.col(id_col))
+    return top.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        "score_micros",
+        F.row_number().over(w).cast("bigint").alias("rank"),
     )

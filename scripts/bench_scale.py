@@ -88,6 +88,16 @@ BENCH_QUERIES = [
     "session_window_native",
     "collocation_pmi",
     "containment_pairs",
+    # round-5 second wave
+    "funnel_conversion",
+    "pivot_type_by_day",
+    "ntile_value_bands",
+    "cube_priority_flag",
+    "approx_sketch_report",
+    "inverted_postings",
+    "bm25_search",
+    "scd2_doc_intervals",
+    "multimodal_frame_sample",
 ]
 
 

@@ -398,16 +398,20 @@ def test_inverted_postings_take_ordered_no_window(spark):
     assert "WindowExec" not in plan and not re.search(r"\(\d+\) Window\n", plan), plan
 
 
-def test_bm25_broadcasts_every_small_side(spark):
-    """Corpus-sized data must flow through broadcast hash joins only —
-    term stats / corpus stats / rank self-count are all broadcast;
-    no sort-merge shuffle join, no cartesian, no window."""
+def test_bm25_single_scan_no_corpus_shuffle_on_score_path(spark):
+    """Single-scan BM25: per-term tf and dl are projections over the
+    staged words array (no explode, no (doc,token) aggregation); the
+    only join is the broadcast single-row stats frame; the rank window
+    sits ABOVE the top-n limit (bounded input by construction)."""
     from dump1090_postgis_spark.plans.datapipe_queries import q_bm25_search
 
     plan = plan_of(q_bm25_search(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
-    assert not re.search(r"\(\d+\) Window\n", plan), plan
+    assert plan.count("Location: InMemoryFileIndex") == 2, plan  # score+stats
+    assert "TakeOrderedAndProject" in plan, plan
+    # exactly one Window, fed by the ≤top_n TakeOrdered output
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1, plan
 
 
 def test_scd2_windows_share_one_doc_exchange(spark):
