@@ -403,3 +403,110 @@ def test_label_outliers_matches_numpy_reference(spark, rows):
             else:
                 want = round(float(np.dot(v, cen) / denom), 4)
                 assert got[i] is not None and abs(got[i] - want) <= 1e-4, (i, got[i], want)
+
+
+# --- funnel_steps vs Python fold reference ---------------------------------
+
+
+def _py_funnel(events, steps):
+    """Reference: per user, chase min ts per step where ts >= prev."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, ts, et in events:
+        by_user[uid].append((ts, et))
+    counts = [0] * len(steps)
+    for rows in by_user.values():
+        prev = None
+        for i, step in enumerate(steps):
+            cand = [t for t, e in rows if e == step and (prev is None or t >= prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[i] += 1
+    return counts
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),      # user
+            st.integers(min_value=0, max_value=50),     # second offset
+            st.sampled_from(["view", "click", "buy", "other"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_funnel_matches_python_reference(spark, data):
+    from datetime import datetime, timedelta
+
+    from dump1090_postgis_spark.operators.analytics import funnel_steps
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, uid, t0 + timedelta(seconds=sec), et)
+        for i, (uid, sec, et) in enumerate(data)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    steps = ["view", "click", "buy"]
+    got = {r.step_idx: r.n_users for r in funnel_steps(df, steps).collect()}
+    events = [(uid, t0 + timedelta(seconds=sec), et) for uid, sec, et in data]
+    want = _py_funnel(events, steps)
+    assert [got[i + 1] for i in range(len(steps))] == want
+
+
+# --- scd2_intervals vs Python run-compaction reference ---------------------
+
+
+def _py_scd2(snaps):
+    """Reference: per doc, sort by snapshot; split runs on hash change
+    or snapshot gap; current = run ends at the global max snapshot."""
+    from collections import defaultdict
+
+    cur = max(s for s, _d, _h in snaps)
+    by_doc = defaultdict(list)
+    for s, d, h in snaps:
+        by_doc[d].append((s, h))
+    out = set()
+    for d, rows in by_doc.items():
+        rows.sort()
+        runs = []
+        for s, h in rows:
+            if runs and runs[-1][2] == h and runs[-1][1] == s - 1:
+                runs[-1][1] = s
+                runs[-1][3] += 1
+            else:
+                runs.append([s, s, h, 1])
+        for frm, to, h, n in runs:
+            out.add((d, h, frm, to, n, to == cur))
+    return out
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # snapshot
+            st.integers(min_value=1, max_value=4),   # doc
+            st.sampled_from(["x", "y"]),             # content hash
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),           # one row per (snap, doc)
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_matches_python_reference(spark, data):
+    from dump1090_postgis_spark.datapipe.scd import scd2_intervals
+
+    df = spark.createDataFrame(
+        data, "snapshot_id int, doc_id long, text_hash string"
+    )
+    got = {
+        (r.doc_id, r.text_hash, r.from_snap, r.to_snap, r.n_snaps, r.is_current)
+        for r in scd2_intervals(df).collect()
+    }
+    assert got == _py_scd2([(s, d, h) for s, d, h in data])
