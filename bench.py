@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "scd2_doc_intervals",
     "approx_sketch_report",
     "multimodal_frame_sample",
+    "tpch_q10_returned_items",
+    "tpch_q21_sole_late_supplier",
 ]
 
 

@@ -228,6 +228,12 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ["o_orderpriority", "l_returnflag", "gid", "revenue_cents",
                  "n_items"],
             ),
+            (
+                "tpch_q10_returned_items",
+                "tq",
+                ["c_custkey", "c_name", "n_name", "revenue_cents"],
+            ),
+            ("tpch_q21_sole_late_supplier", "tq", ["s_name", "numwait"]),
         ],
         [
             ("o_orderpriority", "string"),
@@ -254,6 +260,9 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("total_qty_c", "bigint"),
             ("l_returnflag", "string"),
             ("gid", "int"),
+            ("c_custkey", "bigint"),
+            ("s_name", "string"),
+            ("numwait", "bigint"),
         ],
     ),
     # Salted skew rollup + exact percentiles (per-event_type grain)

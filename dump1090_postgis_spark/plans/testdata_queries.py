@@ -1955,6 +1955,118 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_tpch_q10_returned_items(spark, sf):
+    """TPC-H q10 shape (top returned-item customers): facts filtered
+    on the pushed l_returnflag predicate, orders⋈lineitem shuffle on
+    the orderkey, customer/nation broadcast, top-20 as a
+    TakeOrderedAndProject over the aggregated frame."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nat = load_table(spark, sf, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev) * 100).cast("bigint").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+"""
+
+
+def q_tpch_q21_sole_late_supplier(spark, sf):
+    """TPC-H q21 shape (suppliers who alone kept finished orders
+    waiting): the double-correlated EXISTS / NOT EXISTS becomes a
+    LEFT SEMI plus a LEFT ANTI self-join, both on the orderkey the
+    facts are already shuffled on (exchange reuse); supplier dim
+    broadcast; top-20 TakeOrdered.  'Late' = shipped >60 days after
+    the order date (the testdata lineitem carries no
+    receipt/commit dates)."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = load_table(spark, sf, "supplier")
+    lines = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    l1 = lines.filter(F.col("late"))
+    others = lines.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s"),
+        F.col("late").alias("o_late"),
+    )
+    waited = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o_k"))
+            & (F.col("l_suppkey") != F.col("o_s")),
+            "left_semi",
+        )
+        .join(
+            others.filter(F.col("o_late")),
+            (F.col("l_orderkey") == F.col("o_k"))
+            & (F.col("l_suppkey") != F.col("o_s")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM li l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
 def q_approx_sketch_report(spark, sf):
     """Approximate-aggregate error-contract check (operators/
     analytics.py sketch_accuracy_report): HLL++ distinct and
@@ -2061,4 +2173,9 @@ REGISTRY: dict = {
     "ntile_value_bands": (q_ntile_value_bands, SQL_NTILE),
     "cube_priority_flag": (q_cube_priority_flag, SQL_CUBE),
     "approx_sketch_report": (q_approx_sketch_report, SQL_APPROX_SKETCH),
+    "tpch_q10_returned_items": (q_tpch_q10_returned_items, SQL_TPCH_Q10),
+    "tpch_q21_sole_late_supplier": (
+        q_tpch_q21_sole_late_supplier,
+        SQL_TPCH_Q21,
+    ),
 }

@@ -421,3 +421,17 @@ def test_scd2_windows_share_one_doc_exchange(spark):
 
     plan = plan_of(q_scd2_doc_intervals(spark, SF))
     assert plan.count("hashpartitioning(doc_id") == 1, plan
+
+
+def test_q21_semi_and_anti_share_orderkey_exchanges(spark):
+    """The double-correlated EXISTS/NOT EXISTS must plan as one LEFT
+    SEMI plus one LEFT ANTI join on the orderkey — no cartesian, no
+    per-row subquery shape — with the supplier dim broadcast."""
+    from dump1090_postgis_spark.plans.testdata_queries import (
+        q_tpch_q21_sole_late_supplier,
+    )
+
+    plan = plan_of(q_tpch_q21_sole_late_supplier(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
