@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "tpch_q10_returned_items",
     "tpch_q21_sole_late_supplier",
+    "ann_hard_negatives",
 ]
 
 

@@ -85,6 +85,84 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    label: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor (query row),
+    the top-``k`` most-similar corpus vectors carrying a DIFFERENT
+    label — the negatives that sit closest to the decision boundary,
+    which is what contrastive/metric training wants batched next to
+    each anchor.
+
+    Same staged-cosine broadcast theta join as
+    :func:`brute_force_topk` (anchors broadcast, corpus never
+    shuffles, per-pair cost = one zip_with dot), plus the
+    label-inequality pair filter evaluated BEFORE the cosine.  For
+    corpus-scale anchor sets compose with the IVF route instead
+    (probe different-label lists) — this exact form is the recall
+    baseline, O(|anchors| · |corpus|) by design.
+    """
+
+    def _staged(df, out_id, out_label):
+        dv = F.transform(F.col(vec), lambda x: x.cast("double"))
+        return (
+            df.withColumn("_dv", dv)
+            .withColumn(
+                "_norm",
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("_dv"), lambda x: x * x),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    )
+                ),
+            )
+            .select(
+                F.col(id_col).alias(out_id),
+                F.col(label).alias(out_label),
+                "_dv",
+                "_norm",
+            )
+        )
+
+    q = _staged(queries, "query_id", "_ql").withColumnsRenamed(
+        {"_dv": "_qv", "_norm": "_qn"}
+    )
+    c = _staged(corpus, "neighbor_id", "_cl").withColumnsRenamed(
+        {"_dv": "_cv", "_norm": "_cn"}
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_cl") != F.col("_ql"))
+        .withColumn(
+            "cosine",
+            F.round(dot / (F.col("_qn") * F.col("_cn")), 4) + F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("_cl").cast("int").alias("neg_label"),
+            "cosine",
+        )
+    )
+
+
 def normalize_vectors(df: DataFrame, vec: str = "embedding",
                       out: str | None = None) -> DataFrame:
     """L2-normalize an embedding column (pure expressions).  After

@@ -478,6 +478,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("ann_topk_ivf", "dq", ["query_id", "rank", "neighbor_id", "cosine"]),
             ("ann_topk_quantized", "dq", ["query_id", "rank", "neighbor_id", "cosine"]),
             ("kmeans_refine", "dq", ["centroid_id", "dim", "x"]),
+            (
+                "ann_hard_negatives",
+                "dq",
+                ["query_id", "rank", "neighbor_id", "neg_label", "cosine"],
+            ),
         ],
         [
             ("query_id", "bigint"),
@@ -487,6 +492,7 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("centroid_id", "int"),
             ("dim", "int"),
             ("x", "double"),
+            ("neg_label", "int"),
         ],
     ),
     # Per-document text metrics: lang-ID, quality, tokens, repetition

@@ -2080,6 +2080,36 @@ LIMIT 100
 """
 
 
+def q_ann_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining
+    (datapipe/similarity.py hard_negative_topk): top-5 most-similar
+    DIFFERENT-label vectors per anchor — staged-cosine broadcast theta
+    join, corpus never shuffles; the label filter runs before the
+    cosine."""
+    emb = load_table(spark, sf, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5)
+    return sim.hard_negative_topk(emb, anchors, k=5)
+
+
+SQL_ANN_HARD_NEG = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label::INTEGER AS neg_label,
+         round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) + 0.0 AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND c.label <> q.label
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, neg_label, cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_multimodal_frame_sample(spark, sf):
     """Deterministic frame-sampling work list (datapipe/multimodal.py
     frame_sample_plan): decode metadata → explode a stride-16 frame
@@ -2357,4 +2387,5 @@ REGISTRY: dict = {
     "bm25_search": (q_bm25_search, SQL_BM25),
     "scd2_doc_intervals": (q_scd2_doc_intervals, SQL_SCD2),
     "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
+    "ann_hard_negatives": (q_ann_hard_negatives, SQL_ANN_HARD_NEG),
 }

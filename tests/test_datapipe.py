@@ -668,3 +668,23 @@ def test_collocation_pmi_attracts_fixed_phrase(spark):
     # unrelated frequent pair scores lower than the fixed phrase
     if ("is", "big") in got:
         assert got[("is", "big")].pmi <= ny.pmi + 1e-9
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    """The nearest vector overall shares the anchor's label — mining
+    must skip it and surface the nearest DIFFERENT-label vector."""
+    from dump1090_postgis_spark.datapipe.similarity import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0], 1),   # anchor, label 1
+        (1, [0.99, 0.01], 1), # nearest overall — same label, excluded
+        (2, [0.9, 0.1], 2),   # nearest different-label -> rank 1
+        (3, [0.0, 1.0], 2),   # far different-label -> rank 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negative_topk(df, df.filter("vec_id = 0"), k=2).collect()
+    assert [(r.rank, r.neighbor_id, r.neg_label) for r in out] == [
+        (1, 2, 2),
+        (2, 3, 2),
+    ]
+    assert all(r.neg_label != 1 for r in out)
