@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "tpch_q10_returned_items",
     "tpch_q21_sole_late_supplier",
     "ann_hard_negatives",
+    "bm25_rerank",
 ]
 
 

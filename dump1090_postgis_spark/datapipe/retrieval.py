@@ -97,9 +97,8 @@ def bm25_topk(
     (doc,token) aggregation.  Per-term document frequencies and the
     corpus totals reduce to ONE single-row frame broadcast back; the
     top-n is a sort-limit (TakeOrderedAndProject); ranks are assigned
-    to the ≤top_n survivors by a window-free broadcast self-count,
-    same pattern as text.vocab_top_terms — no single-partition
-    WindowExec anywhere.
+    by a window ABOVE the limit, whose input is bounded by ``top_n``
+    by construction (not the global-window anti-pattern).
     """
     if not query_tokens:
         raise ValueError("bm25_topk needs at least one query token")
@@ -174,4 +173,73 @@ def bm25_topk(
         F.col(id_col).cast("bigint").alias(id_col),
         "score_micros",
         F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+def rerank_topk(
+    df: DataFrame,
+    query_tokens: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+    k_retrieve: int = 50,
+    k_final: int = 10,
+    model=None,
+) -> DataFrame:
+    """Two-stage retrieval: BM25 retrieve ``k_retrieve`` candidates,
+    then rerank to ``k_final`` —
+    ``(doc_id, n_query_terms, bm25_micros, rank)``.
+
+    The default reranker is deterministic and oracle-checkable: the
+    count of DISTINCT query terms present in the document (coverage),
+    ordered by (coverage desc, bm25 desc, id).  ``model`` is the
+    cross-encoder seam, mirroring ``text.language_id_batch``: a batch
+    callable ``pandas.Series[str] -> pandas.Series[float]`` (query
+    baked in by the caller) run as an Arrow-batched pandas_udf over
+    the ≤``k_retrieve`` candidate texts only — the expensive model
+    never sees the corpus, just the candidate page.
+
+    Plan: the candidate id set is broadcast back against the corpus
+    scan (one broadcast semi-style hash join recovers the candidate
+    texts); coverage is an array_contains projection; both windows are
+    bounded by ``k_retrieve`` rows by construction.
+    """
+    cands = bm25_topk(
+        df, query_tokens, text=text, id_col=id_col, top_n=k_retrieve
+    ).select(id_col, F.col("score_micros").alias("bm25_micros"))
+
+    with_text = df.select(id_col, text).join(F.broadcast(cands), id_col)
+
+    if model is None:
+        words = F.split(normalize_text(F.col(text)), " ")
+        coverage = sum(
+            (F.array_contains(words, tok).cast("int") for tok in query_tokens),
+            F.lit(0),
+        )
+        scored = with_text.select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            coverage.alias("n_query_terms"),
+            "bm25_micros",
+        )
+    else:
+        import pandas as pd  # noqa: F401
+        from pyspark.sql.functions import pandas_udf
+
+        score_udf = pandas_udf(model, "double")
+        scored = with_text.select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.round(score_udf(F.col(text)) * 1e6)
+            .cast("bigint")
+            .alias("n_query_terms"),
+            "bm25_micros",
+        )
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("n_query_terms").desc(), F.col("bm25_micros").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k_final)
+        .select(id_col, "n_query_terms", "bm25_micros", "rank")
     )

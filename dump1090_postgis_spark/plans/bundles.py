@@ -703,6 +703,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ["token", "df_docs", "cf", "min_doc", "max_doc"],
             ),
             ("bm25_search", "dq", ["doc_id", "score_micros", "rank"]),
+            (
+                "bm25_rerank",
+                "dq",
+                ["doc_id", "n_query_terms", "bm25_micros", "rank"],
+            ),
         ],
         [
             ("token", "string"),
@@ -726,6 +731,8 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("min_doc", "bigint"),
             ("max_doc", "bigint"),
             ("score_micros", "bigint"),
+            ("n_query_terms", "int"),
+            ("bm25_micros", "bigint"),
         ],
     ),
     # Multimodal binary metadata: generic decode seam + real BMP header

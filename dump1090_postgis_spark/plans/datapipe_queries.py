@@ -2320,6 +2320,41 @@ FROM top
 """
 
 
+def q_bm25_rerank(spark, sf):
+    """Two-stage retrieval (datapipe/retrieval.py rerank_topk): BM25
+    retrieves 50 candidates, the deterministic coverage reranker
+    (count of distinct query terms present) reorders to the final 10.
+    The `model=` seam swaps in a cross-encoder pandas_udf that only
+    ever sees the candidate page."""
+    from ..datapipe.retrieval import rerank_topk
+
+    docs = load_table(spark, sf, "documents")
+    return rerank_topk(docs, _BM25_QUERY, k_retrieve=50, k_final=10)
+
+
+_BM25_COV = " + ".join(
+    f"CASE WHEN list_contains(str_split({_ONORM}, ' '), '{t}')"
+    " THEN 1 ELSE 0 END"
+    for t in _BM25_QUERY
+)
+
+SQL_BM25_RERANK = f"""
+WITH topq AS (
+{SQL_BM25.replace("LIMIT 20", "LIMIT 50")}
+), cov AS (
+  SELECT d.doc_id, ({_BM25_COV})::INTEGER AS n_query_terms,
+         t.score_micros AS bm25_micros
+  FROM documents d JOIN topq t USING (doc_id)
+)
+SELECT doc_id, n_query_terms, bm25_micros,
+       CAST(row_number() OVER (ORDER BY n_query_terms DESC,
+                               bm25_micros DESC, doc_id) AS BIGINT) AS rank
+FROM cov
+QUALIFY rank <= 10
+"""
+
+
+
 REGISTRY: dict = {
     "corpus_sample_n": (q_corpus_sample_n, SQL_CORPUS_SAMPLE_N),
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
@@ -2388,4 +2423,5 @@ REGISTRY: dict = {
     "scd2_doc_intervals": (q_scd2_doc_intervals, SQL_SCD2),
     "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
     "ann_hard_negatives": (q_ann_hard_negatives, SQL_ANN_HARD_NEG),
+    "bm25_rerank": (q_bm25_rerank, SQL_BM25_RERANK),
 }

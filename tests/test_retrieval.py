@@ -74,3 +74,45 @@ def test_bm25_multi_term_sums_contributions(spark):
     two = {r.doc_id: r.score_micros for r in bm25_topk(df, ["x", "y"]).collect()}
     assert two[1] > one[1]  # doc 1 gains the 'y' contribution
     assert two[2] == one[2]  # doc 2 has no 'y'
+
+
+def test_rerank_coverage_reorders_bm25(spark):
+    """A doc hitting MORE distinct query terms must outrank one with a
+    higher BM25 score from repeating a single term."""
+    from dump1090_postgis_spark.datapipe.retrieval import rerank_topk
+
+    df = _docs(
+        spark,
+        [
+            (1, "x x x x filler"),          # high bm25 on 'x', 1 term
+            (2, "x y filler filler filler"),  # lower bm25, 2 terms
+            (3, "filler only here"),
+        ],
+    )
+    out = rerank_topk(df, ["x", "y"], k_retrieve=10, k_final=10).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.doc_id for r in ranked] == [2, 1]
+    assert ranked[0].n_query_terms == 2 and ranked[1].n_query_terms == 1
+
+
+def test_rerank_model_seam_scores_candidates_only(spark):
+    """An injected cross-encoder (pandas batch callable) replaces the
+    coverage score; non-candidates never reach the output, and a model
+    that rejects non-candidate text proves it only saw candidates."""
+
+    def fake_model(texts):
+        # hard-fail if the expensive model is ever handed a
+        # non-candidate document (doc 3 has no query-term hits)
+        if texts.str.contains("no hits").any():
+            raise AssertionError("model saw a non-candidate text")
+        return texts.str.len().astype("float64") * -1.0  # prefer SHORT docs
+
+    from dump1090_postgis_spark.datapipe.retrieval import rerank_topk
+
+    df = _docs(
+        spark,
+        [(1, "x " * 30), (2, "x y"), (3, "no hits at all")],
+    )
+    out = rerank_topk(df, ["x"], k_retrieve=10, k_final=10, model=fake_model)
+    ranked = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.doc_id for r in ranked] == [2, 1]  # short candidate first
