@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "tpch_q21_sole_late_supplier",
     "ann_hard_negatives",
     "bm25_rerank",
+    "zorder_events_key",
 ]
 
 

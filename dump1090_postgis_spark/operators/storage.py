@@ -88,3 +88,75 @@ def write_bucketed(
         .sortBy(key, sort)
         .saveAsTable(table)
     )
+
+
+def zorder_key(
+    cols: list[tuple[str, float, float]],
+    bits: int = 16,
+) -> F.Column:
+    """Morton (Z-order) interleave of 2+ quantized columns — ONE sort
+    key under which rows close in EVERY dimension land close on disk,
+    so parquet min/max row-group stats prune multi-dimensional range
+    predicates (the lever single-column clustering can't give: sorted
+    by time alone, a `user_id` predicate reads every file).
+
+    ``cols`` = (column, lo, hi) with fixed quantization bounds —
+    bounds are part of the LAYOUT contract, exactly like a partition
+    scheme, so the key is a pure deterministic projection (no
+    rank/percentile pass, stable under appends).  Each value clamps to
+    [lo, hi], quantizes to ``bits`` levels, and the per-column bits
+    interleave MSB-first (column order = tie priority).
+
+    Pure integer/bit expressions (codegen'd); 2 cols × 16 bits = 32
+    OR-terms folded at plan time.
+    """
+    if len(cols) < 2:
+        raise ValueError("zorder interleave needs at least 2 columns")
+    n = len(cols)
+    quantized = []
+    for name, lo, hi in cols:
+        if not hi > lo:
+            raise ValueError(f"zorder bounds for {name} need hi > lo")
+        x = F.col(name).cast("double")
+        frac = (
+            F.least(F.lit(float(hi)), F.greatest(F.lit(float(lo)), x))
+            - F.lit(float(lo))
+        ) / F.lit(float(hi) - float(lo))
+        quantized.append(
+            F.least(
+                F.lit((1 << bits) - 1),
+                F.floor(frac * F.lit(float(1 << bits))).cast("bigint"),
+            )
+        )
+    key = F.lit(0).cast("bigint")
+    for bit in range(bits - 1, -1, -1):
+        for ci, q in enumerate(quantized):
+            pos = bit * n + (n - 1 - ci)
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(q, bit).bitwiseAND(F.lit(1)), pos)
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[tuple[str, float, float]],
+    bits: int = 16,
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered write: range-partition + sort by the Morton
+    key so each output file covers a small hyper-rectangle of the
+    keyed dimensions — predicates on ANY keyed column skip most files
+    via parquet min/max stats (Delta/Iceberg OPTIMIZE ZORDER analog,
+    here as a plain write-time layout)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    staged = df.withColumn("_z", zorder_key(cols, bits))
+    (
+        staged.repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

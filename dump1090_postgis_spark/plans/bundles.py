@@ -284,6 +284,7 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "tq",
                 ["col_name", "n_rows", "n_nulls", "n_distinct"],
             ),
+            ("zorder_events_key", "tq", ["event_id", "zkey"]),
             (
                 "cohort_retention",
                 "tq",
@@ -341,6 +342,8 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("n_exact", "bigint"),
             ("hll_ok", "boolean"),
             ("pct_ok", "boolean"),
+            ("event_id", "bigint"),
+            ("zkey", "bigint"),
         ],
     ),
     # SNK-4 meta-schema GeoJSON views ×3

@@ -1955,6 +1955,53 @@ FROM b GROUP BY 1, 2
 """
 
 
+#: Z-order layout contract for the events table: fixed quantization
+#: bounds per keyed dimension (part of the layout, like a partition
+#: scheme).
+_ZORDER_COLS = [("user_id", 0.0, 150.0), ("value", 0.0, 500.0)]
+_ZORDER_BITS = 8
+
+
+def q_zorder_events_key(spark, sf):
+    """Morton (Z-order) clustering key (operators/storage.py
+    zorder_key): pure integer/bit projection interleaving the
+    quantized (user_id, value) dimensions — the sort key
+    write_zordered lays files out under so multi-dimensional range
+    predicates prune via parquet min/max stats."""
+    from ..operators.storage import zorder_key
+
+    return _ev(spark, sf).select(
+        "event_id",
+        zorder_key(_ZORDER_COLS, bits=_ZORDER_BITS).alias("zkey"),
+    )
+
+
+def _zq_sql(col: str, lo: float, hi: float, bits: int) -> str:
+    levels = 1 << bits
+    return (
+        f"least({levels - 1}, CAST(floor(((least(CAST({hi!r} AS DOUBLE), "
+        f"greatest(CAST({lo!r} AS DOUBLE), CAST({col} AS DOUBLE))) "
+        f"- CAST({lo!r} AS DOUBLE)) / CAST({hi - lo!r} AS DOUBLE)) "
+        f"* CAST({float(levels)!r} AS DOUBLE)) AS BIGINT))"
+    )
+
+
+def _zorder_sql(cols, bits: int) -> str:
+    n = len(cols)
+    terms = []
+    for bit in range(bits - 1, -1, -1):
+        for ci, (col, lo, hi) in enumerate(cols):
+            pos = bit * n + (n - 1 - ci)
+            terms.append(f"((({_zq_sql(col, lo, hi, bits)} >> {bit}) & 1) << {pos})")
+    return " | ".join(terms)
+
+
+SQL_ZORDER = f"""
+SELECT event_id, CAST({_zorder_sql(_ZORDER_COLS, _ZORDER_BITS)} AS BIGINT) AS zkey
+FROM events
+"""
+
+
 def q_tpch_q10_returned_items(spark, sf):
     """TPC-H q10 shape (top returned-item customers): facts filtered
     on the pushed l_returnflag predicate, orders⋈lineitem shuffle on
@@ -2178,4 +2225,5 @@ REGISTRY: dict = {
         q_tpch_q21_sole_late_supplier,
         SQL_TPCH_Q21,
     ),
+    "zorder_events_key": (q_zorder_events_key, SQL_ZORDER),
 }

@@ -57,3 +57,69 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     # the groupBy rides the bucketing: no exchange before the agg
     assert "Exchange hashpartitioning(flight_id" not in plan
     spark.sql("DROP TABLE IF EXISTS pos_bucketed")
+
+
+def _py_morton(vals, bounds, bits):
+    """Independent reference: quantize then interleave MSB-first."""
+    qs = []
+    for x, (lo, hi) in zip(vals, bounds):
+        frac = (min(hi, max(lo, float(x))) - lo) / (hi - lo)
+        qs.append(min((1 << bits) - 1, int(frac * (1 << bits))))
+    n = len(qs)
+    key = 0
+    for bit in range(bits):
+        for ci, q in enumerate(qs):
+            key |= ((q >> bit) & 1) << (bit * n + (n - 1 - ci))
+    return key
+
+
+def test_zorder_key_matches_morton_reference(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.operators.storage import zorder_key
+
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        [(0, 0), (9, 9), (3, 7), (7, 3), (10, 0), (0, 10), (5.5, 2.2)]
+    )]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {
+        r.id: r.z
+        for r in df.select(
+            "id", zorder_key([("x", 0.0, 10.0), ("y", 0.0, 10.0)], bits=4).alias("z")
+        ).collect()
+    }
+    for i, x, y in rows:
+        assert got[i] == _py_morton([x, y], [(0.0, 10.0), (0.0, 10.0)], 4), (i, x, y)
+
+
+def test_zorder_layout_skips_files_on_either_dimension(spark, tmp_path):
+    """Z-ordered files must each cover a small rectangle of
+    (user_id, value): a range predicate on EITHER column overlaps only
+    a minority of files — single-column sorting can't do both."""
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.operators.storage import write_zordered
+
+    rows = [(i, i % 100, float((i * 37) % 400)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    path = str(tmp_path / "zordered")
+    write_zordered(
+        df, path, [("user_id", 0.0, 100.0), ("value", 0.0, 400.0)],
+        bits=8, num_partitions=16,
+    )
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+            F.min("value").alias("vlo"), F.max("value").alias("vhi"),
+        )
+        .collect()
+    )
+    n = len(per_file)
+    assert n >= 8  # the layout actually split into many files
+    # files whose min/max stats overlap a narrow predicate range
+    u_hits = sum(1 for r in per_file if r.ulo <= 25 and r.uhi >= 0)
+    v_hits = sum(1 for r in per_file if r.vlo <= 100.0 and r.vhi >= 0.0)
+    assert u_hits <= n / 2, [(r.ulo, r.uhi) for r in per_file]
+    assert v_hits <= n / 2, [(r.vlo, r.vhi) for r in per_file]
