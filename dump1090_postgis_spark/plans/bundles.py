@@ -285,6 +285,7 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ["col_name", "n_rows", "n_nulls", "n_distinct"],
             ),
             ("zorder_events_key", "tq", ["event_id", "zkey"]),
+            ("dq_constraints", "tq", ["rule", "n_violations"]),
             (
                 "cohort_retention",
                 "tq",
@@ -344,6 +345,8 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("pct_ok", "boolean"),
             ("event_id", "bigint"),
             ("zkey", "bigint"),
+            ("rule", "string"),
+            ("n_violations", "bigint"),
         ],
     ),
     # SNK-4 meta-schema GeoJSON views ×3

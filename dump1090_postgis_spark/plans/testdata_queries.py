@@ -1962,6 +1962,74 @@ _ZORDER_COLS = [("user_id", 0.0, 150.0), ("value", 0.0, 500.0)]
 _ZORDER_BITS = 8
 
 
+def q_dq_constraints(spark, sf):
+    """Declarative constraint report (operators/quality.py
+    check_constraints): row rules fused into ONE scan, a uniqueness
+    group-count, and an FK orphan LEFT ANTI join against orders —
+    the lake-side analog of the reference's DDL CHECK/FK enforcement
+    (create_public_schema.sql:539-683)."""
+    from ..operators.quality import (
+        check_constraints,
+        in_range,
+        is_in,
+        matches,
+        not_null,
+    )
+
+    ev = _ev(spark, sf)
+    cust = load_table(spark, sf, "customer")
+    return check_constraints(
+        ev,
+        row_rules=[
+            not_null("event_id"),
+            not_null("ts"),
+            in_range("value", 0.0, 1000.0),
+            is_in("event_type", ["view", "click", "purchase", "signup", "error"]),
+            matches("props", r"^\{.*\}$"),
+        ],
+        unique=["event_id"],
+        references=[("user_id", cust.select(F.col("c_custkey")), "c_custkey")],
+    )
+
+
+SQL_DQ = """
+SELECT 'not_null(event_id)' AS rule,
+       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations
+FROM events
+UNION ALL
+SELECT 'not_null(ts)', sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT
+FROM events
+UNION ALL
+SELECT 'in_range(value,0.0,1000.0)',
+       sum(CASE WHEN value IS NOT NULL
+                 AND NOT (value >= 0.0 AND value <= 1000.0)
+            THEN 1 ELSE 0 END)::BIGINT
+FROM events
+UNION ALL
+SELECT 'is_in(event_type)',
+       sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                ('view', 'click', 'purchase', 'signup', 'error')
+            THEN 1 ELSE 0 END)::BIGINT
+FROM events
+UNION ALL
+SELECT 'matches(props)',
+       sum(CASE WHEN props IS NOT NULL
+                 AND NOT regexp_matches(props, '^\\{.*\\}$')
+            THEN 1 ELSE 0 END)::BIGINT
+FROM events
+UNION ALL
+SELECT 'unique(event_id)',
+       coalesce(sum(n - 1), 0)::BIGINT
+FROM (SELECT count(*) AS n FROM events
+      WHERE event_id IS NOT NULL GROUP BY event_id)
+UNION ALL
+SELECT 'references(user_id)', count(*)::BIGINT
+FROM events e
+WHERE e.user_id IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+"""
+
+
 def q_zorder_events_key(spark, sf):
     """Morton (Z-order) clustering key (operators/storage.py
     zorder_key): pure integer/bit projection interleaving the
@@ -2226,4 +2294,5 @@ REGISTRY: dict = {
         SQL_TPCH_Q21,
     ),
     "zorder_events_key": (q_zorder_events_key, SQL_ZORDER),
+    "dq_constraints": (q_dq_constraints, SQL_DQ),
 }

@@ -436,3 +436,48 @@ def test_sketch_accuracy_report_contract(spark):
     (row,) = sketch_accuracy_report(df).collect()
     assert row.n_exact == 5000
     assert row.hll_ok is True and row.pct_ok is True
+
+
+def test_check_constraints_counts_planted_violations(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.operators.quality import (
+        check_constraints,
+        in_range,
+        is_in,
+        not_null,
+    )
+
+    rows = [
+        (1, 10.0, "a", 100),
+        (1, -5.0, "b", 100),    # dup id, range violation
+        (None, 5.0, "zz", 999),  # null id, bad enum, orphan fk
+        (3, None, "a", None),    # NULL value is NOT a range violation
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, t string, fk long")
+    dim = spark.createDataFrame([(100,)], "pk long")
+    got = {
+        r.rule: r.n_violations
+        for r in check_constraints(
+            df,
+            row_rules=[not_null("id"), in_range("v", 0.0, 100.0), is_in("t", ["a", "b"])],
+            unique=["id"],
+            references=[("fk", dim.select(F.col("pk")), "pk")],
+        ).collect()
+    }
+    assert got == {
+        "not_null(id)": 1,
+        "in_range(v,0.0,100.0)": 1,
+        "is_in(t)": 1,
+        "unique(id)": 1,
+        "references(fk)": 1,
+    }
+
+
+def test_check_constraints_clean_table_all_zero(spark):
+    from dump1090_postgis_spark.operators.quality import check_constraints, not_null
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    got = {r.rule: r.n_violations
+           for r in check_constraints(df, [not_null("id")], unique=["id"]).collect()}
+    assert got == {"not_null(id)": 0, "unique(id)": 0}
