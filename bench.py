@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "bm25_rerank",
     "zorder_events_key",
     "dq_constraints",
+    "incremental_histogram_merge",
 ]
 
 

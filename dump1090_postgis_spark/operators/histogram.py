@@ -121,3 +121,43 @@ def events_histogram(
         .select(*out_cols)
         .orderBy("interval")
     )
+
+
+def partial_histogram(
+    df: DataFrame,
+    bin: str = "hour",
+    ts: str = "time",
+    id_col: str = "flight_id",
+) -> DataFrame:
+    """Mergeable partial of the AGG-1 histogram: ``(interval, events,
+    ids)`` with NO zero-fill axis — the per-partition/per-batch state
+    an incremental matview maintains.  Counts are sums and id lists
+    concatenate, so partials combine associatively (see
+    :func:`merge_partial_histograms`)."""
+    return (
+        df.groupBy(F.date_trunc(bin, F.col(ts)).alias("interval"))
+        .agg(
+            F.count(id_col).alias("events"),
+            F.array_sort(F.collect_list(id_col)).alias("ids"),
+        )
+    )
+
+
+def merge_partial_histograms(parts: list[DataFrame]) -> DataFrame:
+    """Merge AGG-1 partials: union → re-aggregate (sum counts, flatten
+    + re-sort ids).  This is the 100 TB matview-refresh pattern — a
+    new day's partition aggregates alone and MERGES into the standing
+    summary instead of recomputing history (the reference's
+    `REFRESH MATERIALIZED VIEW` recomputes from scratch,
+    create_materialized_views.sql:51-76).  Equality with the direct
+    full aggregation is oracle-checked (`incremental_histogram_merge`).
+    """
+    if not parts:
+        raise ValueError("need at least one partial")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("interval").agg(
+        F.sum("events").cast("bigint").alias("events"),
+        F.array_sort(F.flatten(F.collect_list("ids"))).alias("ids"),
+    )

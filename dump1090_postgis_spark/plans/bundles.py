@@ -78,6 +78,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("agg1_histogram_day_paris", "tq", ["bin_start", "events", "ids_csv"]),
             ("agg1_histogram_week_utc", "tq", ["bin_start", "events"]),
             ("agg1_histogram_noids", "tq", ["bin_start", "events"]),
+            (
+                "incremental_histogram_merge",
+                "tq",
+                ["bin_start", "events", "ids_csv"],
+            ),
         ],
         [("bin_start", "string"), ("events", "bigint"), ("ids_csv", "string")],
     ),

@@ -1962,6 +1962,43 @@ _ZORDER_COLS = [("user_id", 0.0, 150.0), ("value", 0.0, 500.0)]
 _ZORDER_BITS = 8
 
 
+def q_incremental_histogram_merge(spark, sf):
+    """Incremental matview maintenance proof (operators/histogram.py
+    partial_histogram + merge_partial_histograms): the events table
+    split into two batches, each aggregated ALONE, then merged — the
+    oracle is the DIRECT full aggregation, so the hash match proves
+    the partial state merges associatively (what replaces the
+    reference's recompute-from-scratch REFRESH at 100 TB)."""
+    from ..operators.histogram import merge_partial_histograms, partial_histogram
+
+    ev = _ev(spark, sf)
+    halves = [
+        partial_histogram(
+            ev.filter(F.col("event_id") % 2 == i),
+            "hour",
+            ts="ts",
+            id_col="event_id",
+        )
+        for i in (0, 1)
+    ]
+    merged = merge_partial_histograms(halves)
+    return merged.select(
+        _fmt(F.col("interval")).alias("bin_start"),
+        F.col("events"),
+        F.array_join(
+            F.transform(F.col("ids"), lambda x: x.cast("string")), ","
+        ).alias("ids_csv"),
+    )
+
+
+SQL_INCR_HIST = f"""
+SELECT {_OFMT.format(c="date_trunc('hour', ts)")} AS bin_start,
+       count(event_id)::BIGINT AS events,
+       array_to_string(list_sort(list(event_id)), ',') AS ids_csv
+FROM events GROUP BY date_trunc('hour', ts)
+"""
+
+
 def q_dq_constraints(spark, sf):
     """Declarative constraint report (operators/quality.py
     check_constraints): row rules fused into ONE scan, a uniqueness
@@ -2295,4 +2332,8 @@ REGISTRY: dict = {
     ),
     "zorder_events_key": (q_zorder_events_key, SQL_ZORDER),
     "dq_constraints": (q_dq_constraints, SQL_DQ),
+    "incremental_histogram_merge": (
+        q_incremental_histogram_merge,
+        SQL_INCR_HIST,
+    ),
 }

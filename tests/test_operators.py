@@ -481,3 +481,29 @@ def test_check_constraints_clean_table_all_zero(spark):
     got = {r.rule: r.n_violations
            for r in check_constraints(df, [not_null("id")], unique=["id"]).collect()}
     assert got == {"not_null(id)": 0, "unique(id)": 0}
+
+
+def test_partial_histogram_merge_associative(spark):
+    """Three-way splits merged in different groupings must agree with
+    the direct aggregation (the incremental-matview contract)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.operators.histogram import (
+        merge_partial_histograms,
+        partial_histogram,
+    )
+
+    rows = [(i, datetime(2024, 1, 1, i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "flight_id long, time timestamp")
+    parts3 = [partial_histogram(df.filter(F.col("flight_id") % 3 == i))
+              for i in range(3)]
+    direct = {r.interval: (r.events, list(r.ids))
+              for r in partial_histogram(df).collect()}
+    merged = {r.interval: (r.events, list(r.ids))
+              for r in merge_partial_histograms(parts3).collect()}
+    nested = {r.interval: (r.events, list(r.ids))
+              for r in merge_partial_histograms(
+                  [merge_partial_histograms(parts3[:2]), parts3[2]]).collect()}
+    assert merged == direct == nested
