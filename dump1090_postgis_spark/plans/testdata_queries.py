@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schemas import load_table
-from ..functions.timeutil import epoch_micros, to_local
+from ..functions.timeutil import to_local
 from ..operators.histogram import events_histogram
 from ..operators.peak_hour import sliding_hour_counts
 from ..operators.sessionize import sessionize
