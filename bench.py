@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "zorder_events_key",
     "dq_constraints",
     "incremental_histogram_merge",
+    "top_journeys",
+    "rfm_scores",
+    "mad_outliers",
 ]
 
 

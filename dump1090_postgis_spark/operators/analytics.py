@@ -178,3 +178,139 @@ def ntile_bands(
         "min_v",
         "max_v",
     )
+
+
+def top_journeys(
+    df: DataFrame,
+    max_steps: int = 5,
+    top_n: int = 20,
+    user: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Journey mining: the ``top_n`` most common event-type paths —
+    each user's first ``max_steps`` events (total (ts, id) order)
+    joined into a '>' path, counted across users.
+
+    One shuffle to the user key (sorted collect_list, state bounded by
+    the user's events — cap upstream for pathological keys), one
+    partial-agg path count, TakeOrdered for the cut.
+    """
+    path = F.array_join(
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(ts), F.col(id_col), F.col(type_col))
+                    )
+                ),
+                lambda s: s[type_col],
+            ),
+            1,
+            max_steps,
+        ),
+        ">",
+    )
+    paths = df.groupBy(user).agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path"))
+        .limit(top_n)
+    )
+
+
+def rfm_scores(
+    df: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    val: str = "value",
+) -> DataFrame:
+    """RFM segmentation without a global window: per-user recency /
+    frequency / monetary reduce in one groupBy; the quintile
+    boundaries come from ONE `percentile` pass over the (much smaller)
+    user frame, broadcast back as a single row; each score is
+    ``1 + Σ (metric > boundary_i)`` — a projection, so a billion users
+    never sort globally (the ntile formulation would).
+
+    Boundary ties bin identically in any engine (pure comparisons on
+    identically-interpolated quantiles).
+    """
+    from ..functions.timeutil import epoch_micros
+
+    per_user = df.groupBy(user).agg(
+        F.max(epoch_micros(F.col(ts))).cast("bigint").alias("r_raw"),
+        F.count(F.lit(1)).cast("bigint").alias("f_raw"),
+        F.round(F.sum(F.coalesce(F.col(val), F.lit(0.0))) * 100)
+        .cast("bigint")
+        .alias("m_cents"),
+    )
+    qs = per_user.agg(
+        *[
+            F.expr(
+                f"percentile({c}, array(0.2, 0.4, 0.6, 0.8))"
+            ).alias(f"_q_{c}")
+            for c in ("r_raw", "f_raw", "m_cents")
+        ]
+    )
+
+    def _score(c: str) -> F.Column:
+        q = F.col(f"_q_{c}")
+        return sum(
+            ((F.col(c) > q[i]).cast("int") for i in range(4)), F.lit(1)
+        )
+
+    return per_user.crossJoin(F.broadcast(qs)).select(
+        F.col(user),
+        F.col("r_raw"),
+        F.col("f_raw"),
+        F.col("m_cents"),
+        _score("r_raw").alias("r_score"),
+        _score("f_raw").alias("f_score"),
+        _score("m_cents").alias("m_score"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key: str = "event_type",
+    val: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Robust (median/MAD) outlier screen per key: rows whose value
+    sits more than ``threshold`` robust standard deviations
+    (MAD · 1.4826) from their group median.
+
+    Two bounded-output aggregations on the key (median, then MAD of
+    deviations) broadcast back — no per-group sort window, no O(group)
+    state beyond the exact-percentile buffer, which the
+    bounded-histogram quantile route replaces for heavy-tailed keys.
+    Zero-MAD groups (constant values) flag nothing (guarded divide).
+    """
+    med = df.filter(F.col(val).isNotNull()).groupBy(key).agg(
+        F.expr(f"percentile({val}, 0.5)").alias("_med")
+    )
+    with_med = df.filter(F.col(val).isNotNull()).join(F.broadcast(med), key)
+    mad = with_med.groupBy(key).agg(
+        F.expr(f"percentile(abs({val} - _med), 0.5)").alias("_mad")
+    )
+    scored = with_med.join(F.broadcast(mad), key).withColumn(
+        "dev_ratio",
+        F.round(
+            F.try_divide(
+                F.abs(F.col(val) - F.col("_med")),
+                F.col("_mad") * F.lit(1.4826),
+            ),
+            4,
+        ),
+    )
+    return scored.filter(
+        F.col("dev_ratio").isNotNull() & (F.col("dev_ratio") > threshold)
+    ).select(
+        id_col,
+        key,
+        F.round(F.col(val), 4).alias("value_r"),
+        "dev_ratio",
+    )

@@ -291,6 +291,18 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ),
             ("zorder_events_key", "tq", ["event_id", "zkey"]),
             ("dq_constraints", "tq", ["rule", "n_violations"]),
+            ("top_journeys", "tq", ["path", "n_users"]),
+            (
+                "rfm_scores",
+                "tq",
+                ["user_id", "r_raw", "f_raw", "m_cents", "r_score",
+                 "f_score", "m_score"],
+            ),
+            (
+                "mad_outliers",
+                "tq",
+                ["event_id", "event_type", "value_r", "dev_ratio"],
+            ),
             (
                 "cohort_retention",
                 "tq",
@@ -352,6 +364,16 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("zkey", "bigint"),
             ("rule", "string"),
             ("n_violations", "bigint"),
+            ("path", "string"),
+            ("user_id", "bigint"),
+            ("r_raw", "bigint"),
+            ("f_raw", "bigint"),
+            ("m_cents", "bigint"),
+            ("r_score", "int"),
+            ("f_score", "int"),
+            ("m_score", "int"),
+            ("value_r", "double"),
+            ("dev_ratio", "double"),
         ],
     ),
     # SNK-4 meta-schema GeoJSON views ×3

@@ -1962,6 +1962,94 @@ _ZORDER_COLS = [("user_id", 0.0, 150.0), ("value", 0.0, 500.0)]
 _ZORDER_BITS = 8
 
 
+def q_top_journeys(spark, sf):
+    """Journey mining (operators/analytics.py top_journeys): each
+    user's first five event types under the (ts, event_id) total
+    order, counted as paths — one user-key shuffle, path partial agg,
+    TakeOrdered cut."""
+    from ..operators.analytics import top_journeys
+
+    return top_journeys(_ev(spark, sf), max_steps=5, top_n=20)
+
+
+SQL_TOP_JOURNEYS = """
+WITH p AS (
+  SELECT user_id,
+         array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id), 1, 5), '>'
+         ) AS path
+  FROM events GROUP BY user_id
+)
+SELECT path, count(*)::BIGINT AS n_users FROM p GROUP BY path
+ORDER BY n_users DESC, path LIMIT 20
+"""
+
+
+def q_rfm_scores(spark, sf):
+    """RFM segmentation (operators/analytics.py rfm_scores): per-user
+    recency/frequency/monetary plus window-free quintile scores —
+    boundaries from ONE percentile pass over the user frame broadcast
+    back, scores as comparison sums (no global ntile sort)."""
+    from ..operators.analytics import rfm_scores
+
+    return rfm_scores(_ev(spark, sf))
+
+
+SQL_RFM = """
+WITH pu AS (
+  SELECT user_id,
+         epoch_us(ts_max)::BIGINT AS r_raw, f_raw, m_cents
+  FROM (
+    SELECT user_id, max(ts) AS ts_max, count(*)::BIGINT AS f_raw,
+           CAST(round(sum(coalesce(value, 0.0)) * 100) AS BIGINT) AS m_cents
+    FROM events GROUP BY user_id
+  )
+), q AS (
+  SELECT quantile_cont(r_raw, [0.2, 0.4, 0.6, 0.8]) AS qr,
+         quantile_cont(f_raw, [0.2, 0.4, 0.6, 0.8]) AS qf,
+         quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]) AS qm
+  FROM pu
+)
+SELECT user_id, r_raw, f_raw, m_cents,
+       (1 + (r_raw > qr[1])::INT + (r_raw > qr[2])::INT
+          + (r_raw > qr[3])::INT + (r_raw > qr[4])::INT) AS r_score,
+       (1 + (f_raw > qf[1])::INT + (f_raw > qf[2])::INT
+          + (f_raw > qf[3])::INT + (f_raw > qf[4])::INT) AS f_score,
+       (1 + (m_cents > qm[1])::INT + (m_cents > qm[2])::INT
+          + (m_cents > qm[3])::INT + (m_cents > qm[4])::INT) AS m_score
+FROM pu, q
+"""
+
+
+def q_mad_outliers(spark, sf):
+    """Robust outlier screen (operators/analytics.py mad_outliers):
+    rows >3 robust SDs (median/MAD) from their event_type median —
+    two bounded key aggregations broadcast back, no per-group sort
+    window."""
+    from ..operators.analytics import mad_outliers
+
+    return mad_outliers(_ev(spark, sf), threshold=3.0)
+
+
+SQL_MAD = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
+  FROM events e JOIN med USING (event_type)
+  WHERE e.value IS NOT NULL GROUP BY e.event_type
+), scored AS (
+  SELECT e.event_id, e.event_type, round(e.value, 4) AS value_r,
+         round(abs(e.value - med.m) / (mad.d * 1.4826), 4) AS dev_ratio
+  FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+  WHERE e.value IS NOT NULL AND mad.d * 1.4826 <> 0
+)
+SELECT event_id, event_type, value_r, dev_ratio
+FROM scored WHERE dev_ratio > 3.0
+"""
+
+
 def q_incremental_histogram_merge(spark, sf):
     """Incremental matview maintenance proof (operators/histogram.py
     partial_histogram + merge_partial_histograms): the events table
@@ -2336,4 +2424,7 @@ REGISTRY: dict = {
         q_incremental_histogram_merge,
         SQL_INCR_HIST,
     ),
+    "top_journeys": (q_top_journeys, SQL_TOP_JOURNEYS),
+    "rfm_scores": (q_rfm_scores, SQL_RFM),
+    "mad_outliers": (q_mad_outliers, SQL_MAD),
 }

@@ -507,3 +507,57 @@ def test_partial_histogram_merge_associative(spark):
               for r in merge_partial_histograms(
                   [merge_partial_histograms(parts3[:2]), parts3[2]]).collect()}
     assert merged == direct == nested
+
+
+def test_top_journeys_orders_within_user(spark):
+    from datetime import datetime
+
+    from dump1090_postgis_spark.operators.analytics import top_journeys
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        (2, 1, t(1), "click"), (1, 1, t(0), "view"),   # out-of-order input
+        (3, 2, t(0), "view"), (4, 2, t(1), "click"),
+        (5, 3, t(0), "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r.path: r.n_users for r in top_journeys(df, max_steps=5).collect()}
+    assert got == {"view>click": 2, "signup": 1}
+
+
+def test_rfm_scores_quintiles_monotone(spark):
+    """Higher raw metrics must never get a lower score, and scores
+    stay within 1..5."""
+    from datetime import datetime, timedelta
+
+    from dump1090_postgis_spark.operators.analytics import rfm_scores
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(10):
+        for k in range(u + 1):          # user u has u+1 events
+            rows.append((eid, u, t0 + timedelta(days=u, minutes=k), float(u)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = sorted(rfm_scores(df).collect(), key=lambda r: r.user_id)
+    for a, b in zip(out, out[1:]):
+        assert b.f_score >= a.f_score and b.r_score >= a.r_score
+        assert b.m_score >= a.m_score
+    assert all(1 <= r.f_score <= 5 for r in out)
+
+
+def test_mad_outliers_flags_planted_point(spark):
+    from dump1090_postgis_spark.operators.analytics import mad_outliers
+
+    rows = [(i, "a", 10.0 + (i % 3)) for i in range(20)]
+    rows.append((99, "a", 1000.0))           # the outlier
+    rows += [(200 + i, "b", 5.0) for i in range(5)]  # constant group: MAD 0
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = mad_outliers(df).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].dev_ratio > 3
