@@ -510,3 +510,41 @@ def test_scd2_matches_python_reference(spark, data):
         for r in scd2_intervals(df).collect()
     }
     assert got == _py_scd2([(s, d, h) for s, d, h in data])
+
+
+# --- SBS-1 parser fuzz: garbage in, no exceptions out ----------------------
+
+
+@given(
+    lines=st.lists(
+        st.one_of(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), blacklist_characters="\n\r"
+                ),
+                max_size=80,
+            ),
+            # comma-heavy garbage that passes the 22-field gate shape
+            st.lists(
+                st.text(alphabet="MSG0123456789ABCdef+-.:/ ", max_size=6),
+                min_size=22,
+                max_size=22,
+            ).map(lambda fs: ",".join(fs)),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_parser_never_raises_on_garbage(spark, lines):
+    """PRJ-2 NULL-on-fail parity under fuzz: any byte garbage either
+    drops at a gate or lands as a typed row with NULLs — the ANSI-mode
+    session must never throw from the parse path (both strict and
+    lenient modes)."""
+    from dump1090_postgis_spark.operators.parse import parse_sbs1_lines
+
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    for validate in (True, False):
+        out = parse_sbs1_lines(df, validate=validate).collect()
+        # every surviving row came from a 22-field line
+        assert len(out) <= sum(1 for l in lines if l.count(",") == 21)
