@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "top_journeys",
     "rfm_scores",
     "mad_outliers",
+    "pagerank_event_types",
 ]
 
 

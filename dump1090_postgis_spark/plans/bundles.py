@@ -292,6 +292,7 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("zorder_events_key", "tq", ["event_id", "zkey"]),
             ("dq_constraints", "tq", ["rule", "n_violations"]),
             ("top_journeys", "tq", ["path", "n_users"]),
+            ("pagerank_event_types", "tq", ["node", "rank_ppm"]),
             (
                 "rfm_scores",
                 "tq",
@@ -374,6 +375,8 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("m_score", "int"),
             ("value_r", "double"),
             ("dev_ratio", "double"),
+            ("node", "string"),
+            ("rank_ppm", "bigint"),
         ],
     ),
     # SNK-4 meta-schema GeoJSON views ×3

@@ -2050,6 +2050,76 @@ FROM scored WHERE dev_ratio > 3.0
 """
 
 
+def q_pagerank_event_types(spark, sf):
+    """Weighted PageRank over the event-transition graph
+    (operators/graph.py pagerank_ppm, 3 iterations, d=0.85): rank
+    mass in integer ppm so every iteration is exact bigint arithmetic
+    — the oracle replays the same three iterations as chained CTEs."""
+    from ..operators.events import transition_counts
+    from ..operators.graph import pagerank_ppm
+
+    edges = transition_counts(_ev(spark, sf)).select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.col("n_transitions").alias("weight"),
+    )
+    return pagerank_ppm(edges, iterations=3, damping=0.85)
+
+
+def _pagerank_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    ppm = 1_000_000
+    d = f"CAST({damping!r} AS DOUBLE)"
+    base_lit = f"CAST({(1.0 - damping) * ppm!r} AS DOUBLE)"
+    ctes = [
+        """t AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)""",
+        """e AS (
+  SELECT prev AS s, event_type AS dnode, count(*)::DOUBLE AS w
+  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
+)""",
+        """nodes AS (
+  SELECT DISTINCT s AS node FROM e
+  UNION
+  SELECT DISTINCT dnode FROM e
+)""",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM nodes)",
+        "outd AS (SELECT s, sum(w) AS o FROM e GROUP BY s)",
+        "en AS (SELECT e.s, e.dnode, e.w / outd.o AS frac FROM e JOIN outd USING (s))",
+        f"""r0 AS (
+  SELECT node, CAST(round(CAST({float(ppm)!r} AS DOUBLE) / n) AS BIGINT) AS r
+  FROM nodes, nn
+)""",
+        f"""b AS (
+  SELECT node, CAST(round({base_lit} / n) AS BIGINT) AS base FROM nodes, nn
+)""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""c{k} AS (
+  SELECT en.dnode AS node,
+         sum(CAST(round(({d} * r{k - 1}.r) * en.frac) AS BIGINT))::BIGINT AS cin
+  FROM en JOIN r{k - 1} ON r{k - 1}.node = en.s GROUP BY en.dnode
+)"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+  SELECT b.node, (b.base + coalesce(c{k}.cin, 0))::BIGINT AS r
+  FROM b LEFT JOIN c{k} USING (node)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank_ppm FROM r{iterations}"
+    )
+
+
+SQL_PAGERANK = _pagerank_sql(3, 0.85)
+
+
 def q_incremental_histogram_merge(spark, sf):
     """Incremental matview maintenance proof (operators/histogram.py
     partial_histogram + merge_partial_histograms): the events table
@@ -2425,6 +2495,7 @@ REGISTRY: dict = {
         SQL_INCR_HIST,
     ),
     "top_journeys": (q_top_journeys, SQL_TOP_JOURNEYS),
+    "pagerank_event_types": (q_pagerank_event_types, SQL_PAGERANK),
     "rfm_scores": (q_rfm_scores, SQL_RFM),
     "mad_outliers": (q_mad_outliers, SQL_MAD),
 }

@@ -561,3 +561,36 @@ def test_mad_outliers_flags_planted_point(spark):
     out = mad_outliers(df).collect()
     assert [r.event_id for r in out] == [99]
     assert out[0].dev_ratio > 3
+
+
+def test_pagerank_ppm_matches_python_reference(spark):
+    from dump1090_postgis_spark.operators.graph import pagerank_ppm
+
+    edges = [("a", "b", 2.0), ("b", "a", 1.0), ("c", "a", 1.0), ("a", "c", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {r.node: r.rank_ppm for r in pagerank_ppm(df, iterations=3).collect()}
+
+    d, ppm = 0.85, 1_000_000
+    nodes = ["a", "b", "c"]
+    out = {"a": 3.0, "b": 1.0, "c": 1.0}
+    r = {n: round(float(ppm) / 3) for n in nodes}
+    base = round((1.0 - d) * ppm / 3)
+    for _ in range(3):
+        nxt = {n: base for n in nodes}
+        for s, t, w in edges:
+            nxt[t] += round((d * r[s]) * (w / out[s]))
+        r = nxt
+    assert got == r
+    # mass approximately conserved (integer rounding only)
+    assert abs(sum(got.values()) - ppm) < 100
+
+
+def test_pagerank_dangling_node_keeps_base_only(spark):
+    from dump1090_postgis_spark.operators.graph import pagerank_ppm
+
+    df = spark.createDataFrame(
+        [("a", "sink", 1.0)], "src string, dst string, weight double"
+    )
+    got = {r.node: r.rank_ppm for r in pagerank_ppm(df, iterations=2).collect()}
+    assert got["sink"] > got["a"]  # sink receives, sends nothing
+    assert got["a"] == round((1.0 - 0.85) * 1_000_000 / 2)
