@@ -98,6 +98,17 @@ BENCH_QUERIES = [
     "bm25_search",
     "scd2_doc_intervals",
     "multimodal_frame_sample",
+    "tpch_q10_returned_items",
+    "tpch_q21_sole_late_supplier",
+    "ann_hard_negatives",
+    "bm25_rerank",
+    "zorder_events_key",
+    "dq_constraints",
+    "incremental_histogram_merge",
+    "top_journeys",
+    "rfm_scores",
+    "mad_outliers",
+    "pagerank_event_types",
 ]
 
 
