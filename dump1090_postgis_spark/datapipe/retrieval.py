@@ -90,18 +90,23 @@ def bm25_topk(
     contributions.  ``avgdl`` is exact: an integer token-count sum
     divided once (no float accumulation order).
 
-    Plan: ONE corpus scan and ZERO corpus shuffles.  The normalized
-    words array is staged once per row (spread_for_compute guards
-    parallelism); per-term tf and the document length are
-    ``size(filter(words, ...))`` PROJECTIONS — no explode, no
-    (doc,token) aggregation.  Per-term document frequencies and the
-    corpus totals reduce to ONE single-row frame broadcast back; the
+    Plan: ZERO corpus shuffles; two scan-bound corpus passes (the
+    score projection and the stats reduction — the plan test pins
+    exactly two scans).  The normalized words array is staged once per
+    row per pass (spread_for_compute guards parallelism); per-term tf
+    and the document length are ``size(filter(words, ...))``
+    PROJECTIONS — no explode, no (doc,token) aggregation.  Per-term
+    document frequencies and the corpus totals reduce to ONE
+    single-row frame broadcast back; the
     top-n is a sort-limit (TakeOrderedAndProject); ranks are assigned
     by a window ABOVE the limit, whose input is bounded by ``top_n``
     by construction (not the global-window anti-pattern).
     """
     if not query_tokens:
         raise ValueError("bm25_topk needs at least one query token")
+    # dedupe, order-preserving: a repeated term must not double its
+    # contribution (the SQL formulation's (doc, token) GROUP BY dedups)
+    query_tokens = list(dict.fromkeys(query_tokens))
 
     words = F.split(normalize_text(F.col(text)), " ")
     staged = spread_for_compute(df, id_col).select(
@@ -186,8 +191,9 @@ def rerank_topk(
     model=None,
 ) -> DataFrame:
     """Two-stage retrieval: BM25 retrieve ``k_retrieve`` candidates,
-    then rerank to ``k_final`` —
-    ``(doc_id, n_query_terms, bm25_micros, rank)``.
+    then rerank to ``k_final`` — ``(doc_id, n_query_terms,
+    bm25_micros, rank)`` (``rerank_micros`` replaces ``n_query_terms``
+    in model mode).
 
     The default reranker is deterministic and oracle-checkable: the
     count of DISTINCT query terms present in the document (coverage),
@@ -203,6 +209,7 @@ def rerank_topk(
     texts); coverage is an array_contains projection; both windows are
     bounded by ``k_retrieve`` rows by construction.
     """
+    query_tokens = list(dict.fromkeys(query_tokens))
     cands = bm25_topk(
         df, query_tokens, text=text, id_col=id_col, top_n=k_retrieve
     ).select(id_col, F.col("score_micros").alias("bm25_micros"))
@@ -220,26 +227,29 @@ def rerank_topk(
             coverage.alias("n_query_terms"),
             "bm25_micros",
         )
+        rank_col = "n_query_terms"
     else:
-        import pandas as pd  # noqa: F401
         from pyspark.sql.functions import pandas_udf
 
+        # model mode returns its OWN properly-named score column
+        # (micro-rounded bigint) instead of overloading n_query_terms
         score_udf = pandas_udf(model, "double")
         scored = with_text.select(
             F.col(id_col).cast("bigint").alias(id_col),
             F.round(score_udf(F.col(text)) * 1e6)
             .cast("bigint")
-            .alias("n_query_terms"),
+            .alias("rerank_micros"),
             "bm25_micros",
         )
+        rank_col = "rerank_micros"
 
     from pyspark.sql import Window
 
     w = Window.orderBy(
-        F.col("n_query_terms").desc(), F.col("bm25_micros").desc(), F.col(id_col)
+        F.col(rank_col).desc(), F.col("bm25_micros").desc(), F.col(id_col)
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k_final)
-        .select(id_col, "n_query_terms", "bm25_micros", "rank")
+        .select(id_col, rank_col, "bm25_micros", "rank")
     )

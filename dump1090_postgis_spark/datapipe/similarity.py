@@ -130,11 +130,18 @@ def hard_negative_topk(
             )
         )
 
-    q = _staged(queries, "query_id", "_ql").withColumnsRenamed(
-        {"_dv": "_qv", "_norm": "_qn"}
+    # zero-norm (all-zero / corrupted) embeddings are excluded up
+    # front: they have no direction, and dividing by a 0 norm product
+    # would put NaN cosines at the TOP of every desc ranking
+    q = (
+        _staged(queries, "query_id", "_ql")
+        .filter(F.col("_norm") > 0)
+        .withColumnsRenamed({"_dv": "_qv", "_norm": "_qn"})
     )
-    c = _staged(corpus, "neighbor_id", "_cl").withColumnsRenamed(
-        {"_dv": "_cv", "_norm": "_cn"}
+    c = (
+        _staged(corpus, "neighbor_id", "_cl")
+        .filter(F.col("_norm") > 0)
+        .withColumnsRenamed({"_dv": "_cv", "_norm": "_cn"})
     )
     dot = F.aggregate(
         F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y),

@@ -137,8 +137,12 @@ def sketch_accuracy_report(
             F.abs(p_approx - p_exact)
             <= rel_tol * F.greatest(F.abs(p_exact), F.lit(1.0))
         ).alias("pct_ok"),
-    )
-    return distinct_side.join(F.broadcast(pct_side), key)
+    ).withColumnRenamed(key, "_pk")
+    # null-safe join key: a NULL group must survive the split (the
+    # single-agg formulation and the GROUP BY oracle both emit it)
+    return distinct_side.join(
+        F.broadcast(pct_side), F.col(key).eqNullSafe(F.col("_pk"))
+    ).drop("_pk")
 
 
 def ntile_bands(

@@ -65,7 +65,11 @@ def check_constraints(
     frames = []
     if row_rules:
         aggs = [
-            F.sum(pred.cast("bigint")).cast("bigint").alias(f"_v{i}")
+            # coalesce: F.sum over ZERO rows is NULL — an empty (new)
+            # partition must report 0 violations, not NULL
+            F.coalesce(F.sum(pred.cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias(f"_v{i}")
             for i, (_n, pred) in enumerate(row_rules)
         ]
         one = df.agg(*aggs)

@@ -113,6 +113,14 @@ def zorder_key(
     if len(cols) < 2:
         raise ValueError("zorder interleave needs at least 2 columns")
     n = len(cols)
+    if n * bits > 63:
+        # position 63 is the bigint sign bit (negative keys would sort
+        # before all positive ones, destroying locality) and shiftleft
+        # masks its shift amount & 63 (silent collisions past it)
+        raise ValueError(
+            f"zorder key needs {n}*{bits}={n * bits} bits; max 63 — "
+            "lower `bits` or split dimensions across two keys"
+        )
     quantized = []
     for name, lo, hi in cols:
         if not hi > lo:

@@ -2283,7 +2283,8 @@ _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_QUERY)
 # tf·(k1+1) folds to tf·2.2, (1−b) folds to 0.25.  CASTs force DOUBLE
 # arithmetic (DuckDB parses bare decimals as DECIMAL, whose math
 # diverges from IEEE doubles).
-SQL_BM25 = f"""
+def _bm25_sql(limit: int) -> str:
+    return f"""
 WITH t AS (
   SELECT doc_id, unnest(str_split({_ONORM}, ' ')) AS token FROM documents
 ), tf AS (
@@ -2311,13 +2312,16 @@ WITH t AS (
   FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus
   GROUP BY tf.doc_id
 ), top AS (
-  SELECT * FROM scored ORDER BY score_micros DESC, doc_id LIMIT 20
+  SELECT * FROM scored ORDER BY score_micros DESC, doc_id LIMIT {limit}
 )
 SELECT doc_id::BIGINT AS doc_id, score_micros,
        CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id) AS BIGINT)
          AS rank
 FROM top
 """
+
+
+SQL_BM25 = _bm25_sql(20)
 
 
 def q_bm25_rerank(spark, sf):
@@ -2340,7 +2344,7 @@ _BM25_COV = " + ".join(
 
 SQL_BM25_RERANK = f"""
 WITH topq AS (
-{SQL_BM25.replace("LIMIT 20", "LIMIT 50")}
+{_bm25_sql(50)}
 ), cov AS (
   SELECT d.doc_id, ({_BM25_COV})::INTEGER AS n_query_terms,
          t.score_micros AS bm25_micros

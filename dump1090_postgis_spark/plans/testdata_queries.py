@@ -2347,9 +2347,12 @@ def q_tpch_q21_sole_late_supplier(spark, sf):
     )
     return (
         waited.groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("_n"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_name", "numwait")
+        # second grain: s_name (the oracle's GROUP BY) — duplicate
+        # supplier names must merge, not split
+        .groupBy("s_name")
+        .agg(F.sum("_n").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )

@@ -570,15 +570,22 @@ def test_pagerank_ppm_matches_python_reference(spark):
     df = spark.createDataFrame(edges, "src string, dst string, weight double")
     got = {r.node: r.rank_ppm for r in pagerank_ppm(df, iterations=3).collect()}
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r(x: float) -> int:
+        # Spark F.round is HALF_UP; Python round() is banker's —
+        # pin the reference to the engine's rounding rule
+        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
+
     d, ppm = 0.85, 1_000_000
     nodes = ["a", "b", "c"]
     out = {"a": 3.0, "b": 1.0, "c": 1.0}
-    r = {n: round(float(ppm) / 3) for n in nodes}
-    base = round((1.0 - d) * ppm / 3)
+    r = {n: _r(float(ppm) / 3) for n in nodes}
+    base = _r((1.0 - d) * ppm / 3)
     for _ in range(3):
         nxt = {n: base for n in nodes}
         for s, t, w in edges:
-            nxt[t] += round((d * r[s]) * (w / out[s]))
+            nxt[t] += _r((d * r[s]) * (w / out[s]))
         r = nxt
     assert got == r
     # mass approximately conserved (integer rounding only)
@@ -594,3 +601,23 @@ def test_pagerank_dangling_node_keeps_base_only(spark):
     got = {r.node: r.rank_ppm for r in pagerank_ppm(df, iterations=2).collect()}
     assert got["sink"] > got["a"]  # sink receives, sends nothing
     assert got["a"] == round((1.0 - 0.85) * 1_000_000 / 2)
+
+
+def test_check_constraints_empty_table_reports_zero(spark):
+    """A brand-new empty partition must gate clean (0), not NULL."""
+    from dump1090_postgis_spark.operators.quality import check_constraints, not_null
+
+    df = spark.createDataFrame([], "id long")
+    (row,) = check_constraints(df, [not_null("id")]).collect()
+    assert row.n_violations == 0
+
+
+def test_sketch_report_keeps_null_key_group(spark):
+    from dump1090_postgis_spark.operators.analytics import sketch_accuracy_report
+
+    df = spark.createDataFrame(
+        [(None, 1, 1.0), (None, 2, 2.0), ("k", 3, 3.0)],
+        "event_type string, user_id long, value double",
+    )
+    got = {r.event_type: r.n_exact for r in sketch_accuracy_report(df).collect()}
+    assert got == {None: 2, "k": 1}

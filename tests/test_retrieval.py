@@ -116,3 +116,12 @@ def test_rerank_model_seam_scores_candidates_only(spark):
     out = rerank_topk(df, ["x"], k_retrieve=10, k_final=10, model=fake_model)
     ranked = sorted(out.collect(), key=lambda r: r.rank)
     assert [r.doc_id for r in ranked] == [2, 1]  # short candidate first
+
+
+def test_bm25_duplicate_query_tokens_dedupe(spark):
+    """A repeated query term must not double its contribution (the
+    SQL (doc, token) GROUP BY formulation dedups implicitly)."""
+    df = _docs(spark, [(1, "x y"), (2, "y z")])
+    once = {r.doc_id: r.score_micros for r in bm25_topk(df, ["x"]).collect()}
+    twice = {r.doc_id: r.score_micros for r in bm25_topk(df, ["x", "x"]).collect()}
+    assert once == twice

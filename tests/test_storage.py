@@ -123,3 +123,12 @@ def test_zorder_layout_skips_files_on_either_dimension(spark, tmp_path):
     v_hits = sum(1 for r in per_file if r.vlo <= 100.0 and r.vhi >= 0.0)
     assert u_hits <= n / 2, [(r.ulo, r.uhi) for r in per_file]
     assert v_hits <= n / 2, [(r.vlo, r.vhi) for r in per_file]
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    import pytest
+
+    from dump1090_postgis_spark.operators.storage import zorder_key
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key([(c, 0.0, 1.0) for c in "abcd"], bits=16)
