@@ -37,6 +37,7 @@ def pagerank_ppm(
     src: str = "src",
     dst: str = "dst",
     weight: str = "weight",
+    checkpoint_edges: bool = False,
 ) -> DataFrame:
     """Weighted PageRank, rank mass in integer ppm:
     ``(node, rank_ppm)``.
@@ -62,6 +63,13 @@ def pagerank_ppm(
     e_norm = e.join(out, "_s").select(
         "_s", "_d", (F.col("_w") / F.col("_out")).alias("_frac")
     )
+    if checkpoint_edges:
+        # For DEEP iteration counts: cut the lineage so the plan does
+        # not grow linearly in iterations.  At the default depth this
+        # measures as a wash — Catalyst's ReuseExchange already dedups
+        # the identical edge subtrees across iterations, so the eager
+        # materialization only buys plan-size headroom, not time.
+        e_norm = e_norm.localCheckpoint()
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node",
