@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "rfm_scores",
     "mad_outliers",
     "pagerank_event_types",
+    "stratified_split",
 ]
 
 

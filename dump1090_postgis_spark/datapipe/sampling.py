@@ -249,3 +249,48 @@ def sample_exact_n(
         .limit(n)
         .drop("_h")
     )
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    strata: list[str],
+    frac: float = 0.1,
+    id_col: str = "doc_id",
+    seed: str = "42",
+    holdout: str = "eval",
+    remainder: str = "train",
+) -> DataFrame:
+    """Exact stratified holdout: within EVERY stratum, exactly
+    ``ceil(frac · n)`` rows (the smallest md5(seed|id) — the same
+    seeded deterministic draw as :func:`sample_exact_n`) are labeled
+    ``holdout``, the rest ``remainder``.
+
+    ``hash_split`` gives proportions only in expectation — fine for a
+    corpus-wide cut, wrong when every (source, lang) cell must hit its
+    quota exactly (small strata can land empty).  This variant pays a
+    per-stratum rank window for exactness; strata are
+    bounded-cardinality dimensions (source, lang), so the window
+    partitioning is the same shape as ntile banding — for
+    corpus-with-hot-stratum skew, salt the stratum upstream or fall
+    back to hash_split.  The stratum quota joins back from a tiny
+    broadcast group-count.
+    """
+    if not strata:
+        raise ValueError("need at least one stratum column")
+    key = F.md5(
+        F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(*strata).orderBy(key, F.col(id_col))
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_n"))
+    take = F.ceil(F.col("_n") * F.lit(float(frac))).cast("bigint")
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(counts), strata)
+        .select(
+            id_col,
+            *strata,
+            F.when(F.col("_rk") <= take, F.lit(holdout))
+            .otherwise(F.lit(remainder))
+            .alias("split"),
+        )
+    )

@@ -584,6 +584,11 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ["doc_id", "source", "quality", "pct"],
             ),
             ("corpus_sample_n", "dq", ["doc_id", "source", "lang"]),
+            (
+                "stratified_split",
+                "dq",
+                ["doc_id", "source", "lang", "split"],
+            ),
         ],
         [
             ("doc_id", "bigint"),

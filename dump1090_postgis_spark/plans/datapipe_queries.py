@@ -2080,6 +2080,36 @@ LIMIT 100
 """
 
 
+def q_stratified_split(spark, sf):
+    """Exact stratified holdout (datapipe/sampling.py
+    stratified_exact_split): every (source, lang) cell yields exactly
+    ceil(0.1·n) eval rows under the seeded md5 order — hash_split's
+    exact-quota counterpart."""
+    from ..datapipe.sampling import stratified_exact_split
+
+    docs = load_table(spark, sf, "documents")
+    return stratified_exact_split(
+        docs, ["source", "lang"], frac=0.1, seed="42"
+    )
+
+
+SQL_STRATIFIED_SPLIT = """
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source, lang
+           ORDER BY md5(concat('42', '|', doc_id::VARCHAR)), doc_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY source, lang) AS n
+  FROM documents
+)
+SELECT doc_id, source, lang,
+       CASE WHEN rk <= ceil(n * CAST(0.1 AS DOUBLE)) THEN 'eval'
+            ELSE 'train' END AS split
+FROM ranked
+"""
+
+
 def q_ann_hard_negatives(spark, sf):
     """Contrastive hard-negative mining
     (datapipe/similarity.py hard_negative_topk): top-5 most-similar
@@ -2428,4 +2458,5 @@ REGISTRY: dict = {
     "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
     "ann_hard_negatives": (q_ann_hard_negatives, SQL_ANN_HARD_NEG),
     "bm25_rerank": (q_bm25_rerank, SQL_BM25_RERANK),
+    "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
 }

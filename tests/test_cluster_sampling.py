@@ -235,3 +235,38 @@ def test_sample_exact_n_deterministic_and_disjoint_seeds(spark):
     # nested property: a larger draw contains the smaller one
     big = {r.doc_id for r in sample_exact_n(df, 100).collect()}
     assert a1 <= big
+
+
+def test_stratified_exact_split_quota_per_stratum(spark):
+    """Every stratum must hit ceil(frac*n) exactly — including a
+    1-row stratum (which hash_split could drop entirely)."""
+    import math
+
+    from dump1090_postgis_spark.datapipe.sampling import stratified_exact_split
+
+    rows = [(i, "a") for i in range(20)] + [(100 + i, "b") for i in range(7)]
+    rows += [(999, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_exact_split(df, ["source"], frac=0.25).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, []).append(r.split)
+    for src, n in (("a", 20), ("b", 7), ("c", 1)):
+        assert by[src].count("eval") == math.ceil(n * 0.25), src
+        assert len(by[src]) == n
+
+
+def test_stratified_exact_split_deterministic_and_seeded(spark):
+    from dump1090_postgis_spark.datapipe.sampling import stratified_exact_split
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(50)], "doc_id long, source string"
+    )
+    a = {(r.doc_id, r.split) for r in
+         stratified_exact_split(df, ["source"], frac=0.2, seed="x").collect()}
+    b = {(r.doc_id, r.split) for r in
+         stratified_exact_split(df, ["source"], frac=0.2, seed="x").collect()}
+    c = {(r.doc_id, r.split) for r in
+         stratified_exact_split(df, ["source"], frac=0.2, seed="y").collect()}
+    assert a == b
+    assert a != c  # a different seed draws a different holdout
