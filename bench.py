@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "mad_outliers",
     "pagerank_event_types",
     "stratified_split",
+    "funnel_windowed",
 ]
 
 

@@ -19,6 +19,7 @@ def funnel_steps(
     user: str = "user_id",
     ts: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel reach: ``(step_idx, step, n_users)`` — how many
     users performed each prefix of ``steps`` IN ORDER.
@@ -34,6 +35,12 @@ def funnel_steps(
     is O(len(steps)) minima; the per-user reduction and the final
     single-row count are partial-agg shuffles on already-partitioned
     data.
+
+    ``within_seconds`` bounds the whole conversion to a window
+    anchored at the user's FIRST step-1 event (the greedy anchor — a
+    later step-1 event never re-opens the window; this bounded
+    semantics an independent SQL oracle can restate, unlike
+    per-candidate-start retry funnels).
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -44,6 +51,12 @@ def funnel_steps(
         cond = F.col(type_col) == step
         if t_cols:
             cond = cond & (F.col(ts) >= F.col(t_cols[-1]))
+            if within_seconds is not None:
+                cond = cond & (
+                    F.col(ts)
+                    <= F.col(t_cols[0])
+                    + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+                )
         tcol = f"_funnel_t{i}"
         cur = cur.withColumn(tcol, F.min(F.when(cond, F.col(ts))).over(w))
         t_cols.append(tcol)

@@ -310,6 +310,7 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ["cohort_s", "week_s", "week_idx", "n_users"],
             ),
             ("funnel_conversion", "tq", ["step_idx", "step", "n_users"]),
+            ("funnel_windowed", "tq", ["step_idx", "step", "n_users"]),
             (
                 "pivot_type_by_day",
                 "tq",

@@ -1910,6 +1910,52 @@ SQL_FUNNEL = _funnel_sql(_FUNNEL_STEPS)
 _PIVOT_TYPES = ["view", "click", "purchase", "signup", "error"]
 
 
+#: Conversion window for the bounded funnel variant (1 hour).
+_FUNNEL_WINDOW_S = 3600
+
+
+def q_funnel_windowed(spark, sf):
+    """Conversion-window funnel (funnel_steps within_seconds=3600):
+    later steps must land within an hour of the user's FIRST step-1
+    event — the greedy-anchor bounded semantics, same single
+    user-key exchange."""
+    from ..operators.analytics import funnel_steps
+
+    return funnel_steps(
+        _ev(spark, sf), _FUNNEL_STEPS, within_seconds=_FUNNEL_WINDOW_S
+    )
+
+
+def _funnel_windowed_sql(steps: list[str], within_s: int) -> str:
+    ctes = ["s0 AS (SELECT user_id, ts, event_type FROM events)"]
+    prev = None
+    for i, s in enumerate(steps):
+        cond = f"event_type = '{s}'"
+        if prev is not None:
+            cond += (
+                f" AND ts >= {prev}"
+                f" AND ts <= t0 + INTERVAL {within_s} SECOND"
+            )
+        ctes.append(
+            f"s{i + 1} AS (SELECT *, min(CASE WHEN {cond} THEN ts END)"
+            f" OVER (PARTITION BY user_id) AS t{i} FROM s{i})"
+        )
+        prev = f"t{i}"
+    t_aggs = ", ".join(f"max(t{i}) AS t{i}" for i in range(len(steps)))
+    ctes.append(
+        f"u AS (SELECT user_id, {t_aggs} FROM s{len(steps)} GROUP BY user_id)"
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS step_idx, '{s}' AS step,"
+        f" count(t{i})::BIGINT AS n_users FROM u"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + branches
+
+
+SQL_FUNNEL_WINDOWED = _funnel_windowed_sql(_FUNNEL_STEPS, _FUNNEL_WINDOW_S)
+
+
 def q_pivot_type_by_day(spark, sf):
     """Daily activity matrix (operators/analytics.py
     pivot_daily_activity): single-pass pivot with explicit values —
@@ -2482,6 +2528,7 @@ REGISTRY: dict = {
     "range_join_error_windows": (q_range_join_error_windows, SQL_RANGE_JOIN),
     "rollup_time_multigrain": (q_rollup_time_multigrain, SQL_MULTIGRAIN),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
+    "funnel_windowed": (q_funnel_windowed, SQL_FUNNEL_WINDOWED),
     "pivot_type_by_day": (q_pivot_type_by_day, SQL_PIVOT),
     "ntile_value_bands": (q_ntile_value_bands, SQL_NTILE),
     "cube_priority_flag": (q_cube_priority_flag, SQL_CUBE),

@@ -621,3 +621,28 @@ def test_sketch_report_keeps_null_key_group(spark):
     )
     got = {r.event_type: r.n_exact for r in sketch_accuracy_report(df).collect()}
     assert got == {None: 2, "k": 1}
+
+
+def test_funnel_window_expires_conversion(spark):
+    """A step landing outside the window anchored at the FIRST step-1
+    event must not count; inside it must."""
+    from datetime import datetime, timedelta
+
+    from dump1090_postgis_spark.operators.analytics import funnel_steps
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1 converts within 60 s
+        (1, 1, t0, "view"), (2, 1, t0 + timedelta(seconds=30), "click"),
+        # user 2's click is 120 s after their first view
+        (3, 2, t0, "view"), (4, 2, t0 + timedelta(seconds=120), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r.step: r.n_users
+           for r in funnel_steps(df, ["view", "click"], within_seconds=60).collect()}
+    assert got == {"view": 2, "click": 1}
+    unbounded = {r.step: r.n_users
+                 for r in funnel_steps(df, ["view", "click"]).collect()}
+    assert unbounded == {"view": 2, "click": 2}
