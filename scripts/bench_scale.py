@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "rfm_scores",
     "mad_outliers",
     "pagerank_event_types",
+    "stratified_split",
+    "funnel_windowed",
 ]
 
 
