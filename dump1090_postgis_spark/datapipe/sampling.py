@@ -281,11 +281,22 @@ def stratified_exact_split(
         F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))
     )
     w = Window.partitionBy(*strata).orderBy(key, F.col(id_col))
+    # Null-safe quota join: a NULL stratum value is a real partition
+    # (the window above already treats it as one), so the group-count
+    # join must not drop it — a plain equi-join on the strata columns
+    # would silently lose every NULL-stratum row.
     counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_n"))
+    counts = counts.select(
+        *[F.col(s).alias(f"_st_{s}") for s in strata], "_n"
+    )
+    cond = None
+    for s in strata:
+        c = F.col(s).eqNullSafe(F.col(f"_st_{s}"))
+        cond = c if cond is None else (cond & c)
     take = F.ceil(F.col("_n") * F.lit(float(frac))).cast("bigint")
     return (
         df.withColumn("_rk", F.row_number().over(w))
-        .join(F.broadcast(counts), strata)
+        .join(F.broadcast(counts), cond)
         .select(
             id_col,
             *strata,

@@ -36,6 +36,15 @@ def scd2_intervals(
     ``is_current`` marks runs alive in ``current_snap`` (default: the
     global max snapshot id, computed as a broadcast single-row frame —
     no driver round-trip).
+
+    CONTRACT: snapshot ids must be DENSE consecutive integers (0,1,2,…
+    or any step-1 run).  Gap detection is ``lag(snap) != snap - 1`` —
+    a missing snapshot id is read as "row absent in that snapshot", so
+    the run splits there (delete + re-insert semantics).  With sparse
+    ids (date-coded like 20240115, or skipped snapshot numbers) every
+    interval would split into per-snapshot runs; densify first
+    (``dense_rank() over (order by snapshot_id)`` on the distinct ids)
+    if your snapshot labels are not consecutive.
     """
     w = Window.partitionBy(id_col).orderBy(snap_col)
     flagged = snapshots.select(id_col, snap_col, hash_col).withColumn(

@@ -146,9 +146,13 @@ def sketch_accuracy_report(
         ).alias("hll_ok"),
     )
     pct_side = df.groupBy(key).agg(
-        (
+        # coalesce: a group whose val_col is entirely NULL has NULL
+        # percentiles on both sides — vacuously in-contract (TRUE),
+        # matching the oracle, not a NULL that would hash-mismatch
+        F.coalesce(
             F.abs(p_approx - p_exact)
-            <= rel_tol * F.greatest(F.abs(p_exact), F.lit(1.0))
+            <= rel_tol * F.greatest(F.abs(p_exact), F.lit(1.0)),
+            F.lit(True),
         ).alias("pct_ok"),
     ).withColumnRenamed(key, "_pk")
     # null-safe join key: a NULL group must survive the split (the

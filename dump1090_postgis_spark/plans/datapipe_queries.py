@@ -2130,6 +2130,11 @@ WITH scored AS (
                 sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) + 0.0 AS cosine
   FROM embeddings q, embeddings c
   WHERE q.vec_id < 5 AND c.label <> q.label
+    -- zero-norm guard: state the engine's row-drop semantics here too
+    -- (a zero vector would yield NaN cosines, which DuckDB sorts
+    -- ABOVE all values in ORDER BY DESC — a silent divergence)
+    AND list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+    AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, neighbor_id) AS rank

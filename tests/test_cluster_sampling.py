@@ -256,6 +256,25 @@ def test_stratified_exact_split_quota_per_stratum(spark):
         assert len(by[src]) == n
 
 
+def test_stratified_exact_split_keeps_null_stratum(spark):
+    """A NULL stratum value is a real partition: rows must survive the
+    quota join (null-safe), hit their own ceil(frac*n) quota, and match
+    the pure-window oracle formulation that never drops them."""
+    import math
+
+    from dump1090_postgis_spark.datapipe.sampling import stratified_exact_split
+
+    rows = [(i, "a") for i in range(12)] + [(100 + i, None) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_exact_split(df, ["source"], frac=0.25).collect()
+    assert len(out) == 20  # nothing silently dropped
+    null_rows = [r for r in out if r.source is None]
+    assert len(null_rows) == 8
+    assert sum(r.split == "eval" for r in null_rows) == math.ceil(8 * 0.25)
+    a_rows = [r for r in out if r.source == "a"]
+    assert sum(r.split == "eval" for r in a_rows) == math.ceil(12 * 0.25)
+
+
 def test_stratified_exact_split_deterministic_and_seeded(spark):
     from dump1090_postgis_spark.datapipe.sampling import stratified_exact_split
 

@@ -438,6 +438,23 @@ def test_sketch_accuracy_report_contract(spark):
     assert row.hll_ok is True and row.pct_ok is True
 
 
+def test_sketch_accuracy_all_null_group_is_vacuously_ok(spark):
+    """A key group whose val_col is entirely NULL has NULL percentiles
+    on both sides — the contract is vacuously met (TRUE, matching the
+    oracle), not a NULL that would hash-mismatch."""
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.operators.analytics import sketch_accuracy_report
+
+    df = spark.range(10).select(
+        F.lit("nullgrp").alias("event_type"),
+        F.col("id").alias("user_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    (row,) = sketch_accuracy_report(df).collect()
+    assert row.pct_ok is True
+
+
 def test_check_constraints_counts_planted_violations(spark):
     from pyspark.sql import functions as F
 
