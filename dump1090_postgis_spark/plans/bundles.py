@@ -848,23 +848,33 @@ def _bundle_fn(members, schema):
         dfs = []
         for tag, reg, cols in members:
             fn, _sql = regs[reg][tag]
-            df = fn(spark, sf)
-            missing = set(cols) ^ set(df.columns)
-            if missing:
-                raise AssertionError(
-                    f"bundle member {tag}: declared columns drifted: {missing}"
+            # Triage hook: a red bundle row in the driver's CORRECTNESS
+            # is all-or-nothing — name the member whose plan build blew
+            # up in the error payload so the culprit is identifiable
+            # without a local per-member check_oracle bisect.
+            try:
+                df = fn(spark, sf)
+                missing = set(cols) ^ set(df.columns)
+                if missing:
+                    raise AssertionError(
+                        f"declared columns drifted: {missing}"
+                    )
+                dfs.append(
+                    df.select(
+                        F.lit(tag).alias("variant"),
+                        *[
+                            F.col(n).alias(n)
+                            if n in cols
+                            else F.lit(None).cast(t).alias(n)
+                            for n, t in schema
+                        ],
+                    )
                 )
-            dfs.append(
-                df.select(
-                    F.lit(tag).alias("variant"),
-                    *[
-                        F.col(n).alias(n)
-                        if n in cols
-                        else F.lit(None).cast(t).alias(n)
-                        for n, t in schema
-                    ],
-                )
-            )
+            except Exception as exc:
+                raise RuntimeError(
+                    f"bundle member '{tag}' failed during plan build: "
+                    f"{type(exc).__name__}: {exc}"
+                ) from exc
         return reduce(lambda a, b: a.unionByName(b), dfs)
 
     return run

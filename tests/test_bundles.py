@@ -80,3 +80,18 @@ def test_member_column_declarations_match_schemas(spark):
         df = fn(spark, SF)  # plan build runs the drift assertion
         assert df.columns[0] == "variant", name
         assert sql.count("UNION ALL") >= 1, name
+
+
+def test_bundle_error_payload_names_failing_member(spark):
+    """Red-bundle triage: when one member's plan build raises, the
+    bundle error must carry that member's name so a red driver row is
+    attributable without a per-member bisect."""
+    import pytest
+
+    from dump1090_postgis_spark.plans import bundles as bmod
+
+    members = [("prj2_json_extract_cast", "tq", ["boom"])]  # wrong declared cols
+    schema = [("boom", "bigint")]
+    fn = bmod._bundle_fn(members, schema)
+    with pytest.raises(RuntimeError, match="bundle member 'prj2_json_extract_cast'"):
+        fn(spark, SF)
