@@ -254,6 +254,16 @@ def minhash_banded(
     )
 
 
+def banded_candidate_pairs(
+    banded: DataFrame, max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE
+) -> DataFrame:
+    """Candidate pairs from an already-materialized banded-signature
+    frame (``minhash_banded`` output, possibly persisted to parquet —
+    the compute-signatures-once / reuse-everywhere production pattern).
+    Same derivation as the in-plan path (:func:`_bucket_pairs`)."""
+    return _bucket_pairs(banded, max_bucket_size)
+
+
 def oversize_buckets(
     banded: DataFrame, max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE
 ) -> DataFrame:

