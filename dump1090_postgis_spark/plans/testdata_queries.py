@@ -2311,6 +2311,75 @@ FROM events
 """
 
 
+# --- read-side proof of the z-order layout -------------------------------
+
+_BBOX = (100.0, 200.0, -60.0, -30.0)  # lon_min, lon_max, lat_min, lat_max
+
+
+def zorder_positions_artifact(sf_dir: str) -> str:
+    """Materialization path for the z-ordered positions layout at a
+    given scale-factor dir."""
+    import os
+
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(root, ".artifacts", f"zorder_positions_{base}")
+
+
+def positions_in_bbox(spark: SparkSession, path: str,
+                      lon_min: float, lon_max: float,
+                      lat_min: float, lat_max: float) -> DataFrame:
+    """Bbox range query over a z-ordered positions layout — the QGIS
+    panning workload the reference serves from a GiST index
+    (create_materialized_views.sql:59-62).  Both range predicates push
+    down to the parquet scan; because write_zordered laid files out
+    along the Morton curve of (longitude, latitude), each file's
+    min/max stats cover a small rectangle and the scan skips the
+    files (and row groups) outside the box — on either dimension,
+    which a single-column sort cannot do."""
+    back = spark.read.parquet(path)
+    return back.filter(
+        (F.col("longitude") >= lon_min) & (F.col("longitude") <= lon_max)
+        & (F.col("latitude") >= lat_min) & (F.col("latitude") <= lat_max)
+    ).select("event_id", "longitude", "latitude")
+
+
+def q_zorder_bbox_read(spark, sf):
+    """Z-order write + bbox read end-to-end: events play positions
+    (value → longitude on its native [0,500] grid; latitude derived as
+    (event_id % 18000)/100 − 90), written via
+    operators/storage.write_zordered, then read back through the bbox
+    range query.  The oracle applies the same predicates to the same
+    derived columns straight off the events view — layout changes
+    WHERE bytes live, never WHICH rows qualify."""
+    from ..operators.storage import write_zordered
+
+    ev = load_table(spark, sf, "events")
+    pos = ev.select(
+        "event_id",
+        F.col("value").alias("longitude"),
+        (F.pmod(F.col("event_id"), F.lit(18000)) / F.lit(100.0) - F.lit(90.0)).alias(
+            "latitude"
+        ),
+    )
+    path = zorder_positions_artifact(sf)
+    write_zordered(
+        pos, path,
+        [("longitude", 0.0, 500.0), ("latitude", -90.0, 90.0)],
+        bits=12,
+    )
+    return positions_in_bbox(spark, path, *_BBOX)
+
+
+SQL_ZORDER_BBOX = f"""
+SELECT event_id, value AS longitude,
+       (event_id % 18000) / 100.0 - 90 AS latitude
+FROM events
+WHERE value BETWEEN {_BBOX[0]!r} AND {_BBOX[1]!r}
+  AND (event_id % 18000) / 100.0 - 90 BETWEEN {_BBOX[2]!r} AND {_BBOX[3]!r}
+"""
+
+
 def q_tpch_q10_returned_items(spark, sf):
     """TPC-H q10 shape (top returned-item customers): facts filtered
     on the pushed l_returnflag predicate, orders⋈lineitem shuffle on
@@ -2539,6 +2608,7 @@ REGISTRY: dict = {
         SQL_TPCH_Q21,
     ),
     "zorder_events_key": (q_zorder_events_key, SQL_ZORDER),
+    "zorder_bbox_read": (q_zorder_bbox_read, SQL_ZORDER_BBOX),
     "dq_constraints": (q_dq_constraints, SQL_DQ),
     "incremental_histogram_merge": (
         q_incremental_histogram_merge,

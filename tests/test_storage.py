@@ -132,3 +132,76 @@ def test_zorder_key_rejects_sign_bit_overflow(spark):
 
     with pytest.raises(ValueError, match="63"):
         zorder_key([(c, 0.0, 1.0) for c in "abcd"], bits=16)
+
+
+def test_bbox_read_skips_zordered_files_and_pushes_predicates(spark, tmp_path):
+    """Read-side proof of the z-order layout (the reference's
+    QGIS-over-GiST bbox workload): the bbox predicates reach the
+    parquet scan as pushed filters, and the z-ordered layout leaves
+    most files entirely outside the box (their min/max stats don't
+    overlap it) while a round-robin layout makes every file overlap."""
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.operators.storage import write_zordered
+    from dump1090_postgis_spark.plans.testdata_queries import (
+        _BBOX,
+        positions_in_bbox,
+    )
+    from dump1090_postgis_spark.schemas import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    pos = ev.select(
+        "event_id",
+        F.col("value").alias("longitude"),
+        (F.pmod(F.col("event_id"), F.lit(18000)) / F.lit(100.0) - F.lit(90.0)).alias(
+            "latitude"
+        ),
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(
+        pos, zpath, [("longitude", 0.0, 500.0), ("latitude", -90.0, 90.0)],
+        bits=12, num_partitions=24,
+    )
+    upath = str(tmp_path / "unordered")
+    pos.repartition(24).write.parquet(upath)
+
+    out = positions_in_bbox(spark, zpath, *_BBOX)
+    # default maxMetadataStringLength truncates the PushedFilters list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(longitude" in plan
+    assert "LessThanOrEqual(latitude" in plan
+
+    def overlap_fraction(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("longitude").alias("xlo"), F.max("longitude").alias("xhi"),
+                F.min("latitude").alias("ylo"), F.max("latitude").alias("yhi"),
+            )
+            .collect()
+        )
+        lon_min, lon_max, lat_min, lat_max = _BBOX
+        hits = sum(
+            1
+            for r in per_file
+            if r.xhi >= lon_min and r.xlo <= lon_max
+            and r.yhi >= lat_min and r.ylo <= lat_max
+        )
+        return hits, len(per_file)
+
+    z_hits, z_n = overlap_fraction(zpath)
+    u_hits, u_n = overlap_fraction(upath)
+    assert u_hits == u_n  # round-robin: every file overlaps the box
+    assert z_n >= 12
+    assert z_hits <= z_n / 2, (z_hits, z_n)  # z-order: most files skipped
+    # and the query returns the same rows either way
+    assert out.count() == spark.read.parquet(upath).filter(
+        (F.col("longitude") >= _BBOX[0]) & (F.col("longitude") <= _BBOX[1])
+        & (F.col("latitude") >= _BBOX[2]) & (F.col("latitude") <= _BBOX[3])
+    ).count()
