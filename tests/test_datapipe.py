@@ -204,6 +204,32 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert a == e
 
 
+def test_ivf_recall_floor_at_default_probes(spark):
+    """The operating point that matters at scale is nprobe « nlist —
+    not the degenerate full-probe point.  On the real sf0.1 embeddings
+    (isotropic, the adversarial case for IVF: no cluster structure to
+    exploit), the default nprobe=4 / nlist=16 must clear the
+    documented floor: recall@5 ≥ 0.40 and ≥ 1.6× the 1/4 scan
+    fraction.  Curve recorded in BASELINE.md
+    (scripts/bench_ivf_recall.py)."""
+    from dump1090_postgis_spark.schemas import load_table
+
+    emb10 = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    queries = emb10.filter(F.col("vec_id") < 100)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb10, queries, k=5).collect()
+    }
+    centroids = sim.build_centroids(emb10, num_centroids=16, iterations=2)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(emb10, queries, centroids, k=5, probes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.40, recall
+    assert recall >= 1.6 * (4 / 16), recall
+
+
 def test_language_id_markers(spark):
     df = spark.createDataFrame(
         [
