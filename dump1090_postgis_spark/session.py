@@ -63,7 +63,30 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_bounded_window_warning(spark)
     return spark
+
+
+def _silence_bounded_window_warning(spark: SparkSession) -> None:
+    """Raise WindowExecBase's logger to ERROR.
+
+    Every unpartitioned window in this package is bounded by
+    construction (post-LIMIT top-k pages, explicit copy selections,
+    broadcast-class dims — each site documented in place) and their
+    input cardinality is pinned by
+    tests/test_plans.py::test_documented_global_windows_are_input_bounded.
+    Left at WARN, those sites spray "No Partition Defined for Window
+    operation" on every bench run, which would mask a REAL corpus-sized
+    global window the day one regresses — the plan test is the guard
+    now, so the log noise goes."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExecBase",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments keep the (harmless) warning
 
 
 def configure_for_engine(spark: SparkSession) -> SparkSession:

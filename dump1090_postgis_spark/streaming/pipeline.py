@@ -91,17 +91,81 @@ def windowed_event_counts(
     )
 
 
+def attributing_sink(
+    runways: DataFrame,
+    airport_bbox: DataFrame | None,
+    inner_sink,
+    lon: str = "longitude",
+    lat: str = "latitude",
+    heading: str = "track",
+):
+    """foreachBatch wrapper running STATE-5/JOIN-5 runway attribution
+    on each micro-batch of events before handing the attributed frame
+    to ``inner_sink(batch_df, epoch_id)`` — the reference enriches its
+    live events inside the commit thread (flights.py commit loop →
+    models.py:283-286); here the enrichment is a per-batch plan
+    against the static runway dim.
+
+    The compile-vs-join strategy decision (attribute_runway's
+    branch-budget gate) runs ONCE at wire-up, not per batch: for a
+    small dim the point-in-polygon coalesce expression is compiled
+    here and reused as a literal Column across every micro-batch (no
+    per-batch driver work at all); above the budget each batch runs
+    the grid-cell broadcast join (the dim broadcast is reused by the
+    JVM across batches)."""
+    from ..operators.attribution import (
+        BRANCH_BUDGET,
+        HEADING_TOLERANCE_DEG,
+        _compiled_coalesce,
+        attribute_runway,
+    )
+
+    n_rw = runways.count()
+    n_bb = airport_bbox.count() if airport_bbox is not None else 0
+    if n_rw * (1 + n_bb) <= BRANCH_BUDGET:
+        best = _compiled_coalesce(
+            runways, airport_bbox, lon, lat, heading, HEADING_TOLERANCE_DEG
+        )
+
+        def sink(batch_df, epoch_id):
+            inner_sink(
+                batch_df.withColumn(
+                    "runway", F.coalesce(best, F.lit("UNK"))
+                ),
+                epoch_id,
+            )
+
+    else:
+
+        def sink(batch_df, epoch_id):
+            inner_sink(
+                attribute_runway(
+                    batch_df, runways, airport_bbox,
+                    lon=lon, lat=lat, heading=heading,
+                ),
+                epoch_id,
+            )
+
+    return sink
+
+
 def start_pipeline(
     raw_stream: DataFrame,
     sink_fn,
     checkpoint_dir: str,
     trigger: str = COMMIT_PERIOD,
+    runways: DataFrame | None = None,
+    airport_bbox: DataFrame | None = None,
 ):
     """Wire the stages and start the query.  ``sink_fn(batch_df,
     epoch_id)`` receives each micro-batch of events (foreachBatch =
-    SNK-1's transactional batched writes; attribution joins belong
-    inside it, against broadcast runway dims)."""
+    SNK-1's transactional batched writes).  Pass ``runways`` (and
+    optionally ``airport_bbox``) to run STATE-5 runway attribution
+    inside the batch sink — ``sink_fn`` then receives events WITH the
+    ``runway`` column, matching the batch ETL's attributed edges."""
     events = event_stream(parsed_stream(raw_stream))
+    if runways is not None:
+        sink_fn = attributing_sink(runways, airport_bbox, sink_fn)
     return (
         events.writeStream.outputMode("append")
         .foreachBatch(sink_fn)

@@ -242,8 +242,12 @@ def main() -> int:
 
     registry = full_registry()
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Subset override for decade runs (×100 generation + the full list
+    # would be hours): comma-separated query names.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = [s for s in subset.split(",") if s] if subset else BENCH_QUERIES
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         fn, _sql = registry[name]
         best = None
         for _ in range(runs):

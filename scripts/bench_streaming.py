@@ -121,14 +121,19 @@ def bench_file_replay(spark, drop: str) -> dict:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def bench_socket_sustained(spark, lines: list[str]) -> dict:
+def bench_socket_sustained(spark, lines: list[str], attributed: bool = False) -> dict:
     """A paced TCP feed at SOCKET_RATE msg/s for SOCKET_SECS: the
     sustained shape the reference ingests, ~150-1500× its receiver
     rate.  Keep-up is judged from the query's own progress events
     (processed vs input rows); state-store rows/memory come from the
-    stateOperators block of the LAST progress."""
+    stateOperators block of the LAST progress.
+
+    ``attributed=True`` runs STATE-5 runway attribution (NTE seed dim,
+    compiled point-in-polygon coalesce) inside a foreachBatch sink —
+    the full reference live loop including event enrichment."""
     from dump1090_postgis_spark.sources.sbs1 import socket_stream
     from dump1090_postgis_spark.streaming.pipeline import (
+        attributing_sink,
         event_stream,
         parsed_stream,
     )
@@ -169,10 +174,23 @@ def bench_socket_sustained(spark, lines: list[str]) -> dict:
         raw = socket_stream(spark, "127.0.0.1", srv.server_address[1])
         events = event_stream(parsed_stream(raw))
         t0 = time.time()
+        writer = events.writeStream.outputMode("append")
+        if attributed:
+            from dump1090_postgis_spark.sources.dims import (
+                nte_airport,
+                nte_runways,
+            )
+
+            sink = attributing_sink(
+                nte_runways(spark),
+                nte_airport(spark),
+                lambda df, eid: df.write.format("noop").mode("overwrite").save(),
+            )
+            writer = writer.foreachBatch(sink)
+        else:
+            writer = writer.format("noop")
         q = (
-            events.writeStream.outputMode("append")
-            .format("noop")
-            .option("checkpointLocation", ckpt)
+            writer.option("checkpointLocation", ckpt)
             .trigger(processingTime="1 second")
             .start()
         )
@@ -189,15 +207,16 @@ def bench_socket_sustained(spark, lines: list[str]) -> dict:
             for p in progresses
             if p.get("numInputRows", 0) > 0 and "durationMs" in p
         ]
+        tag = "socket_attributed" if attributed else "socket"
         return {
-            "socket_target_rate": SOCKET_RATE,
-            "socket_sent": sent["n"],
-            "socket_processed": total_in,
-            "socket_sustained_rate": round(total_in / elapsed, 1),
+            f"{tag}_target_rate": SOCKET_RATE,
+            f"{tag}_sent": sent["n"],
+            f"{tag}_processed": total_in,
+            f"{tag}_sustained_rate": round(total_in / elapsed, 1),
             # >= ~1.0 means the pipeline kept pace with the feed
-            "socket_keepup_ratio": round(total_in / max(sent["n"], 1), 3),
-            "socket_max_batch_sec": round(max(batch_ms) / 1000, 2) if batch_ms else None,
-            **{f"socket_{k}": v for k, v in _state_metrics(last).items()},
+            f"{tag}_keepup_ratio": round(total_in / max(sent["n"], 1), 3),
+            f"{tag}_max_batch_sec": round(max(batch_ms) / 1000, 2) if batch_ms else None,
+            **{f"{tag}_{k}": v for k, v in _state_metrics(last).items()},
         }
     finally:
         srv.shutdown()
@@ -303,9 +322,12 @@ def main() -> int:
         _wire_lines(ev).repartition(8).write.mode("overwrite").text(drop)
         if which in ("all", "file"):
             out.update(bench_file_replay(spark, drop))
-        if which in ("all", "socket"):
+        if which in ("all", "socket", "socket_attributed"):
             lines = [r.value for r in spark.read.text(drop).limit(200_000).collect()]
-            out.update(bench_socket_sustained(spark, lines))
+            if which != "socket_attributed":
+                out.update(bench_socket_sustained(spark, lines))
+            if which in ("all", "socket_attributed"):
+                out.update(bench_socket_sustained(spark, lines, attributed=True))
         if which in ("all", "recovery"):
             out.update(bench_checkpoint_recovery(spark, drop))
         out["value"] = out.get("file_replay_rate") or out.get("socket_sustained_rate")

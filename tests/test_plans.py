@@ -435,3 +435,111 @@ def test_q21_semi_and_anti_share_orderkey_exchanges(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def _window_input_rows(df):
+    """Execute ``df`` and return the per-WindowExec row counts from the
+    final physical plan's metrics (row_number windows preserve
+    cardinality, so numOutputRows == the window's input size)."""
+    df.collect()
+    counts = []
+
+    def walk(node):
+        if node.nodeName() == "Window":
+            opt = node.metrics().get("numOutputRows")
+            if opt.isDefined():
+                counts.append(opt.get().value())
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return counts
+
+
+def test_documented_global_windows_are_input_bounded(spark):
+    """Every unpartitioned window in the package is bounded by
+    construction (the sites documented in place); with the
+    WindowExecBase warning silenced (session.py), THIS is the guard:
+    measure the actual rows each WindowExec consumed and assert the
+    documented bound."""
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.datapipe.retrieval import bm25_topk, rerank_topk
+    from dump1090_postgis_spark.operators.copy import remap_ids
+    from dump1090_postgis_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+
+    # retrieval.bm25_topk: rank window sits ABOVE the top_n limit
+    rows = _window_input_rows(bm25_topk(docs, ["the", "data"], top_n=20))
+    assert rows and all(r <= 20 for r in rows), rows
+
+    # retrieval.rerank_topk: both windows bounded by k_retrieve
+    rows = _window_input_rows(
+        rerank_topk(docs, ["the", "data"], k_retrieve=15, k_final=5)
+    )
+    assert rows and all(r <= 15 for r in rows), rows
+
+    # operators.copy.remap_ids: window over the explicit copy selection
+    flights = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("x"))
+    child = spark.range(1000).select(F.col("id").alias("flight_id"))
+    new_flights, _ = remap_ids(flights, {"c": child}, [1, 2, 3], 50_000)
+    rows = _window_input_rows(new_flights)
+    assert rows and all(r <= 3 for r in rows), rows
+
+    # plans.testdata_queries snk5: window over the isin selection only
+    from dump1090_postgis_spark.plans.testdata_queries import q_snk5_copy_remap
+
+    out = q_snk5_copy_remap(spark, sf)
+    n_selected = out.count()
+    n_total = load_table(spark, sf, "events").count()
+    rows = _window_input_rows(out)
+    assert rows and all(r <= n_selected for r in rows), rows
+    assert n_selected < n_total  # the selection is a strict subset
+
+
+def test_attribution_grid_join_window_is_dim_sized(spark):
+    """operators.attribution grid-cell path: the only unpartitioned
+    window runs over the runway DIM (broadcast-class), never over
+    event data."""
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.operators.attribution import attribute_runway
+    from dump1090_postgis_spark.schemas import load_table
+    from tests.test_plans import _window_input_rows  # self-import safe
+
+    n_rw = 300  # above BRANCH_BUDGET=256 -> forces the grid-cell join
+    rows = [
+        (
+            i,
+            f"RW{i:03d}",
+            float(i % 360),
+            [
+                {"lon": 0.001 * i, "lat": 0.001 * i},
+                {"lon": 0.001 * i + 0.01, "lat": 0.001 * i},
+                {"lon": 0.001 * i + 0.01, "lat": 0.001 * i + 0.01},
+                {"lon": 0.001 * i, "lat": 0.001 * i + 0.01},
+            ],
+        )
+        for i in range(n_rw)
+    ]
+    runways = spark.createDataFrame(
+        rows,
+        "id long, name string, direction double, "
+        "polygon array<struct<lon:double,lat:double>>",
+    )
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.col("event_id"),
+        (F.col("value") / 1000).alias("longitude"),
+        (F.col("value") / 1000).alias("latitude"),
+        F.lit(10.0).alias("interp_track"),
+    )
+    out = attribute_runway(ev, runways)
+    n_events = ev.count()
+    wrows = _window_input_rows(out)
+    assert wrows and all(r == n_rw for r in wrows), wrows
+    assert all(r < n_events for r in wrows)

@@ -170,6 +170,58 @@ def test_stream_matches_batch_path(spark, stream_events):
     assert batch == stream
 
 
+def test_streaming_attribution_matches_batch_path(spark, stream_events, tmp_path):
+    """STATE-5 inside foreachBatch: the attributing sink must assign
+    every streamed event the same runway the batch attribution path
+    assigns to the identical event rows — per-batch enrichment changes
+    WHEN attribution runs, never WHAT it returns."""
+    import pyspark.sql.functions as F
+
+    from dump1090_postgis_spark.operators.attribution import attribute_runway
+    from dump1090_postgis_spark.sources.dims import nte_airport, nte_runways
+    from dump1090_postgis_spark.streaming.pipeline import start_pipeline
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    with open(os.path.join(drop, "capture.txt"), "w") as f:
+        f.write("\n".join(LINES))
+
+    collected = []
+
+    def inner(batch_df, epoch_id):
+        collected.extend(batch_df.collect())
+
+    q = start_pipeline(
+        spark.readStream.text(drop),
+        inner,
+        str(tmp_path / "ckpt"),
+        runways=nte_runways(spark),
+        airport_bbox=nte_airport(spark),
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and len(collected) < len(stream_events):
+        time.sleep(2)
+    q.stop()
+
+    assert len(collected) == len(stream_events)
+    assert all("runway" in r.asDict() for r in collected)
+    streamed = {
+        (r.hexident, r.kind, r.event_time): r.runway for r in collected
+    }
+
+    # batch path: attribute the SAME (un-attributed) streamed events
+    ev_df = spark.createDataFrame(stream_events)
+    batch = attribute_runway(
+        ev_df, nte_runways(spark), nte_airport(spark), heading="track"
+    )
+    expected = {
+        (r.hexident, r.kind, r.event_time): r.runway for r in batch.collect()
+    }
+    assert streamed == expected
+    # and the events themselves are genuinely attributed (not all UNK)
+    assert any(v != "UNK" for v in streamed.values()), streamed
+
+
 def test_streaming_curation_foreachbatch_matches_batch(spark, tmp_path):
     """The datapipe curation ops are plain DataFrame transforms, so
     they run unchanged inside a foreachBatch micro-batch: streaming
@@ -527,3 +579,126 @@ def test_advance_session_core_resumes_from_state():
     _, st2, ev2 = advance_session("AAA", st1, iter(rows[1:]))
     assert st2 == st_all
     assert [e["kind"] for e in ev1 + ev2] == [e["kind"] for e in ev_all]
+
+
+def test_tws_processor_full_lifecycle_matches_legacy(spark):
+    """Execute streaming/tws.py's SessionProcessor end-to-end — init →
+    one handleInputRows call per message (max state round-trips,
+    timer delete/re-arm each batch) → handleExpiredTimer eviction →
+    close — against an in-memory StatefulProcessorHandle twin (the
+    real handle is a protobuf transport client; google.protobuf is not
+    installable in this container, see the skip on
+    test_transform_with_state_matches_legacy_handler).  Uses the REAL
+    pyspark TimerValues/ExpiredTimerInfo values.  Output must equal
+    the applyInPandasWithState path on the same capture, and eviction
+    must emit exactly one flight summary per live session."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        TimerValues,
+    )
+
+    from dump1090_postgis_spark.operators import parse
+    from dump1090_postgis_spark.streaming.state import SESSION_TIMEOUT_MS
+    from dump1090_postgis_spark.streaming.tws import SessionProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+            self.timers = []
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+
+        def registerTimer(self, ts):
+            self.timers.append(ts)
+
+    df = spark.createDataFrame([(l,) for l in LINES], "value string")
+    parsed = (
+        parse.dispatch_fields(parse.parse_sbs1_lines(df))
+        .select(
+            "hexident", "gen_date_time", "transmission_type", "onground",
+            "longitude", "latitude", "altitude", "callsign",
+        )
+        .toPandas()
+        .sort_values("gen_date_time")
+    )
+
+    proc = SessionProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    emitted = []
+    now_ms = 1_000_000
+    for _, row in parsed.iterrows():
+        pdf = pd.DataFrame([row])
+        key = (row["hexident"],)
+        for out in proc.handleInputRows(key, iter([pdf]), TimerValues(now_ms)):
+            emitted.append(out)
+        if handle.states["session"].exists():
+            # exactly ONE armed timer, re-based to this batch's clock
+            assert handle.timers == [now_ms + SESSION_TIMEOUT_MS]
+        now_ms += 1_000
+
+    events = pd.concat(emitted, ignore_index=True) if emitted else pd.DataFrame()
+    got = {
+        (r["hexident"], r["kind"], str(r["event_time"]))
+        for _, r in events.iterrows()
+    }
+
+    # parity with the applyInPandasWithState path on the same lines:
+    # two landings (second debounced from the bounce), nothing else
+    from dump1090_postgis_spark.operators.events import (
+        debounce_events,
+        detect_onground_edges,
+    )
+    from dump1090_postgis_spark.operators.sessionize import sessionize
+
+    msgs = parse.dispatch_fields(parse.parse_sbs1_lines(df))
+    batch_edges = debounce_events(
+        detect_onground_edges(parse.position_validity(sessionize(msgs)))
+    )
+    expected = {
+        (r.hexident, r.event_type, str(r.gen_date_time))
+        for r in batch_edges.collect()
+    }
+    assert got == expected and len(got) > 0
+
+    # eviction: each live session must emit exactly one summary row
+    live = [k for k, s in [("session", handle.states["session"])] if s.exists()]
+    summaries = []
+    for t in list(handle.timers):
+        for out in proc.handleExpiredTimer(
+            ("AAA111",), TimerValues(t), ExpiredTimerInfo(t)
+        ):
+            summaries.append(out)
+        handle.timers.remove(t)
+    if live:
+        assert len(summaries) == 1
+        srow = summaries[0].iloc[0]
+        assert srow["kind"] == "flight_summary"
+        assert not handle.states["session"].exists()
+
+    proc.close()
