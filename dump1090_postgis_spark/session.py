@@ -81,10 +81,11 @@ def _silence_bounded_window_warning(spark: SparkSession) -> None:
     now, so the log noise goes."""
     try:
         jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.sql.execution.window.WindowExecBase",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
+        for cls in ("WindowExec", "WindowExecBase", "WindowGroupLimitExec"):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                f"org.apache.spark.sql.execution.window.{cls}",
+                jvm.org.apache.logging.log4j.Level.ERROR,
+            )
     except Exception:
         pass  # non-log4j2 deployments keep the (harmless) warning
 

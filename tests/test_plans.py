@@ -438,22 +438,46 @@ def test_q21_semi_and_anti_share_orderkey_exchanges(spark):
 
 
 def _window_input_rows(df):
-    """Execute ``df`` and return the per-WindowExec row counts from the
-    final physical plan's metrics (row_number windows preserve
-    cardinality, so numOutputRows == the window's input size)."""
+    """Execute ``df`` and return, per WindowExec in the final (AQE)
+    physical plan, the rows that flowed INTO the window — read from the
+    numOutputRows metric of the window's nearest descendant that
+    defines one (WindowExec itself defines no row metric)."""
     df.collect()
     counts = []
 
+    def kids(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            return [node.executedPlan()]
+        if cls.endswith("QueryStageExec"):
+            return [node.plan()]
+        ch = node.children()
+        return [ch.apply(i) for i in range(ch.size())]
+
+    def first_row_metric(node):
+        opt = node.metrics().get("numOutputRows")
+        if opt.isDefined():
+            return opt.get().value()
+        # limit operators define no row metric but bound their output
+        # exactly — do NOT descend past them to a pre-limit count
+        if node.getClass().getSimpleName() in (
+            "TakeOrderedAndProjectExec", "GlobalLimitExec", "LocalLimitExec",
+        ):
+            return node.limit()
+        for c in kids(node):
+            v = first_row_metric(c)
+            if v is not None:
+                return v
+        return None
+
     def walk(node):
         if node.nodeName() == "Window":
-            opt = node.metrics().get("numOutputRows")
-            if opt.isDefined():
-                counts.append(opt.get().value())
-        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-            walk(node.executedPlan())
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i))
+            child = kids(node)
+            v = first_row_metric(child[0]) if child else None
+            if v is not None:
+                counts.append(v)
+        for c in kids(node):
+            walk(c)
 
     walk(df._jdf.queryExecution().executedPlan())
     return counts
