@@ -80,6 +80,7 @@ def attribute_runway(
     keep_unmatched: bool = True,
     branch_budget: int = BRANCH_BUDGET,
     grid_deg: float = GRID_DEG,
+    strategy: str = "auto",
 ) -> DataFrame:
     """JOIN-5: attach `runway` (name) to each event.
 
@@ -90,10 +91,22 @@ def attribute_runway(
     `airport_bbox` columns: icao, bbox — enables the fallback tier.
     Unmatched events get runway='UNK' when keep_unmatched (the
     reference's models.py:283-286 default), else are dropped.
+
+    ``strategy``: ``'auto'`` counts the dim at plan-build time (eager
+    driver work, bounded by the dim) to pick between the compiled
+    point-in-polygon coalesce and the grid-cell broadcast join;
+    callers that already know their dim's size pass ``'compile'`` or
+    ``'grid'`` to keep plan building fully lazy.
     """
-    n_rw = runways.count()
-    n_bb = airport_bbox.count() if airport_bbox is not None else 0
-    if n_rw * (1 + n_bb) <= branch_budget:
+    if strategy not in ("auto", "compile", "grid"):
+        raise ValueError(f"unknown attribution strategy: {strategy!r}")
+    if strategy == "auto":
+        n_rw = runways.count()
+        n_bb = airport_bbox.count() if airport_bbox is not None else 0
+        strategy = (
+            "compile" if n_rw * (1 + n_bb) <= branch_budget else "grid"
+        )
+    if strategy == "compile":
         best = _compiled_coalesce(
             runways, airport_bbox, lon, lat, heading, tolerance_deg
         )

@@ -96,6 +96,29 @@ def test_attribution_no_match(spark):
     assert dropped.count() == 0
 
 
+def test_attribution_explicit_strategy_skips_count_and_agrees(spark):
+    """strategy='compile' / 'grid' must bypass the eager dim count
+    (lazy plan building) and both must agree with 'auto' on the same
+    events; an unknown strategy raises."""
+    import pytest
+
+    ev = _events(
+        spark, [(1, *ON_RUNWAY, 32.0), (2, *ON_RUNWAY, 212.0), (3, *FAR_AWAY, 28.0)]
+    )
+    rw, ap = nte_runways(spark), nte_airport(spark)
+
+    def result(**kw):
+        return {
+            r.event_id: r.runway for r in attribute_runway(ev, rw, ap, **kw).collect()
+        }
+
+    auto = result()
+    assert result(strategy="compile") == auto
+    assert result(strategy="grid") == auto
+    with pytest.raises(ValueError, match="unknown attribution strategy"):
+        attribute_runway(ev, rw, ap, strategy="bogus")
+
+
 # ---------------------------------------------------------------------------
 # Grid-cell broadcast-join scale path (branch budget exceeded)
 # ---------------------------------------------------------------------------
