@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "ann_hard_negatives",
     "bm25_rerank",
     "zorder_events_key",
+    "zorder_bbox_read",
     "dq_constraints",
     "incremental_histogram_merge",
     "top_journeys",

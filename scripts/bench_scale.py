@@ -246,6 +246,14 @@ def main() -> int:
     # would be hours): comma-separated query names.
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = [s for s in subset.split(",") if s] if subset else BENCH_QUERIES
+    # Single-JVM hygiene knob: shuffle files and broadcasts from one
+    # query linger until the DRIVER GC runs (ContextCleaner cleans on
+    # weak-ref collection) — at ×100 a later shuffle-heavy query can
+    # pay a prior query's accumulated spill (measured: agg6 2-5 s
+    # isolated vs 28-50 s mid-sequence, restored by System.gc()).  A
+    # real cluster churns its cleaner continuously across jobs; GC
+    # between queries approximates per-job isolation here.
+    gc_between = os.environ.get("SPARK_GRAFT_BENCH_GC") == "1"
     timings: dict[str, float] = {}
     for name in names:
         fn, _sql = registry[name]
@@ -260,6 +268,8 @@ def main() -> int:
             best = dt if best is None else min(best, dt)
             df = None
             spark.catalog.clearCache()
+            if gc_between:
+                spark._jvm.System.gc()
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
