@@ -290,6 +290,10 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ["col_name", "n_rows", "n_nulls", "n_distinct"],
             ),
             ("zorder_events_key", "tq", ["event_id", "zkey"]),
+            # NOTE: eager member — builds by WRITING the z-ordered
+            # layout (10k rows at the window's sf0.01), then reads it
+            # back through the pushed bbox predicates
+            ("zorder_bbox_read", "tq", ["event_id", "longitude", "latitude"]),
             ("dq_constraints", "tq", ["rule", "n_violations"]),
             ("top_journeys", "tq", ["path", "n_users"]),
             ("pagerank_event_types", "tq", ["node", "rank_ppm"]),
@@ -364,6 +368,8 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("pct_ok", "boolean"),
             ("event_id", "bigint"),
             ("zkey", "bigint"),
+            ("longitude", "double"),
+            ("latitude", "double"),
             ("rule", "string"),
             ("n_violations", "bigint"),
             ("path", "string"),
