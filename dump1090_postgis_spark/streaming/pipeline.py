@@ -138,10 +138,12 @@ def attributing_sink(
     else:
 
         def sink(batch_df, epoch_id):
+            # strategy decided above — 'grid' skips the per-batch
+            # dim count attribute_runway's 'auto' mode would re-run
             inner_sink(
                 attribute_runway(
                     batch_df, runways, airport_bbox,
-                    lon=lon, lat=lat, heading=heading,
+                    lon=lon, lat=lat, heading=heading, strategy="grid",
                 ),
                 epoch_id,
             )
