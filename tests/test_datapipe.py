@@ -230,6 +230,34 @@ def test_ivf_recall_floor_at_default_probes(spark):
     assert recall >= 1.6 * (4 / 16), recall
 
 
+def test_ivf_exploits_cluster_structure(spark):
+    """Complement to the isotropic floor test: when the data HAS
+    cluster structure (16 well-separated gaussian clusters), IVF must
+    exploit it — recall@5 ≈ 1.0 at nprobe=1/nlist=16 (a 1/16 scan).
+    Together the two tests show the sf0.1 recall curve is data-limited,
+    not operator-limited.  Measured numbers in BASELINE.md."""
+    import random
+
+    rnd = random.Random(7)
+    centers = [[rnd.gauss(0, 1) for _ in range(32)] for _ in range(16)]
+    rows = [
+        (i, [x + rnd.gauss(0, 0.15) for x in centers[i % 16]], i % 16)
+        for i in range(1000)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    queries = emb.filter(F.col("vec_id") < 50)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    cen = sim.build_centroids(emb, num_centroids=16, iterations=2)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(emb, queries, cen, k=5, probes=1).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.95
+
+
 def test_language_id_markers(spark):
     df = spark.createDataFrame(
         [
