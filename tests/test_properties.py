@@ -548,3 +548,46 @@ def test_parser_never_raises_on_garbage(spark, lines):
         out = parse_sbs1_lines(df, validate=validate).collect()
         # every surviving row came from a 22-field line
         assert len(out) <= sum(1 for l in lines if l.count(",") == 21)
+
+
+# --- stratified exact split vs python reference (null strata included) ------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["web", "book", None]),
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    frac=st.floats(min_value=0.05, max_value=0.9),
+)
+@settings(**SETTINGS)
+def test_stratified_split_matches_reference_with_null_strata(spark, rows, frac):
+    """Every stratum — INCLUDING a NULL stratum — gets exactly
+    ceil(frac·n) holdout rows, nothing is dropped, and the holdout
+    choice matches the seeded-md5-order Python reference."""
+    import hashlib
+    import math
+
+    from dump1090_postgis_spark.datapipe.sampling import stratified_exact_split
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_exact_split(df, ["source"], frac=frac, seed="42").collect()
+    assert len(out) == len(rows)
+
+    by = {}
+    for did, src in rows:
+        by.setdefault(src, []).append(did)
+    expected_eval = set()
+    for src, ids in by.items():
+        k = math.ceil(len(ids) * frac)
+        ranked = sorted(
+            ids, key=lambda i: (hashlib.md5(f"42|{i}".encode()).hexdigest(), i)
+        )
+        expected_eval.update(ranked[:k])
+    got_eval = {r.doc_id for r in out if r.split == "eval"}
+    assert got_eval == expected_eval
