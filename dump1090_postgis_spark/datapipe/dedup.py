@@ -21,6 +21,8 @@ Scale design:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -521,6 +523,11 @@ def embedding_near_dup_pairs(
     # cost ~2× in interpreted higher-order-function overhead).  Each
     # dot is still the left fold zip_with product — bitwise identical
     # to the oracle's list_dot_product.
+    # (Round-6 A/B note: a flat codegen'd 0.0+v[k]·w[k]+… chain per
+    # plane — same order, bitwise identical — measured 3× SLOWER at
+    # ×10 (8.3 s → 22-30 s): 2048-term expression trees blow past the
+    # codegen splitter and fall back to per-term interpreted eval,
+    # costing more than the HOF loop they replace.  Keep the fold.)
     planes_lit = F.array(*[
         F.array(*[F.lit(w) for w in p]) for p in planes
     ])
