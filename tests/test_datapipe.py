@@ -768,3 +768,31 @@ def test_hard_negative_topk_excludes_same_label(spark):
         (2, 3, 2),
     ]
     assert all(r.neg_label != 1 for r in out)
+
+
+def test_lsh_candidate_recall_floor_vs_exact_allpairs(spark):
+    """Ground-truth recall of the banded candidate generator: exact
+    shingle Jaccard over ALL pairs of a 250-doc real-corpus slice,
+    then candidate recall at the j>0.5 verify threshold — both hash
+    families must clear 0.9 (full-corpus curve in BASELINE.md via
+    scripts/bench_lsh_recall.py: 0.96 xxhash64 / 1.00 md5 at sf0.01)."""
+    from dump1090_postgis_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").filter(
+        F.col("doc_id") < 250
+    )
+    all_pairs = docs.select(F.col("doc_id").alias("id_a")).join(
+        docs.select(F.col("doc_id").alias("id_b")), F.col("id_b") > F.col("id_a")
+    )
+    gt = {
+        (r.id_a, r.id_b)
+        for r in dd.jaccard_pairs(docs, all_pairs, threshold=0.5).collect()
+    }
+    assert gt  # the slice contains true near-dups
+    for fam in ("xxhash64", "md5"):
+        cands = {
+            (r.id_a, r.id_b)
+            for r in dd.lsh_candidate_pairs(docs, hash_family=fam).collect()
+        }
+        recall = len(gt & cands) / len(gt)
+        assert recall >= 0.9, (fam, recall, len(gt))
