@@ -702,3 +702,50 @@ def test_tws_processor_full_lifecycle_matches_legacy(spark):
         assert not handle.states["session"].exists()
 
     proc.close()
+
+
+def test_attributed_pipeline_resumes_from_checkpoint_without_replay(spark, tmp_path):
+    """Restart the attributed foreachBatch pipeline on the SAME
+    checkpoint after adding a new capture file: the new aircraft's
+    landing is attributed and emitted exactly once, and the first
+    run's events are NOT re-delivered to the sink."""
+    from dump1090_postgis_spark.sources.dims import nte_airport, nte_runways
+    from dump1090_postgis_spark.streaming.pipeline import start_pipeline
+
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop)
+    with open(os.path.join(drop, "a.txt"), "w") as f:
+        f.write("\n".join(LINES))
+
+    def run_until(n_rows, files_done):
+        collected = []
+
+        def inner(batch_df, epoch_id):
+            collected.extend(batch_df.collect())
+
+        q = start_pipeline(
+            spark.readStream.text(drop), inner, ckpt,
+            runways=nte_runways(spark), airport_bbox=nte_airport(spark),
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and len(collected) < n_rows:
+            time.sleep(2)
+        q.stop()
+        return collected
+
+    first = run_until(2, 1)
+    assert {(r.hexident, r.kind) for r in first} == {("AAA111", "landing")}
+    assert len(first) == 2  # both debounced landings
+
+    # second capture: a NEW aircraft landing on runway 03
+    with open(os.path.join(drop, "b.txt"), "w") as f:
+        f.write("\n".join([
+            "MSG,3,1,1,CCC333,1,2024/05/01,11:00:00.000,2024/05/01,11:00:00.000,,300,,,47.1480,-1.6160,,,0,,0,0",
+            "MSG,3,1,1,CCC333,1,2024/05/01,11:00:05.000,2024/05/01,11:00:05.000,,100,,,47.1500,-1.6140,,,0,,0,0",
+            "MSG,3,1,1,CCC333,1,2024/05/01,11:00:10.000,2024/05/01,11:00:10.000,,50,,,47.1523,-1.6114,,,0,,0,-1",
+        ]))
+    second = run_until(1, 2)
+    # exactly the new landing, attributed; no replay of run 1's events
+    assert [(r.hexident, r.kind) for r in second] == [("CCC333", "landing")]
+    assert second[0].runway in ("03", "21")
