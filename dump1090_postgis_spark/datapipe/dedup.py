@@ -361,9 +361,21 @@ def jaccard_pairs(
         .select("_id", "_sh")
         .repartition(n_parts, "_id")
     )
+    # merge hints: the pairs side is OUTPUT-sized (dup-family growth
+    # makes it quadratic in replication factor) and the shingle side is
+    # corpus-sized — neither may ever be broadcast.  Without the hint,
+    # AQE's runtime broadcast conversion can pick one up on a
+    # mis-estimate and collect ~1 GiB of rows to the driver (observed
+    # at ×100 on the embedding twin: maxResultSize abort).
     joined = (
-        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        pairs.join(
+            sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a").hint("merge"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b").hint("merge"),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
@@ -590,9 +602,15 @@ def embedding_near_dup_pairs(
         lambda s, x: s + x,
     )
     cos = dot_ab / (F.col("_na") * F.col("_nb"))
+    # merge hints: see jaccard_pairs — at ×100 AQE's runtime broadcast
+    # conversion picked a side of this verify join on a size
+    # mis-estimate and aborted collecting 1028 MiB of rows to the
+    # driver (maxResultSize).  The pairs side is output-sized and the
+    # vector sides are corpus-sized; both joins stay sort-merge on the
+    # shared id partitioning at every scale.
     return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
+        pairs.join(va.hint("merge"), "id_a")
+        .join(vb.hint("merge"), "id_b")
         .withColumn("cosine", F.round(cos, 4) + F.lit(0.0))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
