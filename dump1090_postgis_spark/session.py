@@ -40,6 +40,14 @@ def get_spark(
             pkg_root + (os.pathsep + existing if existing else "")
         )
 
+    # transformWithStateInPandas needs a google.protobuf runtime in the
+    # driver AND every Python worker; workers inherit PYTHONPATH from
+    # the JVM environment, so discovery must happen before getOrCreate.
+    # No-op when protobuf is installed normally (the cluster case).
+    from .streaming.pbcompat import prepare_env as _pb_prepare_env
+
+    _pb_prepare_env()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"

@@ -458,19 +458,23 @@ def test_session_window_works_under_readstream(spark):
 
 
 def _has_protobuf() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    """TWS transport availability after pbcompat discovery (finds an
+    on-disk same-major protobuf runtime when none is pip-installed;
+    see streaming/pbcompat.py)."""
+    from dump1090_postgis_spark.streaming.pbcompat import (
+        prepare_env,
+        tws_available,
+    )
 
-        return True
-    except ImportError:
-        return False
+    return prepare_env() and tws_available()
 
 
 @pytest.mark.skipif(
     not _has_protobuf(),
-    reason="transformWithStateInPandas needs protobuf (absent in this "
-    "container; no installs allowed) — the shared advance_session core "
-    "is pinned by test_advance_session_core_* instead",
+    reason="transformWithStateInPandas needs a google.protobuf runtime "
+    "and pbcompat found none on disk — the shared advance_session core "
+    "is pinned by test_advance_session_core_* and the processor "
+    "lifecycle by test_tws_processor_full_lifecycle_matches_legacy",
 )
 def test_transform_with_state_matches_legacy_handler(spark):
     """The transformWithStateInPandas twin (streaming/tws.py) must emit
@@ -586,9 +590,10 @@ def test_tws_processor_full_lifecycle_matches_legacy(spark):
     one handleInputRows call per message (max state round-trips,
     timer delete/re-arm each batch) → handleExpiredTimer eviction →
     close — against an in-memory StatefulProcessorHandle twin (the
-    real handle is a protobuf transport client; google.protobuf is not
-    installable in this container, see the skip on
-    test_transform_with_state_matches_legacy_handler).  Uses the REAL
+    real handle is a protobuf transport client; this twin keeps the
+    lifecycle pinned even on hosts where pbcompat finds no protobuf
+    runtime and test_transform_with_state_matches_legacy_handler
+    skips).  Uses the REAL
     pyspark TimerValues/ExpiredTimerInfo values.  Output must equal
     the applyInPandasWithState path on the same capture, and eviction
     must emit exactly one flight summary per live session."""
@@ -749,3 +754,56 @@ def test_attributed_pipeline_resumes_from_checkpoint_without_replay(spark, tmp_p
     # exactly the new landing, attributed; no replay of run 1's events
     assert [(r.hexident, r.kind) for r in second] == [("CCC333", "landing")]
     assert second[0].runway in ("03", "21")
+
+
+def test_pbcompat_shim_dir_exposes_only_protobuf():
+    """pbcompat must never leak the donor's unrelated top-level modules
+    onto sys.path: the generated shim dir contains exactly a google/
+    package (whose only member is the protobuf symlink) plus the
+    worker sitecustomize — nothing else importable."""
+    import os
+
+    from dump1090_postgis_spark.streaming import pbcompat
+
+    if not pbcompat.prepare_env():
+        pytest.skip("no on-disk protobuf runtime on this host")
+    if "SPARK_GRAFT_PB_DIR" not in os.environ:
+        # protobuf was importable without the shim (pip-installed
+        # host): nothing to inspect.
+        pytest.skip("protobuf natively importable; shim not built")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(pbcompat.__file__))
+    )
+    shim = os.path.join(os.path.dirname(repo_root), ".artifacts", "pbshim")
+    assert sorted(os.listdir(shim)) == ["google", "sitecustomize.py"]
+    gdir = os.path.join(shim, "google")
+    assert sorted(os.listdir(gdir)) == ["__init__.py", "protobuf"] or sorted(
+        os.listdir(gdir)
+    ) == ["__init__.py", "__pycache__", "protobuf"]
+    assert os.path.islink(os.path.join(gdir, "protobuf"))
+    # the version-gap shim is active and same-major tolerant
+    from google.protobuf import runtime_version as rv
+
+    assert getattr(rv.ValidateProtobufRuntimeVersion, "_pbcompat_shim", False)
+    # a minor gap within the major must pass, a major gap must raise
+    rv.ValidateProtobufRuntimeVersion(
+        rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR + 1, 0, "", "gap.proto"
+    )
+    with pytest.raises(Exception):
+        rv.ValidateProtobufRuntimeVersion(
+            rv.Domain.PUBLIC, rv.MAJOR + 1, 0, 0, "", "major.proto"
+        )
+
+
+def test_pbcompat_gencode_roundtrip():
+    """With pbcompat active the pyspark TWS gencode imports and a
+    message survives serialize→parse on the discovered runtime."""
+    from dump1090_postgis_spark.streaming import pbcompat
+
+    if not (pbcompat.prepare_env() and pbcompat.tws_available()):
+        pytest.skip("no TWS-capable protobuf runtime on this host")
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    req = sm.StateRequest(version=1)
+    parsed = sm.StateRequest.FromString(req.SerializeToString())
+    assert parsed.version == 1
