@@ -564,7 +564,12 @@ def semantic_dedup(
     ``count()`` at plan-build time (parquet-metadata cheap, and the
     knob it sets cannot come from a lazy plan); the floor of 8 makes
     it a semantic no-op below ~8k rows — every oracle scale resolves
-    to exactly k=8.
+    to exactly k=8.  The next asymptotic term is the O(n·k) flat
+    centroid assignment itself (k grows with n, so assignment is
+    O(n²/target)); at true web scale SemDeDup implementations replace
+    the flat argmin with a two-level centroid tree (assign to √k
+    coarse centroids, then among that cell's fine centroids) — not
+    needed through the ×100 decade measured in BASELINE.md.
     """
     from .dedup import spread_for_compute
 
