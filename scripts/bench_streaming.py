@@ -121,6 +121,74 @@ def bench_file_replay(spark, drop: str) -> dict:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def bench_file_replay_tws(spark, drop: str) -> dict:
+    """bench_file_replay through the transformWithStateInPandas twin
+    (streaming/tws.py) over the RocksDB state store — the modern
+    stateful API's throughput next to the legacy handler's.  Returns
+    {} when no protobuf runtime is discoverable (pbcompat), so the
+    row is simply absent rather than fake."""
+    from dump1090_postgis_spark.streaming.pbcompat import (
+        prepare_env,
+        tws_available,
+    )
+
+    if not (prepare_env() and tws_available()):
+        return {}
+    from dump1090_postgis_spark.streaming.pipeline import parsed_stream
+    from dump1090_postgis_spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        event_stream_tws,
+    )
+
+    n_msgs = spark.read.text(drop).count()
+    ckpt = tempfile.mkdtemp(prefix="ingest_tws_ckpt")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        raw = spark.readStream.text(drop)
+        events = event_stream_tws(parsed_stream(raw))
+        t0 = time.time()
+        q = (
+            events.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # same drain rule as bench_file_replay: processing-time timers
+        # keep scheduling eviction batches; stop at first zero-input
+        # progress — ingest is done by then.
+        deadline = time.time() + 600
+        elapsed = None
+        state = {}
+        while time.time() < deadline and q.isActive:
+            p = q.lastProgress
+            if p and p.get("numInputRows", 0) == 0 and p.get("batchId", 0) > 0:
+                elapsed = time.time() - t0
+                state = _state_metrics(p)
+                q.stop()
+                break
+            time.sleep(0.2)
+        if elapsed is None:
+            q.awaitTermination(60)
+            elapsed = time.time() - t0
+        return {
+            "tws_file_replay_rate": round(n_msgs / elapsed, 1),
+            "tws_elapsed_sec": round(elapsed, 2),
+            "tws_state_rows": state.get("state_rows", 0),
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def bench_socket_sustained(spark, lines: list[str], attributed: bool = False) -> dict:
     """A paced TCP feed at SOCKET_RATE msg/s for SOCKET_SECS: the
     sustained shape the reference ingests, ~150-1500× its receiver
@@ -322,6 +390,8 @@ def main() -> int:
         _wire_lines(ev).repartition(8).write.mode("overwrite").text(drop)
         if which in ("all", "file"):
             out.update(bench_file_replay(spark, drop))
+        if which in ("all", "tws"):
+            out.update(bench_file_replay_tws(spark, drop))
         if which in ("all", "socket", "socket_attributed"):
             lines = [r.value for r in spark.read.text(drop).limit(200_000).collect()]
             if which != "socket_attributed":
