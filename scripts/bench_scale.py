@@ -132,15 +132,18 @@ def generate(spark) -> None:
             continue
         base = load_table(spark, SRC, name)
         maxes = base.agg(*[F.max(k).alias(k) for k in keys]).collect()[0]
-        copies = []
-        for i in range(SCALE):
-            c = base
-            for k in keys:
-                c = c.withColumn(k, F.col(k) + F.lit(i * (maxes[k] + 1)))
-            copies.append(c)
-        df = copies[0]
-        for c in copies[1:]:
-            df = df.unionByName(c)
+        # one scan, one explode — identical key shifts to the old
+        # SCALE-branch union (copy i shifts key k by i*(max+1)), but
+        # the plan stays O(1) in SCALE, so x300/x1000 replication
+        # neither rescans the base N times nor builds an N-way Union.
+        df = base.withColumn(
+            "_rep", F.explode(F.sequence(F.lit(0), F.lit(SCALE - 1)))
+        )
+        for k in keys:
+            df = df.withColumn(
+                k, F.col(k) + F.col("_rep") * F.lit(maxes[k] + 1)
+            )
+        df = df.drop("_rep")
         df.repartition(32).write.mode("overwrite").parquet(out)
         print(f"generated {name} x{SCALE}", file=sys.stderr)
 
