@@ -136,7 +136,12 @@ def generate(spark) -> None:
         # SCALE-branch union (copy i shifts key k by i*(max+1)), but
         # the plan stays O(1) in SCALE, so x300/x1000 replication
         # neither rescans the base N times nor builds an N-way Union.
-        df = base.withColumn(
+        # spread the base across the cores BEFORE exploding: a small
+        # source parquet scans as 1-3 splits, and each scan task emits
+        # SCALE copies — without this, 3 tasks do all the replication
+        # work (observed: the x1000 lineitem write serialized on a
+        # 3-task stage).
+        df = base.repartition(32).withColumn(
             "_rep", F.explode(F.sequence(F.lit(0), F.lit(SCALE - 1)))
         )
         for k in keys:
