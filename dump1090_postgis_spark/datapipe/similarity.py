@@ -302,15 +302,110 @@ def _ranked_centroids(vec_col, cen_arr) -> "F.Column":
     return F.array_sort(sims)
 
 
+#: Coarse cells searched by the two-level (tree) assignment — the
+#: boundary-miss hedge: a row whose true nearest fine centroid sits
+#: just across a coarse Voronoi edge is still found as long as that
+#: cell ranks within the probe count.
+_TREE_COARSE_PROBES = 2
+
+
+def _centroid_tree_array(centroids: DataFrame, coarse_probes: int):
+    """Two-level centroid index for the over-budget assignment path.
+
+    The flat over-budget fallback evaluates k cosines per corpus row
+    through interpreted higher-order functions — O(n·k), and because
+    auto-k grows k with n this is O(n²/target): at ×1000 (2M vectors,
+    k=1954) the flat assignment pinned 32 cores for tens of minutes.
+    This is the two-level fix promised in :func:`semantic_dedup`'s
+    docstring: cluster the (driver-small) fine centroids into
+    √k coarse cells (pure-Python Lloyd over ≤ ~10⁵ points — trivial
+    next to one corpus pass), then per corpus row rank the √k coarse
+    cells and search only the fines of the best ``coarse_probes``
+    cells: ~√k·(1+probes) cosines per row instead of k.
+
+    Returns a single-row broadcast DataFrame whose ``_tree`` column is
+    array<struct<coarse, fines>>.  The assignment is APPROXIMATE at
+    cell boundaries (exact when coarse_probes covers the geometry);
+    callers on the literal path — every oracle-checked scale — are
+    unaffected.
+    """
+    import math
+
+    rows = centroids.select("centroid_id", "centroid").collect()
+    k = len(rows)
+    kc = max(2, math.ceil(math.sqrt(k)))
+    fines = [(int(r.centroid_id), [float(x) for x in r.centroid]) for r in rows]
+    dim = len(fines[0][1])
+    # deterministic seed means (id % kc), then 3 Lloyd rounds — all
+    # driver-side over k points, no RNG.
+    assign = [fid % kc for fid, _ in fines]
+    coarse = [[0.0] * dim for _ in range(kc)]
+    for _ in range(4):  # seed-mean pass + 3 refinements
+        sums = [[0.0] * dim for _ in range(kc)]
+        counts = [0] * kc
+        for (fid, v), a in zip(fines, assign):
+            counts[a] += 1
+            s = sums[a]
+            for i, x in enumerate(v):
+                s[i] += x
+        coarse = [
+            [x / c for x in s] if c else list(fines[j % k][1])
+            for j, (s, c) in enumerate(zip(sums, counts))
+        ]
+        assign = []
+        for fid, v in fines:
+            best_j, best_d = 0, float("inf")
+            for j, cvec in enumerate(coarse):
+                d = sum((x - y) * (x - y) for x, y in zip(v, cvec))
+                if d < best_d:
+                    best_j, best_d = j, d
+            assign.append(best_j)
+    cells: dict[int, list] = {}
+    for (fid, v), a in zip(fines, assign):
+        cells.setdefault(a, []).append((fid, v))
+    tree = [
+        (coarse[j], [(fid, v) for fid, v in members])
+        for j, members in sorted(cells.items())
+    ]
+    spark = centroids.sparkSession
+    tdf = spark.createDataFrame(
+        [(tree,)],
+        "_tree array<struct<coarse: array<double>, "
+        "fines: array<struct<centroid_id: bigint, centroid: array<double>>>>>",
+    )
+    return F.broadcast(tdf)
+
+
+def _tree_best(vec_col, coarse_probes: int):
+    """Expression: nearest fine centroid via the two-level index in
+    the crossJoined ``_tree`` column."""
+    ranked_cells = F.array_sort(
+        F.transform(
+            F.col("_tree"),
+            lambda t: F.struct(
+                (-embedding_cosine(vec_col, t["coarse"])).alias("neg"),
+                t["fines"].alias("fines"),
+            ),
+        )
+    )
+    cand = F.flatten(
+        F.transform(
+            F.slice(ranked_cells, 1, coarse_probes), lambda c: c["fines"]
+        )
+    )
+    return F.element_at(_ranked_centroids(vec_col, cand), 1)
+
+
 def with_nearest_centroid(
     df: DataFrame, centroids: DataFrame, vec: str, out: str = "list_id",
     _cen_lit=None,
 ) -> DataFrame:
     """Nearest-centroid assignment as a PURE PROJECTION: the centroid
     set is compiled into the plan as a literal array (or, past the
-    literal budget, rides along as a broadcast single-row array), and
-    the argmax is an array_sort+element_at expression — zero shuffle
-    and zero join on the corpus side in the literal case.
+    literal budget, searched through a broadcast two-level centroid
+    tree — see :func:`_centroid_tree_array`), and the argmax is an
+    array_sort+element_at expression — zero shuffle and zero join on
+    the corpus side in the literal case.
 
     (The round-1 plan crossJoined corpus×C and ran a
     row_number().over(partitionBy(id)) — a full shuffle+sort of the
@@ -319,11 +414,11 @@ def with_nearest_centroid(
     if cen is not None:
         best = F.element_at(_ranked_centroids(F.col(vec), cen), 1)
         return df.withColumn(out, best["centroid_id"])
-    best = F.element_at(_ranked_centroids(F.col(vec), F.col("_cen")), 1)
+    best = _tree_best(F.col(vec), _TREE_COARSE_PROBES)
     return (
-        df.crossJoin(_centroid_array(centroids))
+        df.crossJoin(_centroid_tree_array(centroids, _TREE_COARSE_PROBES))
         .withColumn(out, best["centroid_id"])
-        .drop("_cen")
+        .drop("_tree")
     )
 
 

@@ -264,3 +264,76 @@ def test_semantic_dedup_auto_k_matches_pinned_k_below_floor(spark):
         for r in semantic_dedup(emb, num_centroids=8, tau=0.3).collect()
     }
     assert auto == pinned and len(auto) > 0
+
+
+def test_tree_assignment_matches_flat_on_separated_clusters(spark, monkeypatch):
+    """Past the literal budget, with_nearest_centroid switches to the
+    two-level centroid tree.  On well-separated clusters the tree
+    (default 2 coarse probes) must reproduce the flat argmin exactly —
+    and the per-row work drops from k to ~sqrt(k)·(1+probes) cosines."""
+    import math
+
+    from dump1090_postgis_spark.datapipe import similarity as sim
+
+    # 24 fine centroids on a ring in 8-d (well separated), 120 corpus
+    # rows jittered around them deterministically
+    k, dim = 24, 8
+    cents = []
+    for j in range(k):
+        v = [0.0] * dim
+        v[j % dim] = 1.0 + 0.05 * (j // dim)
+        v[(j + 3) % dim] = 0.3 * (j // dim + 1)
+        cents.append((j, v))
+    cdf = spark.createDataFrame(
+        cents, "centroid_id bigint, centroid array<double>"
+    )
+    rows = []
+    for i in range(120):
+        j = i % k
+        base = cents[j][1]
+        rows.append((i, [x + 0.01 * ((i * 7 + d) % 5 - 2) for d, x in enumerate(base)]))
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    flat = {
+        (r.vec_id, r.list_id)
+        for r in sim.with_nearest_centroid(corpus, cdf, "embedding").collect()
+    }
+    # force the over-budget tree path (k*dim=192 < 20k normally)
+    monkeypatch.setattr(sim, "_LITERAL_COMPILE_LIMIT", 1)
+    tree = {
+        (r.vec_id, r.list_id)
+        for r in sim.with_nearest_centroid(corpus, cdf, "embedding").collect()
+    }
+    assert tree == flat and len(tree) == 120
+
+
+def test_tree_assignment_exhaustive_probes_is_exact(spark, monkeypatch):
+    """With coarse_probes = number of coarse cells the tree search is
+    exhaustive, so it must equal the flat argmin on ANY geometry —
+    including adversarial boundary-straddling vectors."""
+    import math
+
+    from dump1090_postgis_spark.datapipe import similarity as sim
+
+    k, dim = 30, 6
+    cents = [
+        (j, [math.sin(j * 1.7 + d) for d in range(dim)]) for j in range(k)
+    ]
+    cdf = spark.createDataFrame(
+        cents, "centroid_id bigint, centroid array<double>"
+    )
+    rows = [
+        (i, [math.cos(i * 0.9 + d) for d in range(dim)]) for i in range(80)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    flat = {
+        (r.vec_id, r.list_id)
+        for r in sim.with_nearest_centroid(corpus, cdf, "embedding").collect()
+    }
+    monkeypatch.setattr(sim, "_LITERAL_COMPILE_LIMIT", 1)
+    monkeypatch.setattr(sim, "_TREE_COARSE_PROBES", max(2, math.ceil(math.sqrt(k))))
+    tree = {
+        (r.vec_id, r.list_id)
+        for r in sim.with_nearest_centroid(corpus, cdf, "embedding").collect()
+    }
+    assert tree == flat
