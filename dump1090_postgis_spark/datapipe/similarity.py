@@ -623,6 +623,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
     target_cluster_size: int = _SEM_TARGET_CLUSTER,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then inside each cluster drop every row whose
@@ -659,12 +660,27 @@ def semantic_dedup(
     ``count()`` at plan-build time (parquet-metadata cheap, and the
     knob it sets cannot come from a lazy plan); the floor of 8 makes
     it a semantic no-op below ~8k rows — every oracle scale resolves
-    to exactly k=8.  The next asymptotic term is the O(n·k) flat
-    centroid assignment itself (k grows with n, so assignment is
-    O(n²/target)); at true web scale SemDeDup implementations replace
-    the flat argmin with a two-level centroid tree (assign to √k
-    coarse centroids, then among that cell's fine centroids) — not
-    needed through the ×100 decade measured in BASELINE.md.
+    to exactly k=8.  Past the 20k-literal budget the assignment itself
+    switches to the broadcast two-level centroid tree
+    (:func:`_centroid_tree_array`) — ~3√k cosines per row instead of
+    the O(n·k) flat scan.
+
+    ``collapse_exact`` (default on) runs the O(b²) pairwise over ONE
+    representative per DISTINCT vector instead of per row — exact
+    dedup before near-dup, the standard pipeline ordering.  This is
+    output-IDENTICAL, not approximate: identical vectors share a
+    cluster and have rounded cosine 1.0, so non-minimum ids of a
+    group are dropped unconditionally, and any drop caused by a
+    non-representative is also caused by its (lower-id) representative.
+    Degenerate vectors are excluded from collapse (NULL / NaN rows
+    are inert in the pairwise — cosine NULL/NaN, never ≥ tau — and
+    NOT cos-1 to their own copies; they stay their own
+    representatives.  Zero-norm vectors raise DIVIDE_BY_ZERO in the
+    ANSI assignment cosine in BOTH modes, pre-existing behavior — the
+    quality screens in this package flag them upstream).  Costs one
+    vector-keyed groupBy + one NaN-safe join back; on corpora with
+    heavy exact duplication the pairwise shrinks by the duplication
+    factor squared.
     """
     from .dedup import spread_for_compute
 
@@ -673,14 +689,66 @@ def semantic_dedup(
             corpus.count(), target_cluster_size
         )
     if centroids is None:
+        # centroid SEEDS always come from the full corpus (pmod over
+        # every id), so collapse_exact cannot change the clustering —
+        # a precondition of its output-equality proof below.
         centroids = build_centroids(corpus, num_centroids, vec=vec, id_col=id_col)
     cen_lit = _centroid_literal(centroids)
-    # spread: a small parquet arrives as ONE scan partition, which
-    # would serialize the interpreted assignment ranking onto a single
-    # core (no-op at real scale — see dedup.spread_for_compute).
+
+    # Exact-duplicate collapse (standard practice: exact dedup before
+    # near-dup).  Identical vectors always share a cluster (assignment
+    # is a pure function of the vector) and have rounded cosine 1.0 ≥
+    # tau to each other, so every non-minimum id of an identical-vector
+    # group is dropped against its group minimum UNCONDITIONALLY — the
+    # O(b²) pairwise only ever needs ONE representative (the min id)
+    # per distinct vector.  A representative r is dropped iff some
+    # lower-id cluster mate has cos ≥ tau; if that mate is itself a
+    # non-representative m of group G', then rep(G') = min(G') ≤ m < r
+    # with the identical cosine, so checking representatives alone is
+    # EXACTLY equivalent.  Costs one vector-keyed groupBy plus one
+    # NaN-safe join back over the corpus; collapses the pairwise from
+    # sum(b²) over rows to sum(b²) over DISTINCT vectors.
+    if collapse_exact:
+        keyed = corpus.select(id_col, vec)
+        # degenerate vectors (NULL, zero-norm, NaN components) are
+        # INERT in the pairwise — their cosine to anything is
+        # NULL/NaN, never ≥ tau, so they neither drop nor get dropped
+        # — and they are NOT cos-1 to their own copies, so they must
+        # not be collapse-dropped either: each degenerate row stays
+        # its own representative.
+        _n2 = F.aggregate(
+            F.transform(
+                F.col(vec), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        group_reps = (
+            keyed.groupBy(vec)
+            .agg(F.min(id_col).alias("_rep"))
+            .withColumn(
+                "_collapsible", F.coalesce(_n2 > 0, F.lit(False))
+            )
+        )
+        pool = group_reps.filter("_collapsible").select(
+            F.col("_rep").alias(id_col), vec
+        ).unionByName(
+            keyed.join(
+                group_reps.filter(~F.col("_collapsible")).select(
+                    F.col(vec).alias("_gv")
+                ),
+                F.col(vec).eqNullSafe(F.col("_gv")),
+            ).select(id_col, vec)
+        )
+    else:
+        # spread: a small parquet arrives as ONE scan partition, which
+        # would serialize the interpreted assignment ranking onto a
+        # single core (no-op at real scale — see
+        # dedup.spread_for_compute); the collapse branch is already
+        # distributed by its groupBy exchange.
+        pool = spread_for_compute(corpus.select(id_col, vec), id_col)
     assigned = with_nearest_centroid(
-        spread_for_compute(corpus.select(id_col, vec), id_col),
-        centroids, vec, "list_id", _cen_lit=cen_lit,
+        pool, centroids, vec, "list_id", _cen_lit=cen_lit,
     ).select(id_col, "list_id", F.col(vec).alias("_v"))
 
     # Stage the double cast and the vector norm ONCE PER ROW before the
@@ -737,12 +805,49 @@ def semantic_dedup(
         .distinct()
         .withColumn("_dropped", F.lit(True))
     )
-    return (
+    rep_flags = (
         staged.select(id_col, "list_id")
         .join(drops, id_col, "left")
         .select(
             id_col,
             F.col("list_id").cast("bigint").alias("list_id"),
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+    if not collapse_exact:
+        return rep_flags
+    # Fan the representative verdicts back out to every corpus row: a
+    # member inherits its representative's cluster (identical vector →
+    # identical assignment) and keeps only if it IS the representative
+    # and the representative survived the pairwise; degenerate rows
+    # are their own representatives in the pool, so they inherit their
+    # own (always-keep) verdict.  NaN-safe vector equality so every
+    # row rejoins its group.
+    members = corpus.select(id_col, vec).join(
+        group_reps.select(
+            F.col(vec).alias("_gv"), "_rep", "_collapsible"
+        ),
+        F.col(vec).eqNullSafe(F.col("_gv")),
+    ).withColumn(
+        "_repx",
+        F.when(F.col("_collapsible"), F.col("_rep")).otherwise(
+            F.col(id_col)
+        ),
+    )
+    return (
+        members.join(
+            rep_flags.select(
+                F.col(id_col).alias("_repx"),
+                "list_id",
+                F.col("keep").alias("_rep_keep"),
+            ),
+            "_repx",
+        )
+        .select(
+            id_col,
+            "list_id",
+            (
+                (F.col(id_col) == F.col("_repx")) & F.col("_rep_keep")
+            ).alias("keep"),
         )
     )

@@ -337,3 +337,76 @@ def test_tree_assignment_exhaustive_probes_is_exact(spark, monkeypatch):
         for r in sim.with_nearest_centroid(corpus, cdf, "embedding").collect()
     }
     assert tree == flat
+
+
+def test_semantic_dedup_collapse_exact_equals_full_pairwise(spark):
+    """collapse_exact=True must be bit-identical to the full pairwise
+    on a corpus with identical-vector groups (including a group whose
+    representative is itself near-dup to a lower-id distinct vector),
+    plus NULL-vector rows — which are inert in the pairwise (cosine
+    NULL, never >= tau) and must survive as their own representatives,
+    even when duplicated (NULL is NOT cos-1 to its copy).  Zero-norm
+    vectors are out of contract in BOTH modes: the ANSI assignment
+    cosine raises DIVIDE_BY_ZERO (pre-existing; the quality screens in
+    this package flag zero-norm embeddings upstream)."""
+    from dump1090_postgis_spark.datapipe.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0 (distinct vector)
+        (2, [0.999, 0.01, 0.0, 0.0]),   # identical to 1 → dropped vs 1
+        (3, [0.999, 0.01, 0.0, 0.0]),   # identical to 1 → dropped vs 1
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 1.0, 0.0, 0.0]),      # identical to 4
+        (6, [0.0, 0.0, 1.0, 0.0]),      # singleton
+        (7, None),                       # null vector: inert
+        (8, None),                       # null copy: must also KEEP
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = {
+        (r.vec_id, r.list_id, r.keep)
+        for r in semantic_dedup(
+            emb, num_centroids=2, tau=0.9, collapse_exact=False
+        ).collect()
+    }
+    collapsed = {
+        (r.vec_id, r.list_id, r.keep)
+        for r in semantic_dedup(
+            emb, num_centroids=2, tau=0.9, collapse_exact=True
+        ).collect()
+    }
+    assert collapsed == full and len(collapsed) == 9
+    keep = {v: k for v, _, k in collapsed}
+    assert keep[7] and keep[8]                  # null rows survive
+    assert not keep[2] and not keep[3] and not keep[5]  # identical copies drop
+    assert not keep[1]                          # near-dup of 0 drops
+
+
+def test_semantic_dedup_collapse_exact_on_replicated_corpus(spark):
+    """Replication-shaped corpus (every vector duplicated many times,
+    the ×N bench shape): collapse must agree with the full pairwise
+    row-for-row."""
+    import math
+
+    from dump1090_postgis_spark.datapipe.similarity import semantic_dedup
+
+    base = [
+        [math.sin(j * 1.3 + d) for d in range(6)] for j in range(12)
+    ]
+    rows = [
+        (i * 12 + j, base[j]) for i in range(9) for j in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = {
+        (r.vec_id, r.list_id, r.keep)
+        for r in semantic_dedup(
+            emb, num_centroids=4, tau=0.5, collapse_exact=False
+        ).collect()
+    }
+    collapsed = {
+        (r.vec_id, r.list_id, r.keep)
+        for r in semantic_dedup(
+            emb, num_centroids=4, tau=0.5, collapse_exact=True
+        ).collect()
+    }
+    assert collapsed == full and len(collapsed) == 108
