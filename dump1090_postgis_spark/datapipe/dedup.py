@@ -705,13 +705,20 @@ def containment_pairs(
         .select("_id", "_sh")
         .repartition(n_parts, "_id")
     )
+    # merge hints: same AQE runtime-broadcast hazard as jaccard_pairs
+    # (see that operator) — the pairs side is output-sized and the
+    # shingle side is corpus-sized; neither may ever be broadcast.
     joined = (
         pairs.join(
-            sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"),
+            sh.withColumnRenamed("_id", "id_a")
+            .withColumnRenamed("_sh", "sh_a")
+            .hint("merge"),
             "id_a",
         )
         .join(
-            sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"),
+            sh.withColumnRenamed("_id", "id_b")
+            .withColumnRenamed("_sh", "sh_b")
+            .hint("merge"),
             "id_b",
         )
     )
