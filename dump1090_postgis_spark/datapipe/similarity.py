@@ -823,10 +823,15 @@ def semantic_dedup(
     # are their own representatives in the pool, so they inherit their
     # own (always-keep) verdict.  NaN-safe vector equality so every
     # row rejoins its group.
+    # merge hint: group_reps is corpus-sized on a distinct-heavy
+    # corpus and carries the raw vector array — the post-aggregation
+    # compressed-stats profile AQE mis-estimated into a 1 GiB
+    # runtime-broadcast abort on the LSH verify joins (see
+    # dedup.jaccard_pairs).  Pin to sort-merge.
     members = corpus.select(id_col, vec).join(
         group_reps.select(
             F.col(vec).alias("_gv"), "_rep", "_collapsible"
-        ),
+        ).hint("merge"),
         F.col(vec).eqNullSafe(F.col("_gv")),
     ).withColumn(
         "_repx",
