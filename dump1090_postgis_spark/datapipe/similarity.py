@@ -396,6 +396,103 @@ def _tree_best(vec_col, coarse_probes: int):
     return F.element_at(_ranked_centroids(vec_col, cand), 1)
 
 
+def _assign_nearest_vectorized(
+    df: DataFrame, centroids: DataFrame, vec: str, out: str = "list_id"
+) -> DataFrame:
+    """EXACT nearest-centroid assignment as an Arrow ``mapInPandas``
+    blocked numpy matmul — the scale twin of the literal-projection
+    assignment in :func:`with_nearest_centroid`, for callers already
+    off the bit-exact oracle path.
+
+    Past the 20k-literal budget the declarative fallback is the
+    two-level centroid tree — APPROXIMATE at coarse-cell boundaries
+    and still ~3√k INTERPRETED higher-order cosines per row (measured:
+    205 s for 2M rows × k=1954 at ×1000 — the dominant cost of the
+    whole SemDeDup plan once the pairwise is vectorized).  Here every
+    row batch computes all k cosines as one blocked BLAS matmul
+    against the driver-broadcast centroid matrix: EXACT (all k
+    probed, better than the tree) and ~50× cheaper per cosine.
+
+    Parity with the declarative paths (pinned by the semantic_dedup
+    join-vs-vectorized equivalence pytest):
+    - argmax tie-break is lowest centroid_id (numpy first-max over the
+      id-sorted matrix = Spark's (−sim, id) ascending sort);
+    - NULL / NULL-element / NaN-component vectors assign to the MIN
+      centroid id — exactly what the literal and tree expressions
+      produce (every neg_sim NULL or NaN → all-tie → id ascending);
+    - divergence: zero-norm vectors assign to the min centroid id here
+      (0/0 → NaN sims) instead of raising DIVIDE_BY_ZERO as the ANSI
+      declarative cosine does — zero-norm is out of contract in both
+      (the quality screens flag them upstream).
+
+    CAVEAT for consumers of the OUTPUT ``vec`` column: the Arrow→pandas
+    round-trip represents NULL array elements as NaN, so NULL-element
+    vectors come back NaN-element.  Callers that must distinguish the
+    two downstream (inert vs poisonous in semantic_dedup's pairwise)
+    precompute their flags on the input side — see semantic_dedup.
+
+    Scale: the centroid matrix is k×dim float64 through an
+    ``sc.broadcast`` (k=10⁵ × 1k dims ≈ 800 MB is the practical
+    ceiling — far past any auto-k this package derives); the corpus
+    side is a pure map, zero shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = sorted(
+        centroids.select("centroid_id", "centroid").collect(),
+        key=lambda r: r.centroid_id,
+    )
+    cen_ids = np.array([int(r.centroid_id) for r in rows], dtype="int64")
+    cen_mat = np.array(
+        [[float(x) for x in r.centroid] for r in rows], dtype="float64"
+    )
+    cen_norm = np.sqrt((cen_mat * cen_mat).sum(axis=1))
+    min_id = int(cen_ids[0])
+    dim = cen_mat.shape[1]
+    bc = df.sparkSession.sparkContext.broadcast((cen_ids, cen_mat, cen_norm))
+    out_schema = StructType(
+        df.schema.fields + [StructField(out, LongType(), True)]
+    )
+
+    def _assign(batches):
+        ids_k, C, cn = bc.value
+        for pdf in batches:
+            col = pdf[vec]
+            n = len(pdf)
+            res = np.full(n, min_id, dtype="int64")
+            clean_idx = []
+            clean_vecs = []
+            for i, v in enumerate(col):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype="float64")
+                if a.shape != (dim,) or np.isnan(a).any():
+                    continue
+                clean_idx.append(i)
+                clean_vecs.append(a)
+            if clean_idx:
+                V = np.stack(clean_vecs)
+                vn = np.sqrt((V * V).sum(axis=1))
+                for b0 in range(0, len(clean_idx), _VEC_TBLK):
+                    be = min(b0 + _VEC_TBLK, len(clean_idx))
+                    S = V[b0:be] @ C.T
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        S /= vn[b0:be, None] * cn[None, :]
+                    # all-NaN rows (zero-norm) argmax to index 0 = min id
+                    S = np.nan_to_num(S, nan=-np.inf)
+                    best = np.where(
+                        np.isneginf(S).all(axis=1), 0, S.argmax(axis=1)
+                    )
+                    res[clean_idx[b0:be]] = ids_k[best]
+            out_pdf = pdf.copy()
+            out_pdf[out] = res
+            yield out_pdf
+
+    return df.mapInPandas(_assign, schema=out_schema)
+
+
 def with_nearest_centroid(
     df: DataFrame, centroids: DataFrame, vec: str, out: str = "list_id",
     _cen_lit=None,
@@ -602,6 +699,139 @@ _SEM_TARGET_CLUSTER = 1024
 #: auto-k changes nothing below ~8k rows by construction.
 _SEM_K_FLOOR = 8
 
+#: semantic_dedup pairwise='auto' switches to the Arrow/numpy matmul
+#: pairwise at this corpus size.  Gated so every DuckDB-oracle scale
+#: (sf0.01: 500 rows, sf0.1: 2,000, ×10: 20k) stays on the bit-exact
+#: codegen'd join path — the same discipline as the 20k-literal
+#: centroid-tree budget.  ×30 and beyond (60k+) cross the gate, where
+#: the interpreted HOF dot product is the measured bottleneck (~10⁹
+#: interpreted dots = 1,102 s uncollapsed at ×1000).
+_SEM_VECTORIZE_MIN_ROWS = 50_000
+
+#: blocked-matmul tile sizes for the vectorized pairwise: target rows
+#: × candidate columns per numpy matmul.  1024×8192 doubles ≈ 64 MiB
+#: for the product block — bounded per task regardless of cluster size.
+_VEC_TBLK = 1024
+_VEC_CBLK = 8192
+
+
+def _pairwise_drops_vectorized(
+    staged: DataFrame, id_col: str, tau: float, salt: int = _SEM_SALT
+) -> DataFrame:
+    """Within-cluster SemDeDup pairwise as an Arrow ``applyInPandas``
+    numpy matmul — the scale twin of the salted self-join in
+    :func:`semantic_dedup`.
+
+    Same pair semantics, ~10–50× less per-dot cost: the join path
+    evaluates one INTERPRETED higher-order ``zip_with``/``aggregate``
+    dot per pair (the measured ×1000 envelope: ~10⁹ interpreted dots =
+    1,102 s uncollapsed); here each (cluster, salt) group computes its
+    dots as blocked BLAS matmuls over an Arrow-transferred float64
+    matrix.
+
+    Distribution mirrors the join's salt fan-out: every row owns one
+    deterministic salt (``pmod(xxhash64(id), salt)``); the group for
+    (cluster c, salt s) receives ALL of c's rows (the replicated
+    a-side) and is responsible for verdicts on the rows whose OWN salt
+    is s — so a hot cluster fans out ×salt tasks and each target id is
+    emitted by exactly one group (no distinct needed).  ``salt`` is
+    ADAPTIVE here (unlike the join's fixed ×_SEM_SALT): replication
+    through the Arrow shuffle costs ×salt, and once the cluster count
+    k already saturates the cluster's task slots extra fan-out buys
+    nothing — the caller passes ~ceil(256/k) clamped to
+    [1, _SEM_SALT], so small-k corpora keep full hot-cluster
+    protection and large-k corpora shuffle each row once.
+
+    Spark-comparison parity (pinned by the join-equivalence pytest):
+    - rounding: HALF_UP at 4 decimals (``sign·floor(|c|·1e4+0.5)``),
+      matching Spark's ``round`` — numpy's default would be half-even;
+    - NULL vectors / NULL-element vectors are inert (cosine NULL never
+      satisfies ``>= tau``): filtered out before the pandas stage;
+    - NaN-component vectors follow Spark's nanSafeCompare ordering
+      (NaN > everything, so ``round(NaN,4) >= tau`` is TRUE): a NaN
+      row drops EVERY higher-id cluster-mate and is dropped by ANY
+      lower-id mate — handled as rank arithmetic, no NaN matmul;
+    - zero-norm vectors never reach this stage: the ANSI assignment
+      cosine in :func:`with_nearest_centroid` raises DIVIDE_BY_ZERO
+      when the staged assignment materializes, same as the join path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # `_deg` / `_isnan` are PRE-COMPUTED by the caller on the original
+    # vector column BEFORE the assignment mapInPandas: the Arrow→pandas
+    # round-trip represents NULL array elements as NaN, so deriving the
+    # flags from the post-assignment vector would silently promote
+    # inert NULL-element rows into poisonous NaN rows (caught by the
+    # join-equivalence pytest).
+    pool = (
+        staged.filter(~F.col("_deg"))
+        .select(
+            F.col(id_col).cast("bigint").alias("_id"),
+            "list_id",
+            "_dv",
+            "_isnan",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+            .cast("int")
+            .alias("_bs"),
+        )
+        .withColumn(
+            "_s", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+    )
+
+    def _drops(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        s = int(pdf["_s"].iloc[0])
+        ids = pdf["_id"].to_numpy(dtype="int64")
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        nan_mask = pdf["_isnan"].to_numpy(dtype=bool)[order]
+        tgt = pdf["_bs"].to_numpy()[order] == s
+        out: list[int] = []
+        if not len(ids):
+            return pd.DataFrame({"_id": pd.Series(out, dtype="int64")})
+        min_all = ids[0]
+        nan_ids = ids[nan_mask]
+        min_nan = nan_ids[0] if len(nan_ids) else None
+        # NaN targets: dropped iff ANY lower-id (non-inert) row exists.
+        for j in np.nonzero(tgt & nan_mask)[0]:
+            if ids[j] > min_all:
+                out.append(int(ids[j]))
+        norm_idx = np.nonzero(~nan_mask)[0]
+        if len(norm_idx):
+            vecs = pdf["_dv"].to_numpy()[order]
+            V = np.stack(
+                [np.asarray(vecs[i], dtype="float64") for i in norm_idx]
+            )
+            n = np.sqrt((V * V).sum(axis=1))
+            nids = ids[norm_idx]
+            ntgt = tgt[norm_idx]
+            tcand = np.nonzero(ntgt)[0]
+            for t0 in range(0, len(tcand), _VEC_TBLK):
+                tb = tcand[t0 : t0 + _VEC_TBLK]
+                idt = nids[tb]
+                drop_t = np.zeros(len(tb), dtype=bool)
+                if min_nan is not None:
+                    drop_t |= idt > min_nan
+                # candidates: normal rows with strictly lower id (ids
+                # are a pk, sorted asc — searchsorted bounds the scan)
+                cmax = int(np.searchsorted(nids, idt.max()))
+                Vt, nt = V[tb], n[tb]
+                for c0 in range(0, cmax, _VEC_CBLK):
+                    ce = min(c0 + _VEC_CBLK, cmax)
+                    C = Vt @ V[c0:ce].T
+                    C /= nt[:, None] * n[c0:ce][None, :]
+                    rc = np.sign(C) * np.floor(np.abs(C) * 1e4 + 0.5) / 1e4
+                    hit = rc >= tau
+                    lower = nids[c0:ce][None, :] < idt[:, None]
+                    drop_t |= (hit & lower).any(axis=1)
+                out.extend(int(i) for i in idt[drop_t])
+        return pd.DataFrame({"_id": pd.Series(out, dtype="int64")})
+
+    return pool.groupBy("list_id", "_s").applyInPandas(
+        _drops, schema="_id bigint"
+    ).select(F.col("_id").alias(id_col))
+
 
 def semantic_dedup_auto_k(
     n_rows: int,
@@ -624,6 +854,7 @@ def semantic_dedup(
     centroids: DataFrame | None = None,
     target_cluster_size: int = _SEM_TARGET_CLUSTER,
     collapse_exact: bool = True,
+    pairwise: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then inside each cluster drop every row whose
@@ -672,28 +903,58 @@ def semantic_dedup(
     cluster and have rounded cosine 1.0, so non-minimum ids of a
     group are dropped unconditionally, and any drop caused by a
     non-representative is also caused by its (lower-id) representative.
-    Degenerate vectors are excluded from collapse (NULL / NaN rows
-    are inert in the pairwise — cosine NULL/NaN, never ≥ tau — and
+    NULL vectors and NULL-element vectors are excluded from collapse
+    (cosine NULL is never ≥ tau, so they are inert in the pairwise and
     NOT cos-1 to their own copies; they stay their own
-    representatives.  Zero-norm vectors raise DIVIDE_BY_ZERO in the
-    ANSI assignment cosine in BOTH modes, pre-existing behavior — the
-    quality screens in this package flag them upstream).  Costs one
-    vector-keyed groupBy + one NaN-safe join back; on corpora with
-    heavy exact duplication the pairwise shrinks by the duplication
-    factor squared.
+    representatives).  NaN-component vectors are NOT inert: under
+    Spark's nanSafeCompare ordering NaN compares greater than every
+    value, so ``round(NaN,4) >= tau`` is TRUE and ``_n2(NaN) > 0`` is
+    TRUE — NaN rows ARE collapsible, DROP every higher-id cluster-mate
+    (their cosine to anything is NaN), and are dropped by any lower-id
+    mate; both modes treat them identically, so output equivalence
+    holds (pytest-pinned with a NaN case).  Zero-norm vectors raise
+    DIVIDE_BY_ZERO in the ANSI assignment cosine in BOTH modes,
+    pre-existing behavior — the quality screens in this package flag
+    them upstream.  Costs one vector-keyed groupBy + one NaN-safe join
+    back; on corpora with heavy exact duplication the pairwise shrinks
+    by the duplication factor squared.
+
+    ``pairwise`` selects the within-cluster pair engine: ``'join'`` is
+    the salted codegen'd self-join (bit-exact vs the DuckDB oracle —
+    its interpreted HOF dot evaluates left-to-right like the SQL
+    formula); ``'vectorized'`` is the Arrow ``applyInPandas`` blocked
+    numpy matmul (:func:`_pairwise_drops_vectorized`, same pair
+    semantics and salt fan-out, ~10–50× less per-dot cost — BLAS sum
+    order differs in ulps, so only the 4-decimal rounding boundary
+    could ever diverge); ``'auto'`` (default) takes the vectorized
+    path when the corpus row count is known (auto-k mode) and ≥
+    ``_SEM_VECTORIZE_MIN_ROWS`` — every oracle-checked scale stays on
+    the bit-exact join path, exactly like the centroid-tree literal
+    budget.
     """
     from .dedup import spread_for_compute
 
+    if pairwise not in ("auto", "join", "vectorized"):
+        raise ValueError(f"pairwise must be auto|join|vectorized, got {pairwise!r}")
     if num_centroids is None:
-        num_centroids = semantic_dedup_auto_k(
-            corpus.count(), target_cluster_size
-        )
+        n_rows = corpus.count()
+        num_centroids = semantic_dedup_auto_k(n_rows, target_cluster_size)
+        if pairwise == "auto":
+            pairwise = (
+                "vectorized"
+                if n_rows >= _SEM_VECTORIZE_MIN_ROWS
+                else "join"
+            )
+    elif pairwise == "auto":
+        # explicit k = the oracle/test path; no count available and no
+        # scale signal — stay on the bit-exact join engine.
+        pairwise = "join"
     if centroids is None:
         # centroid SEEDS always come from the full corpus (pmod over
         # every id), so collapse_exact cannot change the clustering —
         # a precondition of its output-equality proof below.
         centroids = build_centroids(corpus, num_centroids, vec=vec, id_col=id_col)
-    cen_lit = _centroid_literal(centroids)
+    cen_lit = None if pairwise == "vectorized" else _centroid_literal(centroids)
 
     # Exact-duplicate collapse (standard practice: exact dedup before
     # near-dup).  Identical vectors always share a cluster (assignment
@@ -710,12 +971,19 @@ def semantic_dedup(
     # sum(b²) over rows to sum(b²) over DISTINCT vectors.
     if collapse_exact:
         keyed = corpus.select(id_col, vec)
-        # degenerate vectors (NULL, zero-norm, NaN components) are
-        # INERT in the pairwise — their cosine to anything is
-        # NULL/NaN, never ≥ tau, so they neither drop nor get dropped
-        # — and they are NOT cos-1 to their own copies, so they must
-        # not be collapse-dropped either: each degenerate row stays
-        # its own representative.
+        # NULL / NULL-element vectors are INERT in the pairwise (their
+        # cosine to anything is NULL, and NULL ≥ tau is NULL → filter
+        # false), and they are NOT cos-1 to their own copies — so they
+        # must not be collapse-dropped: each stays its own
+        # representative (_n2 is NULL → _collapsible false).
+        # NaN-component vectors are the OPPOSITE under Spark's
+        # nanSafeCompare ordering (NaN > any value): _n2(NaN) > 0 is
+        # TRUE → collapsible, and round(NaN,4) ≥ tau is TRUE → a NaN
+        # row drops every higher-id mate and is dropped by any
+        # lower-id mate.  Both modes treat NaN identically (group rep
+        # inherits the same poisonous cosine), so collapse stays
+        # output-identical — pinned by the NaN case in
+        # test_semantic_dedup_collapse_exact_equals_full_pairwise.
         _n2 = F.aggregate(
             F.transform(
                 F.col(vec), lambda x: x.cast("double") * x.cast("double")
@@ -747,9 +1015,33 @@ def semantic_dedup(
         # dedup.spread_for_compute); the collapse branch is already
         # distributed by its groupBy exchange.
         pool = spread_for_compute(corpus.select(id_col, vec), id_col)
-    assigned = with_nearest_centroid(
-        pool, centroids, vec, "list_id", _cen_lit=cen_lit,
-    ).select(id_col, "list_id", F.col(vec).alias("_v"))
+    if pairwise == "vectorized":
+        # exact all-k numpy assignment: the interpreted tree assignment
+        # was THE residual cost once the pairwise went vectorized
+        # (measured 205 s of 238 s at ×1000) — and the matmul probes
+        # all k, so assignment is EXACT here, not boundary-approximate.
+        # Degenerate/NaN flags MUST come from the pre-pandas vector:
+        # the Arrow round-trip rewrites NULL elements as NaN (see
+        # _pairwise_drops_vectorized).
+        flagged = pool.withColumn(
+            "_deg",
+            F.col(vec).isNull()
+            | F.coalesce(
+                F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
+            ),
+        ).withColumn(
+            "_isnan",
+            F.coalesce(F.exists(F.col(vec), F.isnan), F.lit(False)),
+        )
+        assigned = _assign_nearest_vectorized(
+            flagged, centroids, vec, "list_id"
+        ).select(
+            id_col, "list_id", F.col(vec).alias("_v"), "_deg", "_isnan"
+        )
+    else:
+        assigned = with_nearest_centroid(
+            pool, centroids, vec, "list_id", _cen_lit=cen_lit,
+        ).select(id_col, "list_id", F.col(vec).alias("_v"))
 
     # Stage the double cast and the vector norm ONCE PER ROW before the
     # pairwise join: the interpreted higher-order norm subtree would
@@ -757,10 +1049,12 @@ def semantic_dedup(
     # O(b)).  dot/(na*nb) below is the exact embedding_cosine
     # expression tree over the staged inputs, so 4-decimal rounding
     # stays bitwise-identical to the oracle's inline formula.
+    # (The vectorized engine computes norms in numpy — skip the
+    # interpreted per-row norm there.)
     dbl = F.transform(F.col("_v"), lambda x: x.cast("double"))
-    staged = (
-        assigned.withColumn("_dv", dbl)
-        .withColumn(
+    staged = assigned.withColumn("_dv", dbl)
+    if pairwise != "vectorized":
+        staged = staged.withColumn(
             "_nn",
             F.sqrt(
                 F.aggregate(
@@ -770,41 +1064,52 @@ def semantic_dedup(
                 )
             ),
         )
-        # three consumers (join sides a/b, final keep flag): one eager
-        # localCheckpoint materializes the assignment + staged norms so
-        # the interpreted ranking runs once, not thrice (the
-        # cluster.py label-propagation precedent).  One extra pass over
-        # the corpus at scale, traded for never re-deriving it.
-        .localCheckpoint()
-    )
-    # Salt the pairwise join: with few clusters the plain list_id key
-    # caps parallelism at num_centroids (and a hot cluster at 100 TB
-    # is one straggler task).  The b side takes a deterministic salt,
-    # the a side replicates across all _SEM_SALT salts — pairs are
-    # unchanged, the per-cluster O(b²) work fans out ×_SEM_SALT.
-    a = staged.select(
-        F.col(id_col).alias("_ida"), "list_id",
-        F.col("_dv").alias("_va"), F.col("_nn").alias("_na"),
-    ).withColumn("_s", F.explode(F.sequence(F.lit(0), F.lit(_SEM_SALT - 1))))
-    b = staged.select(
-        F.col(id_col).alias("_idb"), "list_id",
-        F.col("_dv").alias("_vb"), F.col("_nn").alias("_nb"),
-    ).withColumn("_s", F.pmod(F.xxhash64(F.col("_idb")), F.lit(_SEM_SALT)).cast("int"))
-    dot = F.aggregate(
-        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    drops = (
-        a.join(b, ["list_id", "_s"])
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(
-            F.round(dot / (F.col("_na") * F.col("_nb")), 4) >= F.lit(tau)
+    # three consumers (join sides a/b, final keep flag): one eager
+    # localCheckpoint materializes the assignment + staged norms so
+    # the interpreted ranking runs once, not thrice (the cluster.py
+    # label-propagation precedent).  One extra pass over the corpus
+    # at scale, traded for never re-deriving it.
+    staged = staged.localCheckpoint()
+    if pairwise == "vectorized":
+        # Arrow/numpy blocked-matmul engine — same pair semantics and
+        # salt fan-out as the join below, ~10–50× cheaper per dot (the
+        # ×1000 uncollapsed envelope was ~10⁹ INTERPRETED HOF dots =
+        # 1,102 s); gated off every oracle scale by the row-count
+        # budget above.
+        vsalt = max(1, min(_SEM_SALT, -(-256 // max(1, num_centroids))))
+        drops = _pairwise_drops_vectorized(
+            staged, id_col, tau, salt=vsalt
+        ).withColumn("_dropped", F.lit(True))
+    else:
+        # Salt the pairwise join: with few clusters the plain list_id
+        # key caps parallelism at num_centroids (and a hot cluster at
+        # 100 TB is one straggler task).  The b side takes a
+        # deterministic salt, the a side replicates across all
+        # _SEM_SALT salts — pairs are unchanged, the per-cluster O(b²)
+        # work fans out ×_SEM_SALT.
+        a = staged.select(
+            F.col(id_col).alias("_ida"), "list_id",
+            F.col("_dv").alias("_va"), F.col("_nn").alias("_na"),
+        ).withColumn("_s", F.explode(F.sequence(F.lit(0), F.lit(_SEM_SALT - 1))))
+        b = staged.select(
+            F.col(id_col).alias("_idb"), "list_id",
+            F.col("_dv").alias("_vb"), F.col("_nn").alias("_nb"),
+        ).withColumn("_s", F.pmod(F.xxhash64(F.col("_idb")), F.lit(_SEM_SALT)).cast("int"))
+        dot = F.aggregate(
+            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
         )
-        .select(F.col("_idb").alias(id_col))
-        .distinct()
-        .withColumn("_dropped", F.lit(True))
-    )
+        drops = (
+            a.join(b, ["list_id", "_s"])
+            .filter(F.col("_ida") < F.col("_idb"))
+            .filter(
+                F.round(dot / (F.col("_na") * F.col("_nb")), 4) >= F.lit(tau)
+            )
+            .select(F.col("_idb").alias(id_col))
+            .distinct()
+            .withColumn("_dropped", F.lit(True))
+        )
     rep_flags = (
         staged.select(id_col, "list_id")
         .join(drops, id_col, "left")

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Measure the UNCOLLAPSED SemDeDup envelope at a replication scale.
+
+The ×N replication creates exact-duplicate families, so the default
+collapse_exact path shortcuts the O(b²) pairwise; a REAL deduped
+corpus (all-distinct vectors) pays the full within-cluster pairwise.
+This script times that envelope — collapse_exact=False — for the
+join engine vs the Arrow/numpy vectorized engine (round-6 measured
+join envelope at ×1000: 1,102 s).
+
+Usage:
+    SPARK_GRAFT_SCALE=1000 python scripts/bench_semdedup_envelope.py [join|vectorized|both]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALE = int(os.environ.get("SPARK_GRAFT_SCALE", "100"))
+SF_DIR = os.path.join(REPO, f".bench_sf1_x{SCALE}")
+
+
+def main() -> int:
+    from dump1090_postgis_spark.datapipe import similarity as sim
+    from dump1090_postgis_spark.schemas import load_table
+    from dump1090_postgis_spark.session import get_spark
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "vectorized"
+    engines = ["join", "vectorized"] if which == "both" else [which]
+    spark = get_spark(app_name=f"semdedup-envelope-x{SCALE}")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    out = {"scale": SCALE, "rows": n, "collapse_exact": False}
+    for engine in engines:
+        t0 = time.monotonic()
+        res = sim.semantic_dedup(
+            emb, num_centroids=None, tau=0.3,
+            collapse_exact=False, pairwise=engine,
+        )
+        kept = res.filter("keep").count()
+        out[engine] = {"sec": round(time.monotonic() - t0, 1), "kept": kept}
+        print(f"{engine}: {out[engine]}", file=sys.stderr)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -361,6 +361,13 @@ def test_semantic_dedup_collapse_exact_equals_full_pairwise(spark):
         (6, [0.0, 0.0, 1.0, 0.0]),      # singleton
         (7, None),                       # null vector: inert
         (8, None),                       # null copy: must also KEEP
+        # NaN vectors are NOT inert: Spark's nanSafeCompare orders NaN
+        # above everything, so round(NaN,4) >= tau is TRUE — a NaN row
+        # is dropped by ANY lower-id cluster-mate (and would drop any
+        # higher-id one).  _n2(NaN) > 0 is TRUE too, so NaN rows ARE
+        # collapsible; both modes must agree row-for-row.
+        (9, [float("nan"), 1.0, 0.0, 0.0]),
+        (10, [float("nan"), 1.0, 0.0, 0.0]),  # identical NaN copy
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     full = {
@@ -375,11 +382,17 @@ def test_semantic_dedup_collapse_exact_equals_full_pairwise(spark):
             emb, num_centroids=2, tau=0.9, collapse_exact=True
         ).collect()
     }
-    assert collapsed == full and len(collapsed) == 9
+    assert collapsed == full and len(collapsed) == 11
     keep = {v: k for v, _, k in collapsed}
     assert keep[7] and keep[8]                  # null rows survive
     assert not keep[2] and not keep[3] and not keep[5]  # identical copies drop
     assert not keep[1]                          # near-dup of 0 drops
+    # the identical NaN copy drops against its twin in BOTH modes
+    # (cosine NaN >= tau is TRUE under Spark NaN ordering; collapse
+    # drops it as a non-representative) — the rep's own fate depends
+    # on which cluster the NaN vector lands in, asserted only via the
+    # mode-equivalence above.
+    assert not keep[10]
 
 
 def test_semantic_dedup_collapse_exact_on_replicated_corpus(spark):
@@ -410,3 +423,77 @@ def test_semantic_dedup_collapse_exact_on_replicated_corpus(spark):
         ).collect()
     }
     assert collapsed == full and len(collapsed) == 108
+
+
+def test_semantic_dedup_vectorized_pairwise_matches_join(spark):
+    """The Arrow/numpy matmul pairwise (pairwise='vectorized') must
+    agree row-for-row with the codegen'd salted self-join
+    (pairwise='join') — including the edge rows where Spark comparison
+    semantics bite: NULL vectors and NULL-element vectors (inert),
+    NaN-component vectors (poisonous: NaN >= tau is TRUE under
+    nanSafeCompare), exact duplicates, and near-duplicates — in both
+    collapse modes."""
+    import math
+
+    from dump1090_postgis_spark.datapipe.similarity import semantic_dedup
+
+    base = [[math.sin(j * 1.7 + d) for d in range(6)] for j in range(10)]
+    rows = []
+    for i in range(4):                       # exact dup families
+        for j in range(10):
+            rows.append((i * 10 + j, base[j]))
+    for j in range(10):                      # near-dups of base
+        rows.append((40 + j, [v + 0.001 * j for v in base[j]]))
+    rows += [
+        (50, None),                          # NULL vector: inert
+        (51, None),
+        (52, [1.0, None, 0.0, 0.0, 0.0, 0.0]),   # NULL element: inert
+        (53, [float("nan"), 1.0, 0.0, 0.0, 0.0, 0.0]),  # NaN: poisonous
+        (54, [float("nan"), 1.0, 0.0, 0.0, 0.0, 0.0]),  # identical NaN
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for collapse in (False, True):
+        joined = {
+            (r.vec_id, r.list_id, r.keep)
+            for r in semantic_dedup(
+                emb, num_centroids=3, tau=0.6,
+                collapse_exact=collapse, pairwise="join",
+            ).collect()
+        }
+        vec = {
+            (r.vec_id, r.list_id, r.keep)
+            for r in semantic_dedup(
+                emb, num_centroids=3, tau=0.6,
+                collapse_exact=collapse, pairwise="vectorized",
+            ).collect()
+        }
+        assert vec == joined and len(vec) == 55, f"collapse={collapse}"
+
+
+def test_semantic_dedup_auto_gate_picks_vectorized_past_budget(spark, monkeypatch):
+    """pairwise='auto' must stay on the bit-exact join engine at every
+    oracle scale (explicit k, or auto-k counts below the budget) and
+    switch to the Arrow matmul only past _SEM_VECTORIZE_MIN_ROWS —
+    observable as a FlatMapGroupsInPandas node in the plan."""
+    from dump1090_postgis_spark.datapipe import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # explicit k → join engine, no pandas node
+    assert "FlatMapGroupsInPandas" not in plan(
+        sim.semantic_dedup(emb, num_centroids=4, tau=0.5)
+    )
+    # auto-k below budget → join engine
+    assert "FlatMapGroupsInPandas" not in plan(
+        sim.semantic_dedup(emb, num_centroids=None, tau=0.5)
+    )
+    # auto-k past (patched) budget → vectorized engine
+    monkeypatch.setattr(sim, "_SEM_VECTORIZE_MIN_ROWS", 10)
+    assert "FlatMapGroupsInPandas" in plan(
+        sim.semantic_dedup(emb, num_centroids=None, tau=0.5)
+    )
