@@ -39,6 +39,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_ids(sc) -> set:
+    """ids of the RDDs currently pinned in the block manager."""
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _unpersist_blocks(sc, ids: set) -> None:
+    """Release the block-manager storage of the given persisted RDD
+    ids (non-blocking).  localCheckpoint blocks are otherwise freed
+    only when the DRIVER JVM garbage-collects the RDD reference and
+    ContextCleaner notices — on a long iterative job that means every
+    round's checkpoint accumulates on local scratch until some later
+    GC (measured: the ×300 dedup_clusters run exhausted a 60 GB
+    scratch budget largely on dead round-(k−1) blocks)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        if e.getKey() in ids:
+            e.getValue().unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -51,20 +72,31 @@ def connected_components(
     where component = the minimum node id reachable from it.  Isolated
     nodes don't appear (callers attach them with component = own id;
     :func:`duplicate_clusters` does).
+
+    Scratch discipline: each round's label frame is an eager
+    localCheckpoint (lineage truncation + convergence count in one
+    job); once round k's checkpoint has materialized, round k−1's
+    blocks can never be read again, so they are unpersisted
+    IMMEDIATELY (:func:`_unpersist_blocks`) instead of waiting for
+    driver GC — the checkpoint footprint stays at one label frame
+    (plus the symmetric edge list) regardless of round count.
     """
+    sc = edges.sparkSession.sparkContext
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
-    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    n_parts = sc.defaultParallelism
     sym = sym.repartition(n_parts, "b").localCheckpoint(eager=True)
+    before = _persistent_ids(sc)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_ids = _persistent_ids(sc) - before
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -74,6 +106,7 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nb_lbl").alias("nb_min"))
         )
+        before = _persistent_ids(sc)
         new_labels = (
             labels.join(nbr_min.withColumnRenamed("a", "node"), "node", "left")
             .select(
@@ -83,11 +116,49 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        new_ids = _persistent_ids(sc) - before
+        # round k is materialized (eager) — round k−1's blocks are
+        # dead; free them now rather than at some future driver GC.
+        _unpersist_blocks(sc, prev_ids)
+        prev_ids = new_ids
         changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select("node", F.col("lbl").alias("component"))
+
+
+def contract_families(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(node, rep) supernode mapping over exact-duplicate families:
+    rep = the MINIMUM id among rows with identical normalized text
+    (the same md5 family as :func:`.dedup.exact_dedup`).
+
+    This is the SemDeDup exact-collapse trick applied to the duplicate
+    GRAPH: replicated corpora make the near-dup edge list quadratic in
+    family size (every member shares every signature, so LSH emits all
+    within-family pairs and replicates every cross-family pair), while
+    the REP graph is linear in distinct content.  Running pair
+    generation + connected components on representatives only, then
+    fanning the component out through this mapping, yields the same
+    clusters: identical texts have identical signatures, so member m
+    pairs with doc x iff rep(m) does, and within-family connectivity
+    is by construction (jaccard of identical shingle sets is 1).  The
+    only divergence is in the capped-bucket regime, where the full
+    graph may MISS within-family edges the contraction guarantees —
+    i.e. contraction is never less connected than the capped LSH
+    graph.  One md5 groupBy + one hash join back — linear, no
+    quadratic term anywhere.
+    """
+    from .dedup import normalize_text
+
+    fam = docs.select(
+        F.md5(normalize_text(F.col(text))).alias("_fam"),
+        F.col(id_col).alias("node"),
+    )
+    reps = fam.groupBy("_fam").agg(F.min("node").alias("rep"))
+    return fam.join(reps, "_fam").select("node", "rep")
 
 
 def duplicate_clusters(
@@ -97,6 +168,7 @@ def duplicate_clusters(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    contract: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters over the full corpus.
 
@@ -109,7 +181,63 @@ def duplicate_clusters(
     The docs side is only scanned for ids (Catalyst prunes the rest);
     the component frame is duplicate-cluster-sized — tiny next to the
     corpus — so the attach join broadcasts at real scale.
+
+    ``contract`` (optional): a (node, rep) supernode mapping from
+    :func:`contract_families`.  Edges are rewritten to rep–rep (self
+    edges dropped, duplicates collapsed) BEFORE the iterative CC, and
+    every node inherits its rep's component afterwards — the min-label
+    semantics survive because rep = min(family): the min node
+    reachable in the full graph IS the min rep reachable in the rep
+    graph.  A ≥2-member family whose rep has no cross-family edge is
+    still one cluster (component = rep), matching the full graph where
+    its members pair with each other.  This turns the
+    replication-quadratic duplicate graph (the ×300 scratch blowout)
+    into one linear in distinct content.
     """
+    if contract is not None:
+        m_src = contract.select(
+            F.col("node").alias(src), F.col("rep").alias("_ra")
+        )
+        m_dst = contract.select(
+            F.col("node").alias(dst), F.col("rep").alias("_rb")
+        )
+        rep_edges = (
+            pairs.select(src, dst)
+            .join(m_src, src)
+            .join(m_dst, dst)
+            .filter(F.col("_ra") != F.col("_rb"))
+            .select(F.col("_ra").alias(src), F.col("_rb").alias(dst))
+            .distinct()
+        )
+        comp = connected_components(rep_edges, src, dst, max_iter)
+        attached = (
+            docs.select(F.col(id_col).alias("node"))
+            .join(contract, "node", "left")
+            .withColumn("_rep", F.coalesce("rep", "node"))
+            .join(
+                comp.select(
+                    F.col("node").alias("_rep"),
+                    F.col("component").alias("_comp"),
+                ),
+                "_rep",
+                "left",
+            )
+            .select(
+                "node", F.coalesce("_comp", "_rep").alias("component")
+            )
+        )
+        sizes = attached.groupBy("component").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        return (
+            attached.join(sizes, "component")
+            .select(
+                F.col("node").alias(id_col),
+                "component",
+                F.col("cluster_size").cast("bigint").alias("cluster_size"),
+                (F.col("component") == F.col("node")).alias("is_canonical"),
+            )
+        )
     comp = connected_components(pairs, src, dst, max_iter)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     labeled = comp.join(sizes, "component")

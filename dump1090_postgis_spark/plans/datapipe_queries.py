@@ -279,13 +279,32 @@ def q_dedup_clusters(spark, sf):
     jaccard > 0.5 — same pipeline as dedup_minhash_lsh) resolved into
     connected components over the whole corpus, one canonical doc per
     cluster (datapipe/cluster.py).  The oracle restates the closure as
-    a recursive CTE."""
-    from ..datapipe.cluster import duplicate_clusters
+    a recursive CTE.
+
+    Supernode contraction (round 7): pair generation AND the iterative
+    CC run over ONE representative per exact-content family
+    (cluster.contract_families), and every doc inherits its rep's
+    component afterwards — identical texts have identical signatures,
+    so the clusters are the same while the edge list drops from
+    quadratic in family size to linear in distinct content (the ×300
+    replication blew a 60 GB scratch budget on the uncontracted
+    graph)."""
+    from ..datapipe.cluster import contract_families, duplicate_clusters
 
     docs = load_table(spark, sf, "documents")
-    cands = dd.lsh_candidate_pairs(docs, hash_family="md5")
-    pairs = dd.jaccard_pairs(docs, cands, threshold=0.5)
-    return duplicate_clusters(docs, pairs)
+    # four consumers (rep semi-join, both edge maps, the attach):
+    # one eager checkpoint so the md5 groupBy runs once.
+    fam = contract_families(docs).localCheckpoint(eager=True)
+    rep_docs = docs.join(
+        fam.filter(F.col("node") == F.col("rep")).select(
+            F.col("node").alias("doc_id")
+        ),
+        "doc_id",
+        "semi",
+    )
+    cands = dd.lsh_candidate_pairs(rep_docs, hash_family="md5")
+    pairs = dd.jaccard_pairs(rep_docs, cands, threshold=0.5)
+    return duplicate_clusters(docs, pairs, contract=fam)
 
 
 SQL_DEDUP_CLUSTERS = f"""

@@ -63,6 +63,84 @@ def test_duplicate_clusters_singletons_and_canonicals(spark):
     assert sorted(canon) == [1, 4, 5]
 
 
+def test_duplicate_clusters_contracted_matches_full_graph(spark):
+    """Supernode contraction (contract_families + rep-only pair
+    generation) must produce the same (component, size, canonical)
+    rows as connected components over the full quadratic pair list —
+    the ×N replication shape: exact-dup families whose members all
+    pair with each other and with every neighbor of the family."""
+    from dump1090_postgis_spark.datapipe import dedup as dd
+    from dump1090_postgis_spark.datapipe.cluster import (
+        contract_families,
+        duplicate_clusters,
+    )
+
+    texts = {
+        "a": "the quick brown fox jumps over the lazy dog tonight",
+        # near-dup of a (one word changed)
+        "b": "the quick brown fox jumps over the lazy cat tonight",
+        "c": "completely different content about spark shuffle plans",
+        "d": "another unrelated document mentioning parquet footers",
+    }
+    # families: a ×3 (ids 0,1,2), b ×2 (ids 3,4), c ×2 (ids 5,6), d ×1 (id 7)
+    rows = [
+        (0, texts["a"]), (1, texts["a"]), (2, texts["a"]),
+        (3, texts["b"]), (4, texts["b"]),
+        (5, texts["c"]), (6, texts["c"]),
+        (7, texts["d"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # full quadratic pipeline (as before round 7)
+    cands = dd.lsh_candidate_pairs(docs, hash_family="md5")
+    pairs = dd.jaccard_pairs(docs, cands, threshold=0.5)
+    full = {
+        (r.doc_id, r.component, r.cluster_size, r.is_canonical)
+        for r in duplicate_clusters(docs, pairs).collect()
+    }
+    # contracted pipeline: pairs on representatives only
+    fam = contract_families(docs)
+    rep_docs = docs.join(
+        fam.filter(F.col("node") == F.col("rep")).select(
+            F.col("node").alias("doc_id")
+        ),
+        "doc_id",
+        "semi",
+    )
+    rcands = dd.lsh_candidate_pairs(rep_docs, hash_family="md5")
+    rpairs = dd.jaccard_pairs(rep_docs, rcands, threshold=0.5)
+    contracted = {
+        (r.doc_id, r.component, r.cluster_size, r.is_canonical)
+        for r in duplicate_clusters(docs, rpairs, contract=fam).collect()
+    }
+    assert contracted == full and len(contracted) == 8
+    # sanity on the expected shape: {a-family ∪ b-family} is one
+    # 5-doc cluster (a ~ b near-dup), c-family is a 2-doc cluster
+    # with NO cross-family edge, d is a singleton.
+    comp = {d: c for d, c, _, _ in contracted}
+    assert comp[0] == comp[3] == 0 and comp[5] == comp[6] == 5
+    assert comp[7] == 7
+
+
+def test_connected_components_frees_previous_round_checkpoints(spark):
+    """Iterative CC must not accumulate one pinned label frame per
+    round: after it finishes, the persistent-RDD count may exceed the
+    starting count by at most 2 (the symmetric edge list + the final
+    label frame) even on a chain graph that needs many rounds."""
+    from dump1090_postgis_spark.datapipe.cluster import _persistent_ids
+
+    sc = spark.sparkContext
+    before = len(_persistent_ids(sc))
+    # a 12-node path has diameter 11 — min-label needs many rounds
+    chain = _edges(spark, [(i, i + 1) for i in range(100, 112)])
+    comp = dict(connected_components(chain).collect())
+    assert set(comp.values()) == {100}
+    after = len(_persistent_ids(sc))
+    assert after - before <= 2, (
+        f"{after - before} checkpoints left pinned (expected <= 2: "
+        "sym + final labels)"
+    )
+
+
 @pytest.fixture(scope="module")
 def contam_docs(spark):
     bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
