@@ -104,4 +104,13 @@ def full_registry():
 
     reg: dict = {n: flat[n] for n in DRIVER_WINDOW}
     reg.update({n: v for n, v in flat.items() if n not in reg})
-    return reg
+    # Lazily-built oracles: a registry value may carry a CALLABLE in
+    # the SQL slot (built per registry build — e.g. the minhash-fast
+    # oracle resolves its artifact path from the environment and runs
+    # a compute-if-missing guard).  Normalize to plain strings here so
+    # every consumer (driver, check_oracle, bench) sees the str
+    # contract.
+    return {
+        n: (fn, sql() if callable(sql) else sql)
+        for n, (fn, sql) in reg.items()
+    }

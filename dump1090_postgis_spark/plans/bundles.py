@@ -891,6 +891,8 @@ def _bundle_sql(members, schema):
     branches = []
     for tag, reg, cols in members:
         _fn, sql = regs[reg][tag]
+        if callable(sql):  # lazily-built oracle (see full_registry)
+            sql = sql()
         if sql is None:
             raise AssertionError(f"bundle member {tag} has no oracle SQL")
         proj = ", ".join(

@@ -105,6 +105,75 @@ def test_lsh_signature_store_roundtrip_is_exact(spark, tmp_path):
     assert len(as_set(direct)) > 0
 
 
+def test_python_artifact_twin_matches_spark(spark):
+    """The pure-Python banded-signature twin (datapipe/lsh_artifact.py
+    — the oracle's compute-if-missing guard) must be BIT-IDENTICAL to
+    minhash_banded's xxhash64 plan: same normalize/trim/split edge
+    handling, same seeded-int + utf8-string hash chaining, same signed
+    decimal key rendering.  Real driver testdata (sf0.001 documents)
+    plus adversarial synthetic rows."""
+    from dump1090_postgis_spark.datapipe import lsh_artifact as la
+    from dump1090_postgis_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    synth = spark.createDataFrame(
+        [
+            (90001, ""),                          # empty text
+            (90002, "one"),                       # < k words
+            (90003, "two words"),
+            (90004, "  \t padded\nand  collapsed   whitespace HERE  "),
+            (90005, "héllo wörld ünïcode shingle text for coverage"),
+            (90006, "a a a a a a"),                # degenerate repeats
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(synth)
+    spark_rows = {
+        (r._id, r.band, r.key)
+        for r in dd.minhash_banded(both, hash_family="xxhash64").collect()
+    }
+    py_rows = set()
+    for r in both.collect():
+        py_rows.update(la.banded_rows(r.doc_id, r.text or ""))
+    assert py_rows == spark_rows and len(py_rows) > 0
+
+
+def test_minhash_fast_oracle_is_order_independent(spark, tmp_path, monkeypatch):
+    """The round-6 verdict's one fragility: the dedup_minhash_lsh_fast
+    oracle read an artifact only the Spark query wrote, so its green
+    depended on Spark-before-oracle driver ordering.  Cold-start the
+    artifact dir, build the registry, and run the ORACLE FIRST — the
+    compute-if-missing guard must materialize a bit-exact artifact and
+    the oracle must then match the Spark result."""
+    import duckdb
+
+    import dump1090_postgis_spark.plans.datapipe_queries as dq
+    from dump1090_postgis_spark.plans import full_registry
+
+    monkeypatch.setattr(dq, "_ARTIFACTS_DIR", str(tmp_path / "artifacts"))
+    monkeypatch.setenv("SF_DIR", "/root/testdata/sf0.001")
+    fn, sql = full_registry()["dedup_minhash_lsh_fast"]
+    assert isinstance(sql, str)  # normalized from the lazy builder
+    # ORACLE FIRST, from the cold dir (guard must have materialized it)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        "SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    oracle = {
+        (int(a), int(b), float(j))
+        for a, b, j in con.sql(sql).fetchall()
+    }
+    # Spark second — overwrites the artifact with its own (identical) rows
+    got = {
+        (r.id_a, r.id_b, float(r.jaccard))
+        for r in fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert oracle == got
+
+
 def test_embedding_lsh_skewed_bucket(spark):
     """A pathological hot bucket (many identical vectors) must yield
     exactly the true duplicate pairs — the banded bucket-groupBy
