@@ -587,16 +587,21 @@ def test_advance_session_core_resumes_from_state():
 
 def test_tws_processor_full_lifecycle_matches_legacy(spark):
     """Execute streaming/tws.py's SessionProcessor end-to-end — init →
-    one handleInputRows call per message (max state round-trips,
-    timer delete/re-arm each batch) → handleExpiredTimer eviction →
-    close — against an in-memory StatefulProcessorHandle twin (the
+    one handleInputRows call per message → handleExpiredTimer eviction
+    → close — against an in-memory StatefulProcessorHandle twin (the
     real handle is a protobuf transport client; this twin keeps the
     lifecycle pinned even on hosts where pbcompat finds no protobuf
     runtime and test_transform_with_state_matches_legacy_handler
     skips).  Uses the REAL
     pyspark TimerValues/ExpiredTimerInfo values.  Output must equal
     the applyInPandasWithState path on the same capture, and eviction
-    must emit exactly one flight summary per live session."""
+    must emit exactly one flight summary per live session.
+
+    Lazy-timer contract (round 7): ONE physical timer per session
+    lifetime, anchored at the first admitted batch; the advancing
+    eviction deadline lives in state (packed[-2]); an early fire
+    re-arms to the stored deadline and only a fire at/after it emits
+    the summary."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         ExpiredTimerInfo,
@@ -657,14 +662,21 @@ def test_tws_processor_full_lifecycle_matches_legacy(spark):
 
     emitted = []
     now_ms = 1_000_000
+    first_deadline = None
     for _, row in parsed.iterrows():
         pdf = pd.DataFrame([row])
         key = (row["hexident"],)
         for out in proc.handleInputRows(key, iter([pdf]), TimerValues(now_ms)):
             emitted.append(out)
-        if handle.states["session"].exists():
-            # exactly ONE armed timer, re-based to this batch's clock
-            assert handle.timers == [now_ms + SESSION_TIMEOUT_MS]
+        sess = handle.states["session"]
+        if sess.exists():
+            if first_deadline is None:
+                first_deadline = now_ms + SESSION_TIMEOUT_MS
+            # lazy timers: exactly ONE physical timer, anchored at the
+            # session's first admitted batch — NOT re-based per batch —
+            # while the stored deadline (state[-2]) tracks this batch.
+            assert handle.timers == [first_deadline]
+            assert sess.get()[-2] == now_ms + SESSION_TIMEOUT_MS
         now_ms += 1_000
 
     events = pd.concat(emitted, ignore_index=True) if emitted else pd.DataFrame()
@@ -691,20 +703,33 @@ def test_tws_processor_full_lifecycle_matches_legacy(spark):
     }
     assert got == expected and len(got) > 0
 
-    # eviction: each live session must emit exactly one summary row
+    # eviction: drive the timer loop as the runtime would — an early
+    # fire (anchor timer < advanced deadline) must RE-ARM without
+    # emitting; the fire at the stored deadline emits exactly one
+    # summary and clears state.
     live = [k for k, s in [("session", handle.states["session"])] if s.exists()]
     summaries = []
-    for t in list(handle.timers):
+    fires = 0
+    while handle.timers and not summaries and fires < 5:
+        t = min(handle.timers)
+        handle.timers.remove(t)
         for out in proc.handleExpiredTimer(
             ("AAA111",), TimerValues(t), ExpiredTimerInfo(t)
         ):
             summaries.append(out)
-        handle.timers.remove(t)
+        fires += 1
     if live:
+        assert fires == 2  # one early fire (re-arm), one true eviction
         assert len(summaries) == 1
         srow = summaries[0].iloc[0]
         assert srow["kind"] == "flight_summary"
         assert not handle.states["session"].exists()
+        # a stale timer after the clear is a no-op (no crash, no rows)
+        assert list(
+            proc.handleExpiredTimer(
+                ("AAA111",), TimerValues(now_ms), ExpiredTimerInfo(now_ms)
+            )
+        ) == []
 
     proc.close()
 
