@@ -553,7 +553,16 @@ def build_centroids(corpus: DataFrame, num_centroids: int = 16,
     """Deterministic IVF centroids: hash-assigned seed means, then
     `iterations` Lloyd (k-means) refinement steps — each step is one
     projection-argmax assignment (no shuffle) plus one mean
-    aggregation, fully distributed and reproducible (no RNG)."""
+    aggregation, fully distributed and reproducible (no RNG).
+
+    Over-budget caveat: past the 20k-literal budget the refinement's
+    :func:`with_nearest_centroid` falls back to the 2-probe centroid
+    TREE — the Lloyd assignment becomes approximate at coarse-cell
+    boundaries (and the tree build adds a driver collect per
+    iteration).  Every oracle-checked scale stays on the exact literal
+    path; callers refining past the budget who need exactness should
+    assign via :func:`_assign_nearest_vectorized` (exact all-k Arrow
+    matmul) instead."""
     assigned = corpus.select(
         (F.pmod(F.col(id_col), F.lit(num_centroids))).alias("centroid_id"),
         F.transform(F.col(vec), lambda x: x.cast("double")).alias("_v"),
@@ -590,7 +599,15 @@ def ivf_topk(
     join broadcasts the exploded query side, so the only exchange
     downstream of the parquet scan is the final per-query ranking over
     the CANDIDATE set (|candidates| ≈ probes/C of the corpus per query
-    — not the corpus itself)."""
+    — not the corpus itself).
+
+    Over-budget caveat: past the 20k-literal budget the CORPUS
+    assignment uses the 2-probe centroid tree (approximate at
+    coarse-cell boundaries) while query probing still ranks its
+    candidate cells exactly — asymmetric, so a corpus row mis-assigned
+    by the tree can be missed even when its true cell is probed.  Every
+    oracle-checked scale stays on the exact literal path; for exact
+    over-budget assignment use :func:`_assign_nearest_vectorized`."""
     cen_lit = _centroid_literal(centroids)
     corpus_assigned = with_nearest_centroid(
         corpus, centroids, vec, "list_id", _cen_lit=cen_lit
@@ -611,6 +628,138 @@ def ivf_topk(
         .withColumn("cosine", F.round(embedding_cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def pq_encode_residual(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    _cen_lit=None,
+) -> DataFrame:
+    """IVF-PQ-style residual codes: assign each vector to its nearest
+    coarse centroid, then int8-quantize the RESIDUAL (v − centroid)
+    with a per-vector symmetric scale (max|r|/127, the
+    :func:`quantize_embeddings` rule applied to residuals).
+
+    Output: (id_col, list_id, q_res array<int>, q_scale double) — the
+    billion-vector memory story: the stored corpus is 1 int8/dim + one
+    float + a cell id instead of a float32/dim vector (≈4× smaller),
+    and because residuals are centered on the cell mean their dynamic
+    range is a fraction of the raw vectors', so the same 8 bits carry
+    more precision than whole-vector int8 (this is the standard
+    residual-quantization argument; faiss's IVF-SQ/IVF-PQ family).
+    Reconstruction is ``centroid + q·scale`` — deterministic doubles,
+    so a SQL oracle replays it bit-for-bit.
+
+    Plan shape: assignment is the literal projection (zero corpus
+    shuffle), the centroid attach is a broadcast join on list_id, and
+    the encode is a pure projection — nothing here exchanges the
+    corpus.
+    """
+    cen_lit = _cen_lit if _cen_lit is not None else _centroid_literal(centroids)
+    assigned = with_nearest_centroid(
+        corpus, centroids, vec, "list_id", _cen_lit=cen_lit
+    )
+    cen_rows = F.broadcast(
+        centroids.select(
+            F.col("centroid_id").alias("list_id"), "centroid"
+        )
+    )
+    staged = (
+        assigned.join(cen_rows, "list_id")
+        .withColumn(
+            "_pq_v", F.transform(F.col(vec), lambda x: x.cast("double"))
+        )
+        .withColumn(
+            "_pq_r",
+            F.zip_with(F.col("_pq_v"), F.col("centroid"), lambda x, c: x - c),
+        )
+        .withColumn(
+            "_pq_mx", F.array_max(F.transform(F.col("_pq_r"), F.abs))
+        )
+        .withColumn(
+            "q_scale",
+            F.when(F.col("_pq_mx") > 0, F.col("_pq_mx") / 127.0).otherwise(
+                F.lit(1.0)
+            ),
+        )
+    )
+    return staged.select(
+        id_col,
+        "list_id",
+        F.transform(
+            F.col("_pq_r"),
+            lambda x: F.floor(x / F.col("q_scale") + 0.5).cast("int"),
+        ).alias("q_res"),
+        "q_scale",
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    probes: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k: the IVF probe structure of
+    :func:`ivf_topk` scoring against residual-int8 RECONSTRUCTIONS
+    (:func:`pq_encode_residual`) instead of raw float vectors.
+
+    Same candidate sets as plain IVF at equal ``probes`` (identical
+    coarse quantizer), so the recall delta vs :func:`ivf_topk` at
+    matched scan fraction isolates exactly what the 8-bit residual
+    codes cost (measured in BASELINE.md — on the sf0.1 corpus the
+    reconstruction is faithful enough that recall matches plain IVF).
+    Queries stay full-precision (the asymmetric-distance convention:
+    only the CORPUS is compressed — it is the side with a billion
+    rows).
+
+    Scale: the scored join reads (list_id, q_res, q_scale) — the ~4×
+    smaller coded corpus — plus a broadcast of the tiny centroid
+    table for reconstruction; the only corpus-wide exchange remains
+    the final per-query ranking over probed candidates.
+    """
+    cen_lit = _centroid_literal(centroids)
+    coded = pq_encode_residual(corpus, centroids, vec, id_col, _cen_lit=cen_lit)
+    query_probes = with_probed_centroids(
+        queries, centroids, probes, vec, "list_id", _cen_lit=cen_lit
+    )
+    cen_rows = F.broadcast(
+        centroids.select(F.col("centroid_id").alias("list_id"), "centroid")
+    )
+    q = query_probes.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("_qv"),
+        "list_id",
+    )
+    recon = F.zip_with(
+        F.col("centroid"),
+        F.col("q_res"),
+        lambda c, qv: c + qv.cast("double") * F.col("q_scale"),
+    )
+    scored = (
+        coded.join(cen_rows, "list_id")
+        .withColumn("_rv", recon)
+        .select(F.col(id_col).alias("neighbor_id"), "list_id", "_rv")
+        .join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(embedding_cosine(F.col("_qv"), F.col("_rv")), 4) + F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

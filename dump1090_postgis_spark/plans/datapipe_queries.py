@@ -547,6 +547,81 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_topk_ivf_pq(spark, sf):
+    """IVF-PQ approximate top-5: the IVF probe structure scoring
+    against residual-int8 reconstructions (similarity.pq_encode_residual
+    + ivf_pq_topk) — the stored corpus is the ~4× smaller coded form
+    (cell id + int8 residual codes + one scale), queries stay
+    full-precision (asymmetric distance).  Fully deterministic (pmod
+    seed means, floor-quantized residuals, centroid+q·scale
+    reconstruction), so the oracle restates the whole pipeline as
+    CTEs."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = sim.build_centroids(emb, num_centroids=8)
+    return sim.ivf_pq_topk(emb, queries, centroids, k=5, probes=3)
+
+
+SQL_ANN_IVF_PQ = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeded AS (
+  SELECT vec_id % 8 AS centroid_id, unnest(v) AS x,
+         unnest(range(1, len(v) + 1)) AS pos
+  FROM corpus
+), cent_elems AS (
+  SELECT centroid_id, pos, avg(x) AS m FROM seeded GROUP BY centroid_id, pos
+), cent AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS centroid
+  FROM cent_elems GROUP BY centroid_id
+), scored_c AS (
+  SELECT c.vec_id, c.v, ct.centroid_id, ct.centroid,
+         {_SQL_COS.format(a='c.v', b='ct.centroid')} AS sim
+  FROM corpus c CROSS JOIN cent ct
+), corpus_assigned AS (
+  SELECT vec_id, v, centroid_id AS list_id, centroid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored_c)
+  WHERE rn = 1
+), coded AS (
+  SELECT vec_id, list_id, centroid,
+         list_transform(res, x -> floor(x / s + 0.5)) AS q_res, s AS q_scale
+  FROM (
+    SELECT vec_id, list_id, centroid, res,
+           CASE WHEN list_max(list_transform(res, x -> abs(x))) > 0
+                THEN list_max(list_transform(res, x -> abs(x))) / 127.0
+                ELSE 1.0 END AS s
+    FROM (SELECT vec_id, list_id, centroid,
+                 list_transform(range(1, len(v) + 1),
+                                i -> v[i] - centroid[i]) AS res
+          FROM corpus_assigned)
+  )
+), recon AS (
+  SELECT vec_id, list_id,
+         list_transform(range(1, len(centroid) + 1),
+                        i -> centroid[i] + q_res[i] * q_scale) AS rv
+  FROM coded
+), query_probes AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored_c WHERE vec_id < 5)
+  WHERE rn <= 3
+), pairs AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         round({_SQL_COS.format(a='q.qv', b='r.rv')}, 4) + 0.0 AS cosine
+  FROM query_probes q JOIN recon r USING (list_id)
+  WHERE r.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ann_topk_quantized(spark, sf):
     """Brute-force top-5 over int8-QUANTIZED embeddings (4× smaller
     scans/shuffles; cosine is scale-invariant so the int arrays rank
@@ -2542,6 +2617,7 @@ REGISTRY: dict = {
     "sample_top_per_lang": (q_sample_top_per_lang, SQL_SAMPLE_TOP),
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_TOPK),
     "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_IVF),
+    "ann_topk_ivf_pq": (q_ann_topk_ivf_pq, SQL_ANN_IVF_PQ),
     "ann_topk_quantized": (q_ann_topk_quantized, SQL_ANN_QUANTIZED),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),

@@ -70,18 +70,32 @@ def main() -> int:
             }
             dt = time.time() - t0
             recall = len(exact & approx) / len(exact)
+            # IVF-PQ at the SAME centroids/probes — identical candidate
+            # sets, so the recall delta isolates the residual-int8 cost
+            t0 = time.time()
+            approx_pq = {
+                (r.query_id, r.neighbor_id)
+                for r in sim.ivf_pq_topk(
+                    emb, queries, centroids, k=K, probes=probes
+                ).collect()
+            }
+            dt_pq = time.time() - t0
+            recall_pq = len(exact & approx_pq) / len(exact)
             rows.append(
                 {
                     "nlist": nlist,
                     "nprobe": probes,
                     "recall_at_k": round(recall, 4),
+                    "recall_at_k_pq": round(recall_pq, 4),
                     "sec": round(dt, 2),
+                    "sec_pq": round(dt_pq, 2),
                     "scan_fraction": round(probes / nlist, 3),
                 }
             )
             print(
                 f"nlist={nlist:>2} nprobe={probes:>2}  recall@{K}={recall:.4f}  "
-                f"{dt:.2f}s  (scans ~{probes}/{nlist} of corpus per query)"
+                f"pq={recall_pq:.4f}  {dt:.2f}s/{dt_pq:.2f}s  "
+                f"(scans ~{probes}/{nlist} of corpus per query)"
             )
         centroids.unpersist()
 

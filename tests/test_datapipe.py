@@ -273,6 +273,60 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert a == e
 
 
+def test_pq_encode_residual_roundtrip_fidelity(spark, emb):
+    """IVF-PQ residual codes must reconstruct to within the int8 step:
+    |v_i − (centroid_i + q_i·scale)| ≤ scale/2 element-wise (the
+    floor(x+0.5) rule rounds to nearest), and the coded frame is the
+    compressed contract: int codes in [-127, 127] plus one scale and a
+    cell id per vector."""
+    centroids = sim.build_centroids(emb, num_centroids=4)
+    cen = {r.centroid_id: list(r.centroid) for r in centroids.collect()}
+    coded = {
+        r.vec_id: (r.list_id, list(r.q_res), r.q_scale)
+        for r in sim.pq_encode_residual(emb, centroids).collect()
+    }
+    orig = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    assert set(coded) == set(orig)
+    for vid, (lid, q, s) in coded.items():
+        assert all(-127 <= x <= 127 for x in q)
+        recon = [c + qi * s for c, qi in zip(cen[lid], q)]
+        for a, b in zip(orig[vid], recon):
+            assert abs(a - b) <= s / 2 + 1e-12
+
+
+def test_ivf_pq_recall_matches_ivf_at_matched_probes(spark, emb):
+    """At the SAME centroids and probe count the PQ path scans the
+    identical candidate sets — the only degradation channel is 8-bit
+    residual ranking noise, which must cost at most a whisker of
+    recall vs plain IVF (measured 0.000–0.004 at reduced probes on
+    the sf0.1 corpus; pinned here at ≥ ivf−0.05 with exactness on the
+    planted near-identical pair)."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    centroids = sim.build_centroids(emb, num_centroids=4)
+    for probes in (2, 4):
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.ivf_topk(emb, queries, centroids, k=5, probes=probes).collect()
+        }
+        pq = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.ivf_pq_topk(emb, queries, centroids, k=5, probes=probes).collect()
+        }
+        r_ivf = len(exact & ivf) / len(exact)
+        r_pq = len(exact & pq) / len(exact)
+        assert r_pq >= r_ivf - 0.05, f"probes={probes}: {r_pq} vs {r_ivf}"
+    # the planted near-identical pair must still be each other's top-1
+    pq_full = sim.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") >= 100), centroids, k=1, probes=4
+    ).collect()
+    top1 = {r.query_id: r.neighbor_id for r in pq_full}
+    assert top1[100] == 101 and top1[101] == 100
+
+
 def test_ivf_recall_floor_at_default_probes(spark):
     """The operating point that matters at scale is nprobe « nlist —
     not the degenerate full-probe point.  On the real sf0.1 embeddings
