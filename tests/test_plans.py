@@ -567,3 +567,24 @@ def test_attribution_grid_join_window_is_dim_sized(spark):
     wrows = _window_input_rows(out)
     assert wrows and all(r == n_rw for r in wrows), wrows
     assert all(r < n_events for r in wrows)
+
+
+def test_every_registry_entry_is_driver_window_represented():
+    """The driver hash-checks only the 50-entry window; anything it
+    cannot see must at least be a member of a window BUNDLE (whose
+    UNION-ALL hash covers every member row).  Registry growth must
+    never silently orphan a query to CHECK_ALL-only status — the
+    WINDOW.md audit, pinned."""
+    from dump1090_postgis_spark.plans import DRIVER_WINDOW, full_registry
+    from dump1090_postgis_spark.plans.bundles import bundle_members
+
+    win = set(DRIVER_WINDOW)
+    covered = set(win)
+    for bundle, members in bundle_members().items():
+        if bundle in win:
+            covered.update(members)
+    orphans = [n for n in full_registry() if n not in covered]
+    assert not orphans, (
+        f"window-orphaned registry entries (add to a window bundle or "
+        f"rotate the window, then regenerate WINDOW.md): {orphans}"
+    )
