@@ -101,11 +101,7 @@ def attribute_runway(
     if strategy not in ("auto", "compile", "grid"):
         raise ValueError(f"unknown attribution strategy: {strategy!r}")
     if strategy == "auto":
-        n_rw = runways.count()
-        n_bb = airport_bbox.count() if airport_bbox is not None else 0
-        strategy = (
-            "compile" if n_rw * (1 + n_bb) <= branch_budget else "grid"
-        )
+        strategy = resolve_strategy(runways, airport_bbox, branch_budget)
     if strategy == "compile":
         best = _compiled_coalesce(
             runways, airport_bbox, lon, lat, heading, tolerance_deg
@@ -116,6 +112,29 @@ def attribute_runway(
             events, runways, airport_bbox, lon, lat, heading,
             tolerance_deg, grid_deg,
         )
+    return finish_unmatched(out, keep_unmatched)
+
+
+def resolve_strategy(
+    runways: DataFrame,
+    airport_bbox: DataFrame | None,
+    branch_budget: int = BRANCH_BUDGET,
+) -> str:
+    """The compile-vs-grid gate, factored to ONE place so the batch
+    operator and the streaming sink cannot drift: compile the
+    point-in-polygon coalesce when the branch count (runways ×
+    (1 + bboxes)) fits the expression budget, else the grid-cell
+    broadcast join.  Costs one eager count per dim — bounded by the
+    dim, run once per plan build (or once per stream wire-up)."""
+    n_rw = runways.count()
+    n_bb = airport_bbox.count() if airport_bbox is not None else 0
+    return "compile" if n_rw * (1 + n_bb) <= branch_budget else "grid"
+
+
+def finish_unmatched(out: DataFrame, keep_unmatched: bool = True) -> DataFrame:
+    """Shared unmatched-event policy (reference models.py:283-286):
+    UNK-coalesce the runway column when keeping unmatched events, else
+    drop them — one implementation for the batch and streaming paths."""
     if keep_unmatched:
         return out.withColumn("runway", F.coalesce(F.col("runway"), F.lit("UNK")))
     return out.filter(F.col("runway").isNotNull())

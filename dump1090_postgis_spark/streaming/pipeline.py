@@ -98,6 +98,8 @@ def attributing_sink(
     lon: str = "longitude",
     lat: str = "latitude",
     heading: str = "track",
+    tolerance_deg: float | None = None,
+    keep_unmatched: bool = True,
 ):
     """foreachBatch wrapper running STATE-5/JOIN-5 runway attribution
     on each micro-batch of events before handing the attributed frame
@@ -106,31 +108,36 @@ def attributing_sink(
     models.py:283-286); here the enrichment is a per-batch plan
     against the static runway dim.
 
-    The compile-vs-join strategy decision (attribute_runway's
-    branch-budget gate) runs ONCE at wire-up, not per batch: for a
-    small dim the point-in-polygon coalesce expression is compiled
-    here and reused as a literal Column across every micro-batch (no
-    per-batch driver work at all); above the budget each batch runs
-    the grid-cell broadcast join (the dim broadcast is reused by the
-    JVM across batches)."""
+    ALL policy is shared with the batch operator — the
+    compile-vs-grid gate is ``attribution.resolve_strategy`` (run ONCE
+    at wire-up, not per batch), the compiled coalesce expression is
+    attribution's own, and the unmatched handling is
+    ``attribution.finish_unmatched`` — so the streaming path cannot
+    drift from ``attribute_runway``.  On the compile path the literal
+    Column is built once here and reused across every micro-batch (no
+    per-batch driver work); on the grid path each batch runs the
+    broadcast join (the dim broadcast is reused by the JVM across
+    batches).  ``tolerance_deg``/``keep_unmatched`` pass through to
+    the same knobs the batch operator exposes."""
     from ..operators.attribution import (
-        BRANCH_BUDGET,
         HEADING_TOLERANCE_DEG,
         _compiled_coalesce,
         attribute_runway,
+        finish_unmatched,
+        resolve_strategy,
     )
 
-    n_rw = runways.count()
-    n_bb = airport_bbox.count() if airport_bbox is not None else 0
-    if n_rw * (1 + n_bb) <= BRANCH_BUDGET:
+    tol = HEADING_TOLERANCE_DEG if tolerance_deg is None else tolerance_deg
+    strategy = resolve_strategy(runways, airport_bbox)
+    if strategy == "compile":
         best = _compiled_coalesce(
-            runways, airport_bbox, lon, lat, heading, HEADING_TOLERANCE_DEG
+            runways, airport_bbox, lon, lat, heading, tol
         )
 
         def sink(batch_df, epoch_id):
             inner_sink(
-                batch_df.withColumn(
-                    "runway", F.coalesce(best, F.lit("UNK"))
+                finish_unmatched(
+                    batch_df.withColumn("runway", best), keep_unmatched
                 ),
                 epoch_id,
             )
@@ -143,7 +150,9 @@ def attributing_sink(
             inner_sink(
                 attribute_runway(
                     batch_df, runways, airport_bbox,
-                    lon=lon, lat=lat, heading=heading, strategy="grid",
+                    lon=lon, lat=lat, heading=heading,
+                    tolerance_deg=tol, keep_unmatched=keep_unmatched,
+                    strategy="grid",
                 ),
                 epoch_id,
             )
