@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "ann_topk_ivf_pq",  # round-7: residual-int8 coded corpus
     "text_quality",
     "text_fingerprint",
     "multimodal_decode",

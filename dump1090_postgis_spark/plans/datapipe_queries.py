@@ -295,6 +295,15 @@ WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
 """
 
 
+#: q_dedup_clusters switches to supernode contraction at this corpus
+#: size — below it the md5-family groupBy + checkpoint is pure
+#: overhead (families are small); above it the duplicate graph's
+#: quadratic-in-family-size edge list is the dominant cost.  Every
+#: oracle scale (sf0.01: 500 docs, sf0.1: 5k) stays on the direct
+#: pipeline; ×10 (50k) and beyond contract.
+_CONTRACT_MIN_DOCS = 50_000
+
+
 def q_dedup_clusters(spark, sf):
     """Pairs → clusters: the MinHash-LSH near-dup pairs (md5 family,
     jaccard > 0.5 — same pipeline as dedup_minhash_lsh) resolved into
@@ -302,17 +311,27 @@ def q_dedup_clusters(spark, sf):
     cluster (datapipe/cluster.py).  The oracle restates the closure as
     a recursive CTE.
 
-    Supernode contraction (round 7): pair generation AND the iterative
-    CC run over ONE representative per exact-content family
-    (cluster.contract_families), and every doc inherits its rep's
-    component afterwards — identical texts have identical signatures,
-    so the clusters are the same while the edge list drops from
-    quadratic in family size to linear in distinct content (the ×300
-    replication blew a 60 GB scratch budget on the uncontracted
-    graph)."""
+    Supernode contraction (round 7): past ``_CONTRACT_MIN_DOCS``, pair
+    generation AND the iterative CC run over ONE representative per
+    exact-content family (cluster.contract_families), and every doc
+    inherits its rep's component afterwards — identical texts have
+    identical signatures, so the clusters are the same while the edge
+    list drops from quadratic in family size to linear in distinct
+    content (the ×300 replication blew a 60 GB scratch budget on the
+    uncontracted graph; post-fix: ×100 230→22 s, ×300 26 s, ×1000
+    32 s).  Below the gate the direct pipeline runs unchanged — the
+    contraction's md5 groupBy + checkpoint is pure overhead on a
+    small corpus (~+0.8 s at sf0.1's 5k docs) — the same
+    count-gated-scale-path discipline as semantic_dedup's vectorized
+    engine; contracted ≡ direct is pytest-pinned
+    (test_duplicate_clusters_contracted_matches_full_graph)."""
     from ..datapipe.cluster import contract_families, duplicate_clusters
 
     docs = load_table(spark, sf, "documents")
+    if docs.count() < _CONTRACT_MIN_DOCS:
+        cands = dd.lsh_candidate_pairs(docs, hash_family="md5")
+        pairs = dd.jaccard_pairs(docs, cands, threshold=0.5)
+        return duplicate_clusters(docs, pairs)
     # four consumers (rep semi-join, both edge maps, the attach):
     # one eager checkpoint so the md5 groupBy runs once.
     fam = contract_families(docs).localCheckpoint(eager=True)
