@@ -475,6 +475,91 @@ def hyperplane_weights(
     ]
 
 
+#: embedding_near_dup_pairs engine='auto' switches to the bucketed
+#: Arrow/numpy verify at this corpus size — the same oracle-gate
+#: discipline as semantic_dedup's _SEM_VECTORIZE_MIN_ROWS: every
+#: DuckDB-checked scale (sf0.01: 500, sf0.1: 2k, ×10: 20k) stays on
+#: the bit-exact join engine.
+_EMB_VECTORIZE_MIN_ROWS = 50_000
+
+
+def _bucket_verify_vectorized(
+    bucketed: DataFrame, threshold: float, max_bucket_size: int | None
+) -> DataFrame:
+    """Verify LSH buckets WITHOUT materializing candidate pairs: each
+    (band, key) group computes its within-bucket cosines as one numpy
+    matmul and emits only the threshold-passing pairs.
+
+    Why this beats the candidate-join shape at scale (measured at
+    ×100: 185.7 → see BASELINE round-7 note): the join engine runs
+    144M candidate rows through a distinct AND two sort-merge joins
+    carrying 64-dim double arrays, then evaluates one INTERPRETED
+    higher-order dot per pair; here the corpus crosses the wire once
+    per band (×bands replication of the vector column — 4×corpus
+    rows, not 144M pair rows) and the per-pair math is BLAS.
+
+    Pair semantics mirror ``_bucket_pairs`` + the join verify exactly
+    (pinned by the engine-equivalence pytest):
+    - buckets above ``max_bucket_size`` emit nothing (dropped BEFORE
+      expansion, same as the cap filter);
+    - pairs are (id_a < id_b), deduplicated across bands by a final
+      distinct — cosine values are identical across bands (same
+      floats, same BLAS), so the 3-column distinct collapses them;
+    - cosine is HALF_UP-rounded at 4 decimals, −0.0 normalized;
+    - NaN cosines (NaN-component or zero-norm vectors) are EMITTED
+      with cosine NaN — Spark's nanSafeCompare makes
+      ``round(NaN,4) >= threshold`` TRUE in the join engine, and
+      Spark's distinct treats NaN as equal to itself.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cap = max_bucket_size if max_bucket_size is not None else None
+
+    def _empty():
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+
+    def _verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        b = len(pdf)
+        if b < 2 or (cap is not None and b > cap):
+            return _empty()
+        ids = pdf["_id"].to_numpy(dtype="int64")
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = pdf["_vd"].to_numpy()[order]
+        V = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        n = np.sqrt((V * V).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = (V @ V.T) / (n[:, None] * n[None, :])
+        rc = np.sign(C) * np.floor(np.abs(C) * 1e4 + 0.5) / 1e4 + 0.0
+        hit = (rc >= threshold) | np.isnan(C)
+        iu, ju = np.triu_indices(b, k=1)
+        m = hit[iu, ju]
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[m]],
+                "id_b": ids[ju[m]],
+                "cosine": rc[iu[m], ju[m]],
+            }
+        )
+
+    return (
+        bucketed.groupBy("band", "key")
+        .applyInPandas(_verify, schema="id_a bigint, id_b bigint, cosine double")
+        # the Arrow return path renders pandas NaN as NULL; _verify
+        # never emits a true null, so every NULL here IS a NaN cosine
+        # — restore it to match the join engine's NaN output.
+        .withColumn("cosine", F.coalesce(F.col("cosine"), F.lit(float("nan"))))
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     vec: str = "embedding",
@@ -485,6 +570,7 @@ def embedding_near_dup_pairs(
     bits_per_band: int = 8,
     seed: int = 7,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    engine: str = "auto",
 ) -> DataFrame:
     """Embedding near-dup: banded random-hyperplane LSH candidates +
     exact cosine verification.
@@ -509,7 +595,23 @@ def embedding_near_dup_pairs(
     and collapsing all rows into one bucket per band — O(n²) candidates
     with no error — so the plan fails fast (raise_error) on the first
     row whose vector length differs from `dim`.
+
+    ``engine``: ``'join'`` is the candidate-pair + sort-merge-verify
+    shape (bit-exact vs the DuckDB oracle); ``'vectorized'`` verifies
+    buckets directly with numpy matmuls
+    (:func:`_bucket_verify_vectorized` — no 144M-pair distinct, no
+    vector-carrying pair joins); ``'auto'`` (default) picks vectorized
+    past ``_EMB_VECTORIZE_MIN_ROWS`` corpus rows (one eager count) —
+    every oracle scale stays on the join engine.
     """
+    if engine not in ("auto", "join", "vectorized"):
+        raise ValueError(f"engine must be auto|join|vectorized, got {engine!r}")
+    if engine == "auto":
+        engine = (
+            "vectorized"
+            if emb.count() >= _EMB_VECTORIZE_MIN_ROWS
+            else "join"
+        )
     planes = hyperplane_weights(dim, bands, bits_per_band, seed)
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
     base = emb.select(
@@ -566,6 +668,29 @@ def embedding_near_dup_pairs(
         ).alias(f"_key{b}")
         for b in range(bands)
     ]
+    if engine == "vectorized":
+        # carry the staged double vector INTO the buckets (×bands
+        # replication of the corpus — 4×n rows, vs the join engine's
+        # candidate-pair-count rows) and verify in-place.
+        sigs_v = base.withColumn("_bits", bits).select(
+            "_id", "_vd", *key_cols
+        )
+        bucketed = sigs_v.select(
+            "_id",
+            "_vd",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"_key{b}").alias("key")
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bk"),
+        ).select(
+            "_id", "_vd", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        return _bucket_verify_vectorized(bucketed, threshold, max_bucket_size)
+
     # signatures once per row (projection), then unpivot to (id, band, key)
     sigs = base.withColumn("_bits", bits).select("_id", *key_cols)
     banded = sigs.select(

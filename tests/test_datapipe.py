@@ -223,6 +223,63 @@ def test_lsh_bucket_cap_drops_hot_bucket(spark):
     assert pairs <= uncapped and (0, 1) in uncapped
 
 
+def test_embedding_lsh_vectorized_engine_matches_join(spark):
+    """The bucketed numpy verify (engine='vectorized') must emit the
+    same (id_a, id_b, cosine) rows as the candidate-join engine —
+    including exact-dup clusters, near-dups, cross-band dedup, the
+    bucket cap, and NaN-component vectors (which Spark's
+    nanSafeCompare EMITS: round(NaN,4) >= threshold is TRUE)."""
+    import math
+    import random
+
+    rnd = random.Random(9)
+    base = [rnd.gauss(0, 1) for _ in range(8)]
+    rows = [(i, base) for i in range(12)]                    # exact dups
+    rows += [(50 + i, [x + 0.0005 * i for x in base]) for i in range(6)]  # near-dups
+    rows += [(100 + i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(20)]
+    rows += [
+        (300, [float("nan")] + [1.0] * 7),                   # NaN vectors
+        (301, [float("nan")] + [1.0] * 7),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def norm(df_out):
+        return {
+            (r.id_a, r.id_b, "nan" if math.isnan(r.cosine) else r.cosine)
+            for r in df_out.collect()
+        }
+
+    for cap in (None, 8):
+        j = norm(dd.embedding_near_dup_pairs(
+            df, threshold=0.9, dim=8, max_bucket_size=cap, engine="join"
+        ))
+        v = norm(dd.embedding_near_dup_pairs(
+            df, threshold=0.9, dim=8, max_bucket_size=cap, engine="vectorized"
+        ))
+        assert v == j, f"cap={cap}"
+        if cap is None:
+            assert len(j) > 0 and (300, 301, "nan") in j
+
+
+def test_embedding_lsh_auto_gate(spark, monkeypatch):
+    """engine='auto' stays on the join engine below the corpus budget
+    and switches to the bucketed pandas verify past it."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.5, 0.2, 0.1, 0.0, 1.0, 2.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    assert "FlatMapGroupsInPandas" not in plan(
+        dd.embedding_near_dup_pairs(df, threshold=0.9, dim=8)
+    )
+    monkeypatch.setattr(dd, "_EMB_VECTORIZE_MIN_ROWS", 10)
+    assert "FlatMapGroupsInPandas" in plan(
+        dd.embedding_near_dup_pairs(df, threshold=0.9, dim=8)
+    )
+
+
 def test_minhash_bucket_cap_and_audit(spark):
     """MinHash path honors the cap too; the audit side-output counts
     exactly the dropped buckets."""
