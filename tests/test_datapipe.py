@@ -261,6 +261,48 @@ def test_embedding_lsh_vectorized_engine_matches_join(spark):
             assert len(j) > 0 and (300, 301, "nan") in j
 
 
+def test_bucketed_jaccard_matches_candidate_join_engine(spark):
+    """bucketed_jaccard_pairs (within-bucket Python-set verify) must
+    emit the same (id_a, id_b, jaccard) rows as banded_candidate_pairs
+    + jaccard_pairs over the same banded frame — exact dup families,
+    near-dups, disjoint docs, the bucket cap, and NULL-text rows
+    (whose NULL shingles never pair in either engine)."""
+    texts = {
+        "a": "the quick brown fox jumps over the lazy dog tonight again",
+        "b": "the quick brown fox jumps over the lazy cat tonight again",
+        "c": "completely different content about spark shuffle plans here",
+    }
+    rows = (
+        [(i, texts["a"]) for i in range(8)]
+        + [(20 + i, texts["b"]) for i in range(4)]
+        + [(40, texts["c"]), (41, texts["c"]), (50, None)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = dd.minhash_banded(docs, hash_family="xxhash64")
+    for cap in (None, 6):
+        join_out = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dd.jaccard_pairs(
+                docs,
+                dd.banded_candidate_pairs(banded, max_bucket_size=cap),
+                threshold=0.5,
+            ).collect()
+        }
+        bucketed = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dd.bucketed_jaccard_pairs(
+                docs, banded, threshold=0.5, max_bucket_size=cap
+            ).collect()
+        }
+        assert bucketed == join_out, f"cap={cap}"
+        if cap is None:
+            # a-family all-pairs at jaccard 1.0 + the a~b near-dups
+            assert all(
+                (x, y, 1.0) in join_out for x in range(8) for y in range(x + 1, 8)
+            )
+            assert (40, 41, 1.0) in join_out
+
+
 def test_embedding_lsh_auto_gate(spark, monkeypatch):
     """engine='auto' stays on the join engine below the corpus budget
     and switches to the bucketed pandas verify past it."""
