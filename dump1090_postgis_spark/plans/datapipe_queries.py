@@ -230,12 +230,13 @@ def q_dedup_minhash_lsh_fast(spark, sf):
     banded = dd.minhash_banded(docs, hash_family="xxhash64")
     path = lsh_banded_artifact(sf)
     banded.write.mode("overwrite").parquet(path)
-    if docs.count() >= dd._EMB_VECTORIZE_MIN_ROWS:
+    if docs.count() >= _MINHASH_VECTORIZE_MIN_DOCS:
         # scale engine (round 7): bucketed Python-set Jaccard straight
         # from the persisted banded frame — no 27M-pair distinct, no
-        # shingle-carrying pair joins (×100: 121 → see BASELINE).
-        # Every oracle scale stays below the gate on the bit-exact
-        # candidate-join path; engine equivalence is pytest-pinned.
+        # shingle-carrying pair joins (×100: 121 → 42.8 s, identical
+        # pairs; see BASELINE).  Every oracle scale stays below the
+        # gate on the bit-exact candidate-join path; engine
+        # equivalence is pytest-pinned.
         return dd.bucketed_jaccard_pairs(
             docs, spark.read.parquet(path), threshold=0.5
         )
@@ -302,6 +303,15 @@ WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
             (len(a.shingles) + len(b.shingles)
              - len(list_intersect(a.shingles, b.shingles)))::DOUBLE, 6) > 0.5
 """
+
+
+#: q_dedup_minhash_lsh_fast switches to the bucketed set-intersection
+#: verify at this doc count.  Higher than the shared 50k budget: at
+#: ×10's 50k docs the pair density is still sparse enough that the
+#: shingle replication into buckets costs more than it saves (measured
+#: 7.9 vs 7.0 s — both engines fine, join slightly ahead); at ×100's
+#: 500k docs the bucketed engine wins 2.8× (121 → 42.8 s).
+_MINHASH_VECTORIZE_MIN_DOCS = 100_000
 
 
 #: q_dedup_clusters switches to supernode contraction at this corpus
