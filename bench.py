@@ -2,7 +2,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}.  The full per-query map is also
+written to BENCH_FULL.json; the printed line is kept under the
+driver's 2000-char stdout tail-capture window (see
+format_bench_output) so it always parses.
 
 Each query is executed with a noop-sink action that forces full
 materialization without collecting rows to the driver.  The clock
@@ -132,6 +135,52 @@ BENCH_QUERIES = [
 ]
 
 
+# The verification driver records only the LAST ~2000 characters of
+# stdout and parses the final JSON line out of that window.  Once the
+# per-query map grew past ~70 entries (round 5) the single line
+# exceeded the window, its head was truncated away, and the driver
+# recorded `parsed: null` (see BENCH_r05/r06.json) — the totals only
+# survived because a judge reconstructed them by hand.  Budget chosen
+# under the window with margin for a trailing newline.
+STDOUT_LINE_BUDGET = 1900
+
+
+def format_bench_output(timings: dict[str, float], sf: float) -> tuple[str, str]:
+    """Return ``(full_line, stdout_line)`` for a finished bench run.
+
+    ``full_line`` is the complete one-line JSON contract
+    ({metric, value, unit, queries, sf}) and is persisted to
+    BENCH_FULL.json.  ``stdout_line`` is identical when it fits the
+    driver's tail-capture window; otherwise it carries the same
+    headline fields plus the slowest-first subset of ``queries`` that
+    fits, with ``n_queries`` and a ``queries_full`` pointer so readers
+    know the printed map is partial and where the rest lives.
+    Deterministic: ranking ties break on name."""
+    total = round(sum(timings.values()), 3)
+    payload = {
+        "metric": "bench_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    full_line = json.dumps(payload)
+    if len(full_line) <= STDOUT_LINE_BUDGET:
+        return full_line, full_line
+    payload["n_queries"] = len(timings)
+    payload["queries_full"] = "BENCH_FULL.json"
+    ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    k = len(ranked)
+    while k > 0:
+        payload["queries"] = dict(ranked[:k])
+        stdout_line = json.dumps(payload)
+        if len(stdout_line) <= STDOUT_LINE_BUDGET:
+            return full_line, stdout_line
+        k -= 1
+    payload["queries"] = {}
+    return full_line, json.dumps(payload)
+
+
 def main() -> int:
     from dump1090_postgis_spark.plans import full_registry
     from dump1090_postgis_spark.session import get_spark
@@ -172,18 +221,11 @@ def main() -> int:
             gc.collect()
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    full_line, stdout_line = format_bench_output(timings, sf)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as f:
+        f.write(full_line + "\n")
+    print(stdout_line)
     return 0
 
 

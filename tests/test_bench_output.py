@@ -1,0 +1,58 @@
+"""The bench harness's final stdout line must survive the driver's
+tail capture: the verification driver records only the last ~2000
+characters of stdout and parses the final JSON line out of that
+window.  BENCH_r05/r06.json show what happens otherwise — the
+94-query one-liner overflowed the window, lost its head, and the
+driver recorded ``parsed: null``.  These tests pin the contract of
+``bench.format_bench_output`` without starting Spark."""
+
+import json
+
+from bench import BENCH_QUERIES, STDOUT_LINE_BUDGET, format_bench_output
+
+
+def _fake_timings(n):
+    # Realistic name lengths: reuse the actual bench registry names,
+    # cycling if asked for more than exist.
+    names = [BENCH_QUERIES[i % len(BENCH_QUERIES)] + ("" if i < len(BENCH_QUERIES) else f"_{i}") for i in range(n)]
+    return {name: round(0.1 + (i % 37) * 0.173, 3) for i, name in enumerate(names)}
+
+
+def test_small_map_prints_full_line_unchanged():
+    timings = _fake_timings(10)
+    full, out = format_bench_output(timings, 0.1)
+    assert out == full
+    parsed = json.loads(out)
+    assert parsed["queries"] == timings
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    assert "queries_full" not in parsed
+
+
+def test_full_bench_set_fits_capture_window():
+    timings = _fake_timings(len(BENCH_QUERIES))
+    full, out = format_bench_output(timings, 0.1)
+    assert len(out) <= STDOUT_LINE_BUDGET
+    parsed = json.loads(out)
+    # Headline fields intact and identical to the full line.
+    full_parsed = json.loads(full)
+    for key in ("metric", "value", "unit", "sf"):
+        assert parsed[key] == full_parsed[key]
+    assert full_parsed["queries"] == timings
+    # Truncated line advertises itself and keeps the slowest entries.
+    assert parsed["n_queries"] == len(timings)
+    assert parsed["queries_full"] == "BENCH_FULL.json"
+    kept = parsed["queries"]
+    assert 0 < len(kept) < len(timings)
+    slowest_kept = min(kept.values())
+    dropped = [v for k, v in timings.items() if k not in kept]
+    assert all(v <= slowest_kept for v in dropped)
+
+
+def test_truncation_is_deterministic():
+    timings = _fake_timings(len(BENCH_QUERIES))
+    # The printed (truncated) line ranks slowest-first with name
+    # tiebreak, so it is identical whatever order the run populated
+    # the timings dict in; the full line keeps run order by design.
+    _, out_a = format_bench_output(timings, 0.1)
+    _, out_b = format_bench_output(dict(reversed(list(timings.items()))), 0.1)
+    assert out_a == out_b
