@@ -140,3 +140,149 @@ def test_embedding_engines_agree_on_random_vectors(spark, vecs, cap):
         )
     )
     assert v == j
+
+
+# ---------------------------------------------------------------------------
+# SBS-1 parser vs a reference-semantics Python twin
+# ---------------------------------------------------------------------------
+#
+# The twin re-implements the DOCUMENTED reference behavior the Spark
+# parser claims parity with (adsb_parser.py:176-261 semantics, see
+# operators/parse.py module docstring): 22-field gate → regex field
+# classes → per-field cast with error→NULL → '-1' booleans →
+# space-trimmed callsign.  Inputs are restricted to ASCII field soup
+# (the documented Java-(?U)-vs-Python divergences are unicode-only)
+# and timestamp candidates are shape-checked to the exact
+# 'yyyy/MM/dd HH:mm:ss.SSS' widths before strptime, mirroring Spark's
+# strict width parser (strptime alone is laxer: 1-digit months,
+# 1-6-digit fractions).
+
+import re as _re
+from datetime import datetime
+
+from dump1090_postgis_spark.operators.parse import (
+    REFERENCE_LINE_REGEX,
+    parse_sbs1_lines,
+)
+
+_PY_LINE_RE = _re.compile(REFERENCE_LINE_REGEX.replace("(?U)", ""))
+_TS_SHAPE = _re.compile(r"\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}\.\d{3}$")
+_I32 = 2**31
+
+
+def _twin_int(v):
+    try:
+        n = int(v)
+    except ValueError:
+        return None
+    return n if -_I32 <= n < _I32 else None  # Spark try_cast int is 32-bit
+
+
+def _twin_float(v):
+    try:
+        return float(v)
+    except ValueError:
+        return None
+
+
+def _twin_ts(d, t):
+    s = f"{d} {t}"
+    if not _TS_SHAPE.match(s):
+        return None
+    try:
+        return datetime.strptime(s, "%Y/%m/%d %H:%M:%S.%f")
+    except ValueError:
+        return None
+
+
+def _twin_parse(line):
+    parts = line.split(",")
+    if len(parts) != 22 or not _PY_LINE_RE.match(line):
+        return None
+    cs = parts[10].strip(" ")  # Spark F.trim strips spaces only
+    return (
+        _twin_int(parts[1]),
+        _twin_int(parts[2]),
+        _twin_int(parts[3]),
+        parts[4],
+        _twin_int(parts[5]),
+        _twin_ts(parts[6], parts[7]),
+        _twin_ts(parts[8], parts[9]),
+        cs or None,
+        _twin_int(parts[11]),
+        _twin_int(parts[12]),
+        _twin_int(parts[13]),
+        _twin_float(parts[14]),
+        _twin_float(parts[15]),
+        _twin_int(parts[16]),
+        _twin_int(parts[17]),
+        parts[18] == "-1",
+        parts[19] == "-1",
+        parts[20] == "-1",
+        parts[21] == "-1",
+    )
+
+
+# Per-field pools: (class-valid values, tricky values).  Tricky covers
+# every rejection mode — class failures (reject the whole line), cast
+# failures (NULL the field), range failures (int32 overflow, invalid
+# calendar dates).  Class-valid values are weighted 3× so a useful
+# fraction of lines survives the regex gate with cast-fail NULLs
+# inside (uniform pools made a fully-gated line a ~0.7% event).
+_F = {
+    "message_type": (["MSG"], ["STA", "SEL", ""]),
+    "transmission_type": (["1", "3", "8"], ["12", "x", ""]),
+    "session": (["1", "23"], [""]),
+    "aircraft": (["7", "10110"], [""]),
+    "hexident": (["3C6589", "4008F5", "DEAD"], ["abc", ""]),
+    "flight": (["1", "4294967296"], [""]),
+    "gen_date": (["2024/01/15", "2024/13/45", "2024/1/15"], ["15-01-2024", ""]),
+    "gen_time": (["12:34:56.789", "99:99:99.999", "12:34:56.7", "12.34"], [""]),
+    "log_date": (["2024/01/15", "2024/02/30"], [""]),
+    "log_time": (["00:00:00.000", "23:59:59.999", "24:00:00.000"], [""]),
+    "callsign": (["AFR123  ", "", "AB CD", "  ", "RYR_1X"], []),
+    "altitude": (["38000", "-100", "3000000000", "-", ""], ["3.5"]),
+    "speed": (["450", "0", ""], ["-2"]),
+    "track": (["359", "-1", "--5", ""], []),
+    "latitude": (["47.16", "-1.6", "4.7.1", "-.5", ".", "-", ""], []),
+    "longitude": (["-1.6078", "0.0", "1-2", ""], []),
+    "verticalrate": (["-64", "640", ""], []),
+    "squawk": (["7700", "0", ""], []),
+    "alert": (["-1", "0", ""], []),
+    "emergency": (["-1", "0", "5"], []),
+    "spi": (["-1", "0", ""], []),
+    "onground": (["-1", "0", "-", ""], []),
+}
+
+_LINE = st.tuples(
+    *(st.sampled_from(valid * 3 + tricky) for valid, tricky in _F.values())
+).map(",".join)
+_MUTANT = st.one_of(
+    _LINE,
+    _LINE.map(lambda s: s + ",0"),  # 23 fields — gate must drop
+    _LINE.map(lambda s: s.rsplit(",", 1)[0]),  # 21 fields — gate must drop
+    st.text(alphabet=st.sampled_from(list("MSG,0123456789./:-abcZ ")), max_size=60),
+)
+
+
+@settings(**_SETTINGS)
+@given(lines=st.lists(_MUTANT, min_size=1, max_size=60))
+def test_parser_matches_reference_semantics_twin(spark, lines):
+    # One canonical line per example so the value-compare direction is
+    # never vacuous (random field soup may legitimately all-reject).
+    lines = lines + [
+        "MSG,3,1,7,3C6589,42,2024/01/15,12:34:56.789,"
+        "2024/01/15,12:34:56.790,AFR123  ,38000,,,47.16,-1.6078,,,0,0,0,-1"
+    ]
+    df = spark.createDataFrame([(s,) for s in lines], "value string")
+    got = sorted(
+        (tuple(r) for r in parse_sbs1_lines(df).collect()),
+        key=repr,
+    )
+    want = sorted(
+        (t for t in map(_twin_parse, lines) if t is not None),
+        key=repr,
+    )
+    assert got == want
+    # the lenient engine extension only ever ADDS rows
+    assert parse_sbs1_lines(df, validate=False).count() >= len(want)
