@@ -495,22 +495,40 @@ def _assign_nearest_vectorized(
 
 def with_nearest_centroid(
     df: DataFrame, centroids: DataFrame, vec: str, out: str = "list_id",
-    _cen_lit=None,
+    _cen_lit=None, over_budget: str = "exact",
 ) -> DataFrame:
     """Nearest-centroid assignment as a PURE PROJECTION: the centroid
-    set is compiled into the plan as a literal array (or, past the
-    literal budget, searched through a broadcast two-level centroid
-    tree — see :func:`_centroid_tree_array`), and the argmax is an
-    array_sort+element_at expression — zero shuffle and zero join on
-    the corpus side in the literal case.
+    set is compiled into the plan as a literal array and the argmax is
+    an array_sort+element_at expression — zero shuffle and zero join
+    on the corpus side.  Every oracle-checked scale fits the 20k
+    literal budget, so the DuckDB-audited plans never leave this path.
+
+    Past the literal budget (``over_budget=``):
+
+    - ``'exact'`` (default): :func:`_assign_nearest_vectorized` — an
+      Arrow ``mapInPandas`` blocked matmul probing ALL k against the
+      driver-broadcast centroid matrix.  EXACT on every geometry and
+      ~50× cheaper per cosine than the interpreted tree (measured in
+      the SemDeDup ×1000 run), at the cost of one Python seam and the
+      Arrow NULL-element→NaN rewrite of `df`'s array columns (see the
+      helper's docstring for the parity contract).
+    - ``'tree'``: the declarative two-level centroid tree
+      (:func:`_centroid_tree_array`) — stays JVM-side but is
+      APPROXIMATE at coarse-cell boundaries (default 2 probes) and
+      pays ~3·√k interpreted cosines per row.  Kept for callers that
+      cannot tolerate a Python stage in the plan.
 
     (The round-1 plan crossJoined corpus×C and ran a
     row_number().over(partitionBy(id)) — a full shuffle+sort of the
     expanded corpus just to take an argmax.)"""
+    if over_budget not in ("exact", "tree"):
+        raise ValueError(f"over_budget must be exact|tree, got {over_budget!r}")
     cen = _cen_lit if _cen_lit is not None else _centroid_literal(centroids)
     if cen is not None:
         best = F.element_at(_ranked_centroids(F.col(vec), cen), 1)
         return df.withColumn(out, best["centroid_id"])
+    if over_budget == "exact":
+        return _assign_nearest_vectorized(df, centroids, vec, out)
     best = _tree_best(F.col(vec), _TREE_COARSE_PROBES)
     return (
         df.crossJoin(_centroid_tree_array(centroids, _TREE_COARSE_PROBES))
@@ -555,14 +573,13 @@ def build_centroids(corpus: DataFrame, num_centroids: int = 16,
     projection-argmax assignment (no shuffle) plus one mean
     aggregation, fully distributed and reproducible (no RNG).
 
-    Over-budget caveat: past the 20k-literal budget the refinement's
-    :func:`with_nearest_centroid` falls back to the 2-probe centroid
-    TREE — the Lloyd assignment becomes approximate at coarse-cell
-    boundaries (and the tree build adds a driver collect per
-    iteration).  Every oracle-checked scale stays on the exact literal
-    path; callers refining past the budget who need exactness should
-    assign via :func:`_assign_nearest_vectorized` (exact all-k Arrow
-    matmul) instead."""
+    Past the 20k-literal budget the refinement's
+    :func:`with_nearest_centroid` defaults to the EXACT vectorized
+    assignment (all-k Arrow matmul), so over-budget Lloyd steps stay
+    true Lloyd — one driver collect per iteration either way (the
+    centroid matrix broadcast; k rows, never the corpus).  Every
+    oracle-checked scale fits the literal budget and never leaves the
+    declarative path."""
     assigned = corpus.select(
         (F.pmod(F.col(id_col), F.lit(num_centroids))).alias("centroid_id"),
         F.transform(F.col(vec), lambda x: x.cast("double")).alias("_v"),
@@ -601,13 +618,13 @@ def ivf_topk(
     the CANDIDATE set (|candidates| ≈ probes/C of the corpus per query
     — not the corpus itself).
 
-    Over-budget caveat: past the 20k-literal budget the CORPUS
-    assignment uses the 2-probe centroid tree (approximate at
-    coarse-cell boundaries) while query probing still ranks its
-    candidate cells exactly — asymmetric, so a corpus row mis-assigned
-    by the tree can be missed even when its true cell is probed.  Every
-    oracle-checked scale stays on the exact literal path; for exact
-    over-budget assignment use :func:`_assign_nearest_vectorized`."""
+    Past the 20k-literal budget the CORPUS assignment defaults to the
+    EXACT vectorized matmul (:func:`with_nearest_centroid`
+    ``over_budget='exact'``), so corpus and query sides agree on every
+    cell — no asymmetric tree mis-assignment; the recall loss vs brute
+    force is exactly the probes/nlist scan fraction, at any scale.
+    Every oracle-checked scale fits the literal budget and never
+    leaves the declarative path."""
     cen_lit = _centroid_literal(centroids)
     corpus_assigned = with_nearest_centroid(
         corpus, centroids, vec, "list_id", _cen_lit=cen_lit
@@ -1188,8 +1205,16 @@ def semantic_dedup(
             id_col, "list_id", F.col(vec).alias("_v"), "_deg", "_isnan"
         )
     else:
+        # over_budget='tree' (not the exact-matmul default): the join
+        # engine's NULL-vs-NaN-element pairwise semantics are defined
+        # declaratively, and the Arrow round-trip in the vectorized
+        # assigner would rewrite NULL elements to NaN before the
+        # interpreted pairwise ever saw them.  (Unreachable from
+        # pairwise='auto': auto-k only exceeds the literal budget at
+        # row counts that already selected the vectorized engine.)
         assigned = with_nearest_centroid(
             pool, centroids, vec, "list_id", _cen_lit=cen_lit,
+            over_budget="tree",
         ).select(id_col, "list_id", F.col(vec).alias("_v"))
 
     # Stage the double cast and the vector norm ONCE PER ROW before the

@@ -298,13 +298,21 @@ def test_tree_assignment_matches_flat_on_separated_clusters(spark, monkeypatch):
         (r.vec_id, r.list_id)
         for r in sim.with_nearest_centroid(corpus, cdf, "embedding").collect()
     }
-    # force the over-budget tree path (k*dim=192 < 20k normally)
+    # force the over-budget path (k*dim=192 < 20k normally)
     monkeypatch.setattr(sim, "_LITERAL_COMPILE_LIMIT", 1)
     tree = {
         (r.vec_id, r.list_id)
-        for r in sim.with_nearest_centroid(corpus, cdf, "embedding").collect()
+        for r in sim.with_nearest_centroid(
+            corpus, cdf, "embedding", over_budget="tree"
+        ).collect()
     }
     assert tree == flat and len(tree) == 120
+    # the over-budget DEFAULT (exact Arrow matmul) must match too
+    exact = {
+        (r.vec_id, r.list_id)
+        for r in sim.with_nearest_centroid(corpus, cdf, "embedding").collect()
+    }
+    assert exact == flat
 
 
 def test_tree_assignment_exhaustive_probes_is_exact(spark, monkeypatch):
@@ -334,9 +342,72 @@ def test_tree_assignment_exhaustive_probes_is_exact(spark, monkeypatch):
     monkeypatch.setattr(sim, "_TREE_COARSE_PROBES", max(2, math.ceil(math.sqrt(k))))
     tree = {
         (r.vec_id, r.list_id)
-        for r in sim.with_nearest_centroid(corpus, cdf, "embedding").collect()
+        for r in sim.with_nearest_centroid(
+            corpus, cdf, "embedding", over_budget="tree"
+        ).collect()
     }
     assert tree == flat
+
+
+def test_over_budget_default_assignment_is_exact_on_adversarial_geometry(
+    spark, monkeypatch
+):
+    """Past the literal budget the DEFAULT with_nearest_centroid path
+    is the all-k Arrow matmul — exact on ANY geometry at default
+    settings, including the boundary-straddling vectors where the
+    2-probe tree is only guaranteed with exhaustive probes.  This is
+    what makes the over-budget ivf_topk corpus assignment symmetric
+    with its (exact) query probing."""
+    import math
+
+    from dump1090_postgis_spark.datapipe import similarity as sim
+
+    k, dim = 30, 6
+    cents = [
+        (j, [math.sin(j * 1.7 + d) for d in range(dim)]) for j in range(k)
+    ]
+    cdf = spark.createDataFrame(
+        cents, "centroid_id bigint, centroid array<double>"
+    )
+    rows = [
+        (i, [math.cos(i * 0.9 + d) for d in range(dim)]) for i in range(80)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    flat = {
+        (r.vec_id, r.list_id)
+        for r in sim.with_nearest_centroid(corpus, cdf, "embedding").collect()
+    }
+    monkeypatch.setattr(sim, "_LITERAL_COMPILE_LIMIT", 1)
+    exact = {
+        (r.vec_id, r.list_id)
+        for r in sim.with_nearest_centroid(corpus, cdf, "embedding").collect()
+    }
+    assert exact == flat and len(exact) == 80
+
+
+def test_ivf_topk_over_budget_matches_literal_plan(spark, monkeypatch):
+    """ivf_topk past the literal budget (exact vectorized corpus
+    assignment + crossJoin-array query probing) must return the same
+    neighbors as the literal-compiled plan at equal probes — both
+    sides of the probe structure are exact, so only the compile
+    strategy differs."""
+    from dump1090_postgis_spark.datapipe import similarity as sim
+    from dump1090_postgis_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.limit(200)
+    queries = emb.limit(5)
+    cents = sim.build_centroids(corpus, 8)
+    lit = {
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in sim.ivf_topk(corpus, queries, cents, k=3, probes=2).collect()
+    }
+    monkeypatch.setattr(sim, "_LITERAL_COMPILE_LIMIT", 1)
+    over = {
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in sim.ivf_topk(corpus, queries, cents, k=3, probes=2).collect()
+    }
+    assert over == lit and len(over) > 0
 
 
 def test_semantic_dedup_collapse_exact_equals_full_pairwise(spark):
