@@ -387,6 +387,34 @@ def jaccard_pairs(
     )
 
 
+def _live_bucket_members(
+    banded: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Restrict (band, key, _id) membership rows to LIVE buckets —
+    ``2 <= size <= max_bucket_size`` — BEFORE any payload column
+    (shingle set, vector) is attached.
+
+    This is the semi-join pushdown that makes the bucketed verifies
+    survive replicate-heavy corpora: the verify drops singleton and
+    over-cap buckets anyway, so shipping their members' payloads is
+    pure waste — and on a ×3000 replicated corpus it is ~ALL of the
+    traffic (every duplicate family exceeds the cap, and the shingle
+    shuffle alone exceeded this host's 60 GB scratch computing an
+    EMPTY result).  Sizes come from the id-only banded frame (one
+    cheap exchange); the join back is keyed on the same (band, key),
+    and AQE broadcasts the live-bucket list when it is small — at
+    pathological scales that means the payload never crosses the wire
+    at all.  Emission semantics are unchanged: the verify's own
+    size/cap guard stays as defense in depth."""
+    sizes = banded.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("_bsz")
+    )
+    cond = F.col("_bsz") >= 2
+    if max_bucket_size is not None:
+        cond = cond & (F.col("_bsz") <= max_bucket_size)
+    return banded.join(sizes.filter(cond).select("band", "key"), ["band", "key"])
+
+
 def bucketed_jaccard_pairs(
     docs: DataFrame,
     banded: DataFrame,
@@ -405,9 +433,11 @@ def bucketed_jaccard_pairs(
     Why (measured at ×100, 500k docs): the candidate-join shape ran
     27.3M pairs through a distinct and two shingle-carrying sort-merge
     joins, then evaluated an interpreted ``array_intersect`` per pair
-    — 75 of the path's 121 s.  Here the corpus crosses the wire once
-    per band (4×n rows) and per-pair set math is C-speed
-    (``len(sa & sb)``); the bucket cap bounds every O(b²) expansion.
+    — 75 of the path's 121 s.  Here only LIVE-bucket members cross
+    the wire (≤ bands×n rows, and zero on corpora where the cap kills
+    every bucket — see :func:`_live_bucket_members`) and per-pair set
+    math is C-speed (``len(sa & sb)``); the bucket cap bounds every
+    O(b²) expansion.
 
     Pair semantics mirror ``banded_candidate_pairs`` + ``jaccard_pairs``
     exactly (engine-equivalence pytest): id_a < id_b; oversize buckets
@@ -420,17 +450,24 @@ def bucketed_jaccard_pairs(
     import pandas as pd
 
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    cap = max_bucket_size
+    # live-bucket pushdown: restrict membership FIRST (id-only rows),
+    # then compute+ship shingles only for docs that sit in at least
+    # one live bucket — see _live_bucket_members.
+    banded_live = _live_bucket_members(banded, cap)
+    member_ids = banded_live.select("_id").distinct()
     sh = (
         with_shingles(
-            docs.select(F.col(id_col).alias("_id"), text).repartition(n_parts),
+            docs.select(F.col(id_col).alias("_id"), text)
+            .join(member_ids, "_id")
+            .repartition(n_parts),
             text,
             k=k,
         )
         .withColumnRenamed("_shingles", "_sh")
         .select("_id", "_sh")
     )
-    bucketed = banded.join(sh, "_id")
-    cap = max_bucket_size
+    bucketed = banded_live.join(sh, "_id")
 
     def _empty():
         return pd.DataFrame(
@@ -591,9 +628,10 @@ def _bucket_verify_vectorized(
     ×100: 185.7 → see BASELINE round-7 note): the join engine runs
     144M candidate rows through a distinct AND two sort-merge joins
     carrying 64-dim double arrays, then evaluates one INTERPRETED
-    higher-order dot per pair; here the corpus crosses the wire once
-    per band (×bands replication of the vector column — 4×corpus
-    rows, not 144M pair rows) and the per-pair math is BLAS.
+    higher-order dot per pair; here only live-bucket members carry
+    the vector column (≤ ×bands corpus rows, not 144M pair rows —
+    and none at all when the cap drops every bucket) and the
+    per-pair math is BLAS.
 
     Pair semantics mirror ``_bucket_pairs`` + the join verify exactly
     (pinned by the engine-equivalence pytest):
@@ -766,15 +804,17 @@ def embedding_near_dup_pairs(
         for b in range(bands)
     ]
     if engine == "vectorized":
-        # carry the staged double vector INTO the buckets (×bands
-        # replication of the corpus — 4×n rows, vs the join engine's
-        # candidate-pair-count rows) and verify in-place.
-        sigs_v = base.withColumn("_bits", bits).select(
-            "_id", "_vd", *key_cols
-        )
-        bucketed = sigs_v.select(
+        # band membership as ID-ONLY rows first, live-bucket filter
+        # (2 <= size <= cap) BEFORE the vector column is attached —
+        # the verify drops dead buckets anyway, so their members'
+        # vectors must never cross the wire (_live_bucket_members).
+        # The vector attach is one _id-keyed join against a fresh
+        # (id, vec) scan — live members only, ≤ bands×n rows, and
+        # nothing at all on corpora where the cap kills every bucket.
+        banded_ids = base.withColumn("_bits", bits).select(
+            "_id", *key_cols
+        ).select(
             "_id",
-            "_vd",
             F.explode(
                 F.array(*[
                     F.struct(
@@ -784,8 +824,11 @@ def embedding_near_dup_pairs(
                 ])
             ).alias("bk"),
         ).select(
-            "_id", "_vd", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+            "_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
         )
+        live = _live_bucket_members(banded_ids, max_bucket_size)
+        vecs = base.select("_id", "_vd")
+        bucketed = live.join(vecs, "_id")
         return _bucket_verify_vectorized(bucketed, threshold, max_bucket_size)
 
     # signatures once per row (projection), then unpivot to (id, band, key)

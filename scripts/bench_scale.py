@@ -289,6 +289,9 @@ def main() -> int:
             if gc_between:
                 spark._jvm.System.gc()
         timings[name] = round(best, 3)
+        # progress to stderr so a decade run that dies mid-sequence
+        # (disk, OOM) still leaves every completed timing on record
+        print(f"done {name}: {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "bench_scale_runtime",
