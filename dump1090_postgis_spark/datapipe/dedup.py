@@ -827,7 +827,17 @@ def embedding_near_dup_pairs(
             "_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
         )
         live = _live_bucket_members(banded_ids, max_bucket_size)
-        vecs = base.select("_id", "_vd")
+        # semi-join the vector scan against the live MEMBER IDS (not
+        # against `base`, whose repartition would shuffle the whole
+        # vector corpus as an AQE leaf stage even when every bucket is
+        # dead): member_ids is runtime-sized, so AQE broadcasts it
+        # when small and the fresh (id, vec) scan filters in place —
+        # zero vector bytes on the wire for cap-killed corpora.
+        member_ids = live.select("_id").distinct()
+        vecs = emb.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec), lambda x: x.cast("double")).alias("_vd"),
+        ).join(member_ids, "_id")
         bucketed = live.join(vecs, "_id")
         return _bucket_verify_vectorized(bucketed, threshold, max_bucket_size)
 
