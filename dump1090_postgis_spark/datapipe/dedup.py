@@ -957,6 +957,7 @@ def containment_pairs(
     text: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    restrict_to_candidates: bool = False,
 ) -> DataFrame:
     """Asymmetric near-dup: k-shingle CONTAINMENT for candidate pairs —
     ``|A∩B| / |A|`` and ``|A∩B| / |B|`` — the measure Jaccard misses
@@ -970,10 +971,20 @@ def containment_pairs(
 
     Plan shape is jaccard_pairs': shingle once behind one id-keyed
     exchange both pair joins reuse, then a codegen'd intersection per
-    pair — no new shuffle class.
+    pair — no new shuffle class.  ``restrict_to_candidates`` carries
+    the same contract as :func:`jaccard_pairs`: only enable against a
+    MATERIALIZED pair frame (a lazy candidate plan would re-run its
+    whole generator through the extra reference).
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     base = docs.select(F.col(id_col).alias("_id"), text)
+    if restrict_to_candidates:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias("_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        base = base.join(cand_ids, "_id", "leftsemi")
     sh = (
         with_shingles(base.repartition(n_parts), text, k=k)
         .withColumnRenamed("_shingles", "_sh")

@@ -952,6 +952,18 @@ def test_containment_asymmetric_short_in_long(spark):
     assert c.contain_b < 0.2
     j = jaccard_pairs(docs, pairs, threshold=0.0).collect()[0]
     assert j.jaccard < 0.2             # union denominator hides the embedding
+    # restrict_to_candidates (materialized pairs, which these are)
+    # must not change values — only which docs pay the shingling;
+    # docs NOT in any pair (id 3) are provably inert either way.
+    docs3 = docs.unionByName(
+        spark.createDataFrame([(3, "unrelated filler text")], docs.schema)
+    )
+    c2 = containment_pairs(docs3, pairs, restrict_to_candidates=True).collect()[0]
+    assert (c2.contain_a, c2.contain_b) == (c.contain_a, c.contain_b)
+    j2 = jaccard_pairs(
+        docs3, pairs, threshold=0.0, restrict_to_candidates=True
+    ).collect()[0]
+    assert j2.jaccard == j.jaccard
 
 
 def test_collocation_pmi_attracts_fixed_phrase(spark):
