@@ -396,13 +396,68 @@ def _tree_best(vec_col, coarse_probes: int):
     return F.element_at(_ranked_centroids(vec_col, cand), 1)
 
 
+def _numpy_centroid_tree(cen_mat, coarse_k: int | None = None):
+    """Driver-side two-level index over the (already collected)
+    centroid matrix — the numpy twin of :func:`_centroid_tree_array`
+    for the VECTORIZED assignment path.  Deterministic (seed assign =
+    index % kc, one seed-mean pass + 3 Lloyd rounds on squared
+    euclidean — no RNG), all over k points, never the corpus.
+
+    Returns (coarse_mat kc'×d, coarse_norm, cells) where cells is a
+    list of ascending fine-INDEX arrays, one per non-empty coarse
+    cell (fine indices are positions in the id-sorted ``cen_mat``, so
+    within-cell argmax keeps the lowest-centroid-id tie-break)."""
+    import math
+
+    import numpy as np
+
+    k, dim = cen_mat.shape
+    kc = coarse_k if coarse_k is not None else max(2, math.ceil(math.sqrt(k)))
+    kc = min(kc, k)
+    assign = np.arange(k) % kc
+    coarse = np.zeros((kc, dim))
+    for _ in range(4):  # seed-mean pass + 3 refinements
+        sums = np.zeros((kc, dim))
+        np.add.at(sums, assign, cen_mat)
+        counts = np.bincount(assign, minlength=kc)
+        fallback = cen_mat[np.arange(kc) % k]
+        coarse = np.where(
+            counts[:, None] > 0,
+            sums / np.maximum(counts, 1)[:, None],
+            fallback,
+        )
+        # squared euclidean via the matmul identity (k×kc, tiny)
+        d2 = (
+            (cen_mat * cen_mat).sum(1)[:, None]
+            + (coarse * coarse).sum(1)[None, :]
+            - 2.0 * (cen_mat @ coarse.T)
+        )
+        assign = d2.argmin(1)
+    live = sorted(set(int(a) for a in assign))
+    cells = [np.where(assign == j)[0] for j in live]
+    coarse = coarse[live]
+    cnorm = np.sqrt((coarse * coarse).sum(1))
+    return coarse, cnorm, cells
+
+
 def _assign_nearest_vectorized(
-    df: DataFrame, centroids: DataFrame, vec: str, out: str = "list_id"
+    df: DataFrame, centroids: DataFrame, vec: str, out: str = "list_id",
+    coarse_probes: int | None = None,
 ) -> DataFrame:
     """EXACT nearest-centroid assignment as an Arrow ``mapInPandas``
     blocked numpy matmul — the scale twin of the literal-projection
     assignment in :func:`with_nearest_centroid`, for callers already
     off the bit-exact oracle path.
+
+    ``coarse_probes`` (opt-in) switches to a two-level BLAS search —
+    :func:`_numpy_centroid_tree` coarse matmul over ~√k cells, fine
+    matmul only within each row's best ``coarse_probes`` cells:
+    O(n·√k·(1+probes)) instead of O(n·k).  APPROXIMATE at coarse-cell
+    boundaries exactly like the declarative tree (exact when probes
+    cover the geometry); tie-break/NULL/NaN semantics are identical to
+    the exact path.  This is the eighth-decade lever: auto-k grows k
+    with n, so the exact matmul is O(n²/target) — at ~60M vectors
+    (k≈58k) the tree cuts the assignment FLOPs ~40×.
 
     Past the 20k-literal budget the declarative fallback is the
     two-level centroid tree — APPROXIMATE at coarse-cell boundaries
@@ -451,13 +506,51 @@ def _assign_nearest_vectorized(
     cen_norm = np.sqrt((cen_mat * cen_mat).sum(axis=1))
     min_id = int(cen_ids[0])
     dim = cen_mat.shape[1]
-    bc = df.sparkSession.sparkContext.broadcast((cen_ids, cen_mat, cen_norm))
+    tree = (
+        _numpy_centroid_tree(cen_mat) if coarse_probes is not None else None
+    )
+    bc = df.sparkSession.sparkContext.broadcast(
+        (cen_ids, cen_mat, cen_norm, tree)
+    )
     out_schema = StructType(
         df.schema.fields + [StructField(out, LongType(), True)]
     )
 
+    def _tree_best_ids(V, vn, ids_k, C, cn, tr):
+        """Per-block two-level search: running (best_sim, best_id)
+        updated cell by cell, lowest-id tie-break — the loop is over
+        ~√k cells, every inner op a masked BLAS matmul."""
+        G, gn, cells = tr
+        m = V.shape[0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Sc = (V @ G.T) / (vn[:, None] * gn[None, :])
+        Sc = np.nan_to_num(Sc, nan=-np.inf)
+        p = min(coarse_probes, len(cells))
+        top = np.argpartition(-Sc, p - 1, axis=1)[:, :p]
+        probed = np.zeros((m, len(cells)), dtype=bool)
+        probed[np.arange(m)[:, None], top] = True
+        best = np.full(m, -np.inf)
+        best_id = np.full(m, min_id, dtype="int64")
+        for j, members in enumerate(cells):
+            rows = np.where(probed[:, j])[0]
+            if not rows.size:
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (V[rows] @ C[members].T) / (
+                    vn[rows, None] * cn[members][None, :]
+                )
+            S = np.nan_to_num(S, nan=-np.inf)
+            loc = S.argmax(axis=1)  # members ascend → first-max = min id
+            s = S[np.arange(rows.size), loc]
+            cand = ids_k[members][loc]
+            upd = (s > best[rows]) | ((s == best[rows]) & (cand < best_id[rows]))
+            r = rows[upd]
+            best[r] = s[upd]
+            best_id[r] = cand[upd]
+        return best_id
+
     def _assign(batches):
-        ids_k, C, cn = bc.value
+        ids_k, C, cn, tr = bc.value
         for pdf in batches:
             col = pdf[vec]
             n = len(pdf)
@@ -477,6 +570,11 @@ def _assign_nearest_vectorized(
                 vn = np.sqrt((V * V).sum(axis=1))
                 for b0 in range(0, len(clean_idx), _VEC_TBLK):
                     be = min(b0 + _VEC_TBLK, len(clean_idx))
+                    if tr is not None:
+                        res[clean_idx[b0:be]] = _tree_best_ids(
+                            V[b0:be], vn[b0:be], ids_k, C, cn, tr
+                        )
+                        continue
                     S = V[b0:be] @ C.T
                     with np.errstate(divide="ignore", invalid="ignore"):
                         S /= vn[b0:be, None] * cn[None, :]
@@ -1021,6 +1119,7 @@ def semantic_dedup(
     target_cluster_size: int = _SEM_TARGET_CLUSTER,
     collapse_exact: bool = True,
     pairwise: str = "auto",
+    assignment_probes: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then inside each cluster drop every row whose
@@ -1097,6 +1196,14 @@ def semantic_dedup(
     ``_SEM_VECTORIZE_MIN_ROWS`` — every oracle-checked scale stays on
     the bit-exact join path, exactly like the centroid-tree literal
     budget.
+
+    ``assignment_probes`` (opt-in, vectorized engine only): two-level
+    coarse/fine BLAS assignment instead of the exact all-k matmul —
+    O(n·√k·(1+probes)) vs O(n·k), APPROXIMATE at coarse-cell
+    boundaries (see :func:`_assign_nearest_vectorized`).  Because
+    auto-k grows k with n, exact assignment is O(n²/target): at ~60M
+    corpus rows it becomes the dominant cost and this knob is the
+    honest trade.  Default None keeps every in-registry shape exact.
     """
     from .dedup import spread_for_compute
 
@@ -1115,6 +1222,14 @@ def semantic_dedup(
         # explicit k = the oracle/test path; no count available and no
         # scale signal — stay on the bit-exact join engine.
         pairwise = "join"
+    if assignment_probes is not None and pairwise != "vectorized":
+        # the two-level search is a property of the vectorized
+        # assigner; silently ignoring it on the join engine would hide
+        # an output-affecting knob.
+        raise ValueError(
+            "assignment_probes requires the vectorized engine "
+            f"(resolved pairwise={pairwise!r})"
+        )
     if centroids is None:
         # centroid SEEDS always come from the full corpus (pmod over
         # every id), so collapse_exact cannot change the clustering —
@@ -1200,7 +1315,8 @@ def semantic_dedup(
             F.coalesce(F.exists(F.col(vec), F.isnan), F.lit(False)),
         )
         assigned = _assign_nearest_vectorized(
-            flagged, centroids, vec, "list_id"
+            flagged, centroids, vec, "list_id",
+            coarse_probes=assignment_probes,
         ).select(
             id_col, "list_id", F.col(vec).alias("_v"), "_deg", "_isnan"
         )

@@ -9,7 +9,13 @@ join engine vs the Arrow/numpy vectorized engine (round-6 measured
 join envelope at ×1000: 1,102 s).
 
 Usage:
-    SPARK_GRAFT_SCALE=1000 python scripts/bench_semdedup_envelope.py [join|vectorized|both]
+    SPARK_GRAFT_SCALE=1000 python scripts/bench_semdedup_envelope.py [join|vectorized|vectorized-tree|both]
+
+``vectorized-tree`` adds assignment_probes=2 (the two-level BLAS
+assignment) — the eighth-decade lever: past ~20M rows auto-k makes the
+EXACT all-k assignment matmul the dominant term (O(n^2/target)), and
+the coarse/fine search cuts it ~sqrt(k)/ (1+probes)-fold at the cost of
+coarse-boundary approximation (kept counts reported for comparison).
 """
 
 from __future__ import annotations
@@ -38,10 +44,13 @@ def main() -> int:
     n = emb.count()
     out = {"scale": SCALE, "rows": n, "collapse_exact": False}
     for engine in engines:
+        probes = 2 if engine == "vectorized-tree" else None
         t0 = time.monotonic()
         res = sim.semantic_dedup(
             emb, num_centroids=None, tau=0.3,
-            collapse_exact=False, pairwise=engine,
+            collapse_exact=False,
+            pairwise="vectorized" if probes else engine,
+            assignment_probes=probes,
         )
         kept = res.filter("keep").count()
         out[engine] = {"sec": round(time.monotonic() - t0, 1), "kept": kept}

@@ -385,6 +385,111 @@ def test_over_budget_default_assignment_is_exact_on_adversarial_geometry(
     assert exact == flat and len(exact) == 80
 
 
+def test_numpy_tree_assignment_matches_exact_on_separated_clusters(spark):
+    """coarse_probes on the vectorized assigner must reproduce the
+    exact all-k matmul on well-separated geometry at default probes,
+    and on ANY geometry with exhaustive probes — including NULL /
+    NULL-element / NaN / zero-norm rows (min-centroid-id fallback on
+    both paths)."""
+    import math
+
+    from dump1090_postgis_spark.datapipe import similarity as sim
+
+    k, dim = 24, 8
+    cents = []
+    for j in range(k):
+        v = [0.0] * dim
+        v[j % dim] = 1.0 + 0.05 * (j // dim)
+        v[(j + 3) % dim] = 0.3 * (j // dim + 1)
+        cents.append((j, v))
+    cdf = spark.createDataFrame(
+        cents, "centroid_id bigint, centroid array<double>"
+    )
+    rows = []
+    for i in range(120):
+        base = cents[i % k][1]
+        rows.append(
+            (i, [x + 0.01 * ((i * 7 + d) % 5 - 2) for d, x in enumerate(base)])
+        )
+    rows += [
+        (200, None),                       # NULL vector
+        (201, [None] + [1.0] * (dim - 1)),  # NULL element
+        (202, [float("nan")] + [1.0] * (dim - 1)),  # NaN component
+        (203, [0.0] * dim),                 # zero norm
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    exact = {
+        (r.vec_id, r.list_id)
+        for r in sim._assign_nearest_vectorized(
+            corpus, cdf, "embedding"
+        ).collect()
+    }
+    tree = {
+        (r.vec_id, r.list_id)
+        for r in sim._assign_nearest_vectorized(
+            corpus, cdf, "embedding", coarse_probes=2
+        ).collect()
+    }
+    assert tree == exact and len(tree) == 124
+    for bad_id in (200, 201, 202, 203):
+        assert (bad_id, 0) in tree  # min-centroid-id fallback
+
+    # adversarial geometry: exhaustive probes == exact
+    k2, dim2 = 30, 6
+    cents2 = spark.createDataFrame(
+        [(j, [math.sin(j * 1.7 + d) for d in range(dim2)]) for j in range(k2)],
+        "centroid_id bigint, centroid array<double>",
+    )
+    corpus2 = spark.createDataFrame(
+        [(i, [math.cos(i * 0.9 + d) for d in range(dim2)]) for i in range(80)],
+        "vec_id bigint, embedding array<float>",
+    )
+    exact2 = {
+        (r.vec_id, r.list_id)
+        for r in sim._assign_nearest_vectorized(
+            corpus2, cents2, "embedding"
+        ).collect()
+    }
+    tree2 = {
+        (r.vec_id, r.list_id)
+        for r in sim._assign_nearest_vectorized(
+            corpus2, cents2, "embedding", coarse_probes=k2
+        ).collect()
+    }
+    assert tree2 == exact2
+
+
+def test_semantic_dedup_assignment_probes_contract(spark):
+    """assignment_probes composes with the vectorized engine (same
+    verdicts as exact assignment on separated data) and raises on the
+    join engine rather than silently changing outputs."""
+    import pytest as _pytest
+
+    from dump1090_postgis_spark.datapipe import similarity as sim
+    from dump1090_postgis_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.vec_id, r.keep)
+        for r in sim.semantic_dedup(
+            emb, num_centroids=8, tau=0.3, pairwise="vectorized"
+        ).collect()
+    }
+    probed = {
+        (r.vec_id, r.keep)
+        for r in sim.semantic_dedup(
+            emb, num_centroids=8, tau=0.3, pairwise="vectorized",
+            assignment_probes=8,  # 8 cells of 8 fines → exhaustive
+        ).collect()
+    }
+    assert probed == exact and len(probed) > 0
+    with _pytest.raises(ValueError, match="assignment_probes"):
+        sim.semantic_dedup(
+            emb, num_centroids=8, tau=0.3, pairwise="join",
+            assignment_probes=2,
+        )
+
+
 def test_ivf_topk_over_budget_matches_literal_plan(spark, monkeypatch):
     """ivf_topk past the literal budget (exact vectorized corpus
     assignment + crossJoin-array query probing) must return the same
