@@ -568,8 +568,9 @@ def _assign_nearest_vectorized(
             if clean_idx:
                 V = np.stack(clean_vecs)
                 vn = np.sqrt((V * V).sum(axis=1))
-                for b0 in range(0, len(clean_idx), _VEC_TBLK):
-                    be = min(b0 + _VEC_TBLK, len(clean_idx))
+                tblk = _VEC_TBLK_TREE if tr is not None else _VEC_TBLK
+                for b0 in range(0, len(clean_idx), tblk):
+                    be = min(b0 + tblk, len(clean_idx))
                     if tr is not None:
                         res[clean_idx[b0:be]] = _tree_best_ids(
                             V[b0:be], vn[b0:be], ids_k, C, cn, tr
@@ -977,6 +978,12 @@ _SEM_VECTORIZE_MIN_ROWS = 50_000
 #: for the product block — bounded per task regardless of cluster size.
 _VEC_TBLK = 1024
 _VEC_CBLK = 8192
+#: Row-block for the TWO-LEVEL assignment search: its per-block
+#: temporaries are m×√k (16 MiB at k≈58k), not m×k (which is what
+#: pins the exact path to 1024 — 480 MiB/block at the same k), and
+#: bigger blocks amortize the per-cell masked-matmul overhead
+#: (measured solo optimum ≈ 8192: 28.5k rows/s/proc vs 19k at 1024).
+_VEC_TBLK_TREE = 8192
 
 
 def _pairwise_drops_vectorized(

@@ -40,6 +40,25 @@ def get_spark(
             pkg_root + (os.pathsep + existing if existing else "")
         )
 
+    # Pin BLAS to one thread per Python worker.  local[32] forks 32
+    # pyspark.daemon workers, and each numpy import would otherwise
+    # spin up a FULL-WIDTH OpenBLAS/OMP pool — 32×32 threads fighting
+    # the kernel scheduler.  Large single GEMMs merely degrade, but a
+    # kernel issuing MANY SMALL matmuls (the two-level centroid
+    # search: ~√k tiny GEMMs per block) collapses entirely: observed
+    # 97% SYSTEM time across all cores and zero task completions for
+    # 40 min at ×30000.  The 32 workers already saturate the host;
+    # intra-GEMM threading is pure contention.  Workers inherit the
+    # daemon's env, so this must be set before the JVM starts.  On a
+    # real cluster set these via spark.executorEnv.* instead.
+    for _tv in (
+        "OPENBLAS_NUM_THREADS",
+        "OMP_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(_tv, "1")
+
     # transformWithStateInPandas needs a google.protobuf runtime in the
     # driver AND every Python worker; workers inherit PYTHONPATH from
     # the JVM environment, so discovery must happen before getOrCreate.
