@@ -58,6 +58,15 @@ def get_spark(
         "NUMEXPR_NUM_THREADS",
     ):
         os.environ.setdefault(_tv, "1")
+    # Keep large numpy buffers on the reusable heap instead of fresh
+    # mmaps: glibc's 128 KiB mmap threshold makes every multi-MiB
+    # scratch block a mmap/munmap cycle, and under transparent huge
+    # pages each re-fault zeroes 2 MiB in the kernel — measured 24.9M
+    # THP faults and ~75% system time across 32 workers during the
+    # two-level assignment (little compute per allocated byte to
+    # amortize the zeroing).  Heap memory is zeroed once and reused.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 
     # transformWithStateInPandas needs a google.protobuf runtime in the
     # driver AND every Python worker; workers inherit PYTHONPATH from
