@@ -40,8 +40,32 @@ from pyspark.sql import functions as F
 
 
 def _persistent_ids(sc) -> set:
-    """ids of the RDDs currently pinned in the block manager."""
+    """ids of the RDDs currently pinned in the block manager
+    (diagnostic/test helper — the release path below no longer diffs
+    this global state, see :func:`_checkpointed_rdd_id`)."""
     return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _checkpointed_rdd_id(df: DataFrame) -> int | None:
+    """The block-manager RDD id of an eagerly ``localCheckpoint``ed
+    DataFrame, read DIRECTLY off its plan (the analyzed plan of a
+    checkpointed frame is a ``LogicalRDD`` wrapping the persisted RDD).
+
+    This is what makes the per-round block release safe under
+    concurrent driver threads: the previous implementation set-diffed
+    ``getPersistentRDDs()`` around the checkpoint call, so any RDD
+    persisted by ANOTHER thread between the snapshots was attributed
+    to the round and unpersisted next iteration — and unpersisting a
+    foreign localCheckpointed RDD truncates its lineage unrecoverably.
+    Returns None when the plan shape is unexpected (release is then
+    skipped for that frame — leak-toward-GC, never break a peer)."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getName().endswith("LogicalRDD"):
+            return int(node.rdd().id())
+    except Exception:  # noqa: BLE001 — internals shifted; fall back to GC
+        pass
+    return None
 
 
 def _unpersist_blocks(sc, ids: set) -> None:
@@ -89,14 +113,13 @@ def connected_components(
     )
     n_parts = sc.defaultParallelism
     sym = sym.repartition(n_parts, "b").localCheckpoint(eager=True)
-    before = _persistent_ids(sc)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_ids = _persistent_ids(sc) - before
+    prev_ids = {_checkpointed_rdd_id(labels)} - {None}
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -106,7 +129,6 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nb_lbl").alias("nb_min"))
         )
-        before = _persistent_ids(sc)
         new_labels = (
             labels.join(nbr_min.withColumnRenamed("a", "node"), "node", "left")
             .select(
@@ -116,9 +138,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        new_ids = _persistent_ids(sc) - before
+        new_ids = {_checkpointed_rdd_id(new_labels)} - {None}
         # round k is materialized (eager) — round k−1's blocks are
         # dead; free them now rather than at some future driver GC.
+        # Ids are read off each frame's OWN LogicalRDD plan node, so a
+        # concurrently-persisting driver thread can never be hit.
         _unpersist_blocks(sc, prev_ids)
         prev_ids = new_ids
         changed = new_labels.filter(F.col("_chg")).count()

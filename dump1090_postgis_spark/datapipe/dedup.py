@@ -644,7 +644,17 @@ def _bucket_verify_vectorized(
     - NaN cosines (NaN-component or zero-norm vectors) are EMITTED
       with cosine NaN — Spark's nanSafeCompare makes
       ``round(NaN,4) >= threshold`` TRUE in the join engine, and
-      Spark's distinct treats NaN as equal to itself.
+      Spark's distinct treats NaN as equal to itself;
+    - NULL-element vectors are INERT: the join engine's cosine over
+      them is NULL and ``round(NULL,4) >= threshold`` filter-drops the
+      pair.  The Arrow transfer rewrites NULL array elements to NaN —
+      indistinguishable from true-NaN components in the pandas frame —
+      so the caller pre-computes a ``_deg`` flag on the ORIGINAL
+      Spark-side vector (the semantic_dedup discipline) and flagged
+      rows are excluded from pairing here AFTER the cap check (bucket
+      size, and therefore which buckets the cap kills, counts them —
+      exactly like the join engine, whose cap filter sees every
+      member).
     """
     import numpy as np
     import pandas as pd
@@ -664,6 +674,14 @@ def _bucket_verify_vectorized(
         b = len(pdf)
         if b < 2 or (cap is not None and b > cap):
             return _empty()
+        if "_deg" in pdf.columns:
+            # NULL-element vectors: counted above (cap parity with the
+            # join engine) but never paired — their join-engine cosine
+            # is NULL, which the >= threshold filter drops.
+            pdf = pdf[~pdf["_deg"].astype(bool)]
+            b = len(pdf)
+            if b < 2:
+                return _empty()
         ids = pdf["_id"].to_numpy(dtype="int64")
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
@@ -834,9 +852,17 @@ def embedding_near_dup_pairs(
         # when small and the fresh (id, vec) scan filters in place —
         # zero vector bytes on the wire for cap-killed corpora.
         member_ids = live.select("_id").distinct()
+        # _deg MUST be computed Spark-side, pre-Arrow: the transfer
+        # into the pandas verify rewrites NULL array elements to NaN,
+        # and NULL-element vectors are inert in the join engine while
+        # true-NaN components are poisonous (nanSafeCompare emits
+        # them) — see _bucket_verify_vectorized's parity contract.
         vecs = emb.select(
             F.col(id_col).alias("_id"),
             F.transform(F.col(vec), lambda x: x.cast("double")).alias("_vd"),
+            F.coalesce(
+                F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
+            ).alias("_deg"),
         ).join(member_ids, "_id")
         bucketed = live.join(vecs, "_id")
         return _bucket_verify_vectorized(bucketed, threshold, max_bucket_size)

@@ -155,7 +155,9 @@ def banded_rows(
     ]
 
 
-def ensure_banded_artifact(sf_dir: str, path: str) -> bool:
+def ensure_banded_artifact(
+    sf_dir: str, path: str, max_rows: int = 100_000
+) -> bool:
     """Compute-if-missing guard: when the banded-signature artifact is
     absent, derive it from ``<sf_dir>/documents.parquet`` in pure
     Python and write it — making the DuckDB oracle self-sufficient
@@ -165,7 +167,12 @@ def ensure_banded_artifact(sf_dir: str, path: str) -> bool:
     Sized for the ORACLE scale only (the driver pins sf0.01, 500
     docs ≈ a second of pure Python): the production path is still the
     Spark plan, which overwrites the same artifact with bit-identical
-    values when it runs."""
+    values when it runs.  A corpus past ``max_rows`` refuses the
+    pure-Python pass (RuntimeError — the registry degrades that one
+    oracle to a rows-only check) instead of silently burning minutes
+    of single-threaded hashing at registry-build time; at those scales
+    the artifact comes from the Spark query, which the driver runs
+    first."""
     if os.path.isdir(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
     ):
@@ -174,6 +181,13 @@ def ensure_banded_artifact(sf_dir: str, path: str) -> bool:
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "documents.parquet")
+    n_rows = pq.ParquetFile(src).metadata.num_rows
+    if n_rows > max_rows:
+        raise RuntimeError(
+            f"banded-artifact pure-Python guard: {src} has {n_rows} rows "
+            f"(> {max_rows}); run the Spark query first to materialize "
+            f"{path}"
+        )
     tbl = pq.read_table(src, columns=["doc_id", "text"])
     ids, bands_col, keys = [], [], []
     for did, text in zip(

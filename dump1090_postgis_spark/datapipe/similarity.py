@@ -723,10 +723,22 @@ def ivf_topk(
     cell — no asymmetric tree mis-assignment; the recall loss vs brute
     force is exactly the probes/nlist scan fraction, at any scale.
     Every oracle-checked scale fits the literal budget and never
-    leaves the declarative path."""
+    leaves the declarative path.
+
+    Degenerate (NULL / NULL-element) corpus vectors score cosine NULL
+    — ranked LAST under the desc ordering — in BOTH assignment
+    engines: the flag is computed Spark-side BEFORE the assignment
+    because the over-budget mapInPandas round-trips the vector column
+    through Arrow, which rewrites NULL elements to NaN; unguarded,
+    such a vector's cosine would become NaN and nanSafeCompare would
+    rank it FIRST for every query probing its cell."""
     cen_lit = _centroid_literal(centroids)
+    deg = F.col(vec).isNull() | F.coalesce(
+        F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
+    )
     corpus_assigned = with_nearest_centroid(
-        corpus, centroids, vec, "list_id", _cen_lit=cen_lit
+        corpus.withColumn("_deg", deg), centroids, vec, "list_id",
+        _cen_lit=cen_lit,
     )
     query_probes = with_probed_centroids(
         queries, centroids, probes, vec, "list_id", _cen_lit=cen_lit
@@ -736,12 +748,19 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec).alias("_qv"), "list_id"
     )
     c = corpus_assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("_cv"), "list_id"
+        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("_cv"),
+        "list_id", "_deg",
     )
     scored = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(embedding_cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0))
+        .withColumn(
+            "cosine",
+            F.when(F.col("_deg"), F.lit(None).cast("double")).otherwise(
+                F.round(embedding_cosine(F.col("_qv"), F.col("_cv")), 4)
+                + F.lit(0.0)
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -777,10 +796,23 @@ def pq_encode_residual(
     shuffle), the centroid attach is a broadcast join on list_id, and
     the encode is a pure projection — nothing here exchanges the
     corpus.
+
+    Degenerate (NULL / NULL-element) vectors encode as q_res = NULL
+    (whole array) with q_scale 1.0, in BOTH assignment engines — the
+    flag is pre-computed Spark-side because the over-budget Arrow
+    assignment rewrites NULL elements to NaN, and an unguarded
+    ``floor(NaN).cast(int)`` RAISES under ANSI mode (the literal path
+    used to emit element-level NULL codes; whole-NULL is the
+    engine-consistent contract, and reconstruction of a NULL q_res is
+    NULL → cosine NULL → ranked last, same endpoint).
     """
     cen_lit = _cen_lit if _cen_lit is not None else _centroid_literal(centroids)
+    deg = F.col(vec).isNull() | F.coalesce(
+        F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
+    )
     assigned = with_nearest_centroid(
-        corpus, centroids, vec, "list_id", _cen_lit=cen_lit
+        corpus.withColumn("_deg", deg), centroids, vec, "list_id",
+        _cen_lit=cen_lit,
     )
     cen_rows = F.broadcast(
         centroids.select(
@@ -809,11 +841,15 @@ def pq_encode_residual(
     return staged.select(
         id_col,
         "list_id",
-        F.transform(
-            F.col("_pq_r"),
-            lambda x: F.floor(x / F.col("q_scale") + 0.5).cast("int"),
+        F.when(F.col("_deg"), F.lit(None)).otherwise(
+            F.transform(
+                F.col("_pq_r"),
+                lambda x: F.floor(x / F.col("q_scale") + 0.5).cast("int"),
+            )
         ).alias("q_res"),
-        "q_scale",
+        F.when(F.col("_deg"), F.lit(1.0)).otherwise(F.col("q_scale")).alias(
+            "q_scale"
+        ),
     )
 
 

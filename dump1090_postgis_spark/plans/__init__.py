@@ -109,8 +109,24 @@ def full_registry():
     # oracle resolves its artifact path from the environment and runs
     # a compute-if-missing guard).  Normalize to plain strings here so
     # every consumer (driver, check_oracle, bench) sees the str
-    # contract.
-    return {
-        n: (fn, sql() if callable(sql) else sql)
-        for n, (fn, sql) in reg.items()
-    }
+    # contract.  A failing builder (missing SF_DIR, over-budget
+    # pure-Python artifact pass) degrades THAT entry to SQL=None — the
+    # weaker rows-only check — instead of breaking every registry
+    # consumer for queries unrelated to it.
+    def _resolve(name, sql):
+        if not callable(sql):
+            return sql
+        try:
+            return sql()
+        except Exception as exc:  # noqa: BLE001 — degrade, don't break
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "oracle builder for %r failed (%s); entry degraded to "
+                "rows-only check",
+                name,
+                exc,
+            )
+            return None
+
+    return {n: (fn, _resolve(n, sql)) for n, (fn, sql) in reg.items()}

@@ -63,7 +63,17 @@ ROCKSDB_PROVIDER = (
 #: the eviction deadline (ms, processing time) and whether a physical
 #: timer is armed for this session.  Packing them INTO the session
 #: state means they ride the existing get/update round-trips for free.
+#:
+#: STATE-SCHEMA COMPATIBILITY: appending these two fields broke
+#: deserialization of checkpoints written by the pre-lazy-timer
+#: handler (which stored the bare STATE_SCHEMA tuple under the name
+#: ``"session"``).  The state is therefore VERSIONED by name —
+#: ``TWS_STATE_NAME = "session_v2"`` — so a restart from an old
+#: checkpoint fails loudly on the missing state name instead of
+#: silently misparsing ``packed[-2]/packed[-1]`` as session fields.
+#: Bump the suffix on any future schema change.
 TWS_STATE_SCHEMA = STATE_SCHEMA + ", deadline_ms long, timer_armed boolean"
+TWS_STATE_NAME = "session_v2"
 
 
 class SessionProcessor(StatefulProcessor):
@@ -72,7 +82,7 @@ class SessionProcessor(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
-        self._sess = handle.getValueState("session", TWS_STATE_SCHEMA)
+        self._sess = handle.getValueState(TWS_STATE_NAME, TWS_STATE_SCHEMA)
 
     def handleInputRows(
         self, key, rows, timerValues: TimerValues

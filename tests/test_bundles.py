@@ -95,3 +95,36 @@ def test_bundle_error_payload_names_failing_member(spark):
     fn = bmod._bundle_fn(members, schema)
     with pytest.raises(RuntimeError, match="bundle member 'prj2_json_extract_cast'"):
         fn(spark, SF)
+
+
+def test_registry_degrades_failing_oracle_builder(monkeypatch, tmp_path):
+    """A callable SQL slot whose builder raises (missing SF_DIR,
+    over-budget artifact pass) must degrade THAT entry to SQL=None —
+    never break the whole registry build for unrelated consumers."""
+    from dump1090_postgis_spark.plans import full_registry
+
+    monkeypatch.setenv("SF_DIR", str(tmp_path / "nope"))
+    reg = full_registry()
+    assert len(reg) >= 155
+    fn, sql = reg["dedup_minhash_lsh_fast"]
+    assert sql is None and callable(fn)
+    # unrelated entries keep their oracles
+    assert isinstance(reg["flt1_value_band"][1], str)
+
+
+def test_banded_artifact_python_pass_is_row_bounded(tmp_path):
+    """ensure_banded_artifact must refuse the single-threaded pure-
+    Python derivation past max_rows (the Spark query materializes the
+    artifact at those scales) instead of hanging registry builds."""
+    import pytest as _pytest
+
+    from dump1090_postgis_spark.datapipe.lsh_artifact import (
+        ensure_banded_artifact,
+    )
+
+    out = str(tmp_path / "banded")
+    with _pytest.raises(RuntimeError, match="pure-Python guard"):
+        ensure_banded_artifact("/root/testdata/sf0.01", out, max_rows=10)
+    # within budget: materializes and is idempotent
+    assert ensure_banded_artifact("/root/testdata/sf0.01", out) is True
+    assert ensure_banded_artifact("/root/testdata/sf0.01", out) is False

@@ -141,6 +141,41 @@ def test_connected_components_frees_previous_round_checkpoints(spark):
     )
 
 
+def test_cc_checkpoint_release_is_thread_safe_by_construction(spark):
+    """The per-round block release reads each label frame's OWN
+    LogicalRDD id (cluster._checkpointed_rdd_id) instead of set-diffing
+    global getPersistentRDDs() snapshots — so an RDD persisted by a
+    CONCURRENT driver thread can never be attributed to a CC round and
+    unpersisted out from under its owner (unpersisting a foreign
+    localCheckpointed RDD truncates lineage unrecoverably)."""
+    from dump1090_postgis_spark.datapipe.cluster import (
+        _checkpointed_rdd_id,
+        _persistent_ids,
+    )
+
+    sc = spark.sparkContext
+    # the id accessor reads exactly the persisted block id
+    ck = spark.range(50).localCheckpoint(eager=True)
+    rid = _checkpointed_rdd_id(ck)
+    assert rid is not None and rid in _persistent_ids(sc)
+    # a non-checkpointed plan has no LogicalRDD → None (skip, not guess)
+    assert _checkpointed_rdd_id(spark.range(5)) is None
+    # a "foreign" checkpointed frame persisted while CC runs must
+    # survive with its blocks intact and stay collectable
+    foreign = spark.range(100, 120).localCheckpoint(eager=True)
+    fid = _checkpointed_rdd_id(foreign)
+    comp = dict(
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(200, 210)])
+        ).collect()
+    )
+    assert set(comp.values()) == {200}
+    assert fid in _persistent_ids(sc), "foreign checkpoint was unpersisted"
+    assert foreign.count() == 20
+    ck.unpersist()
+    foreign.unpersist()
+
+
 @pytest.fixture(scope="module")
 def contam_docs(spark):
     bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

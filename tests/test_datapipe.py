@@ -227,8 +227,12 @@ def test_embedding_lsh_vectorized_engine_matches_join(spark):
     """The bucketed numpy verify (engine='vectorized') must emit the
     same (id_a, id_b, cosine) rows as the candidate-join engine —
     including exact-dup clusters, near-dups, cross-band dedup, the
-    bucket cap, and NaN-component vectors (which Spark's
-    nanSafeCompare EMITS: round(NaN,4) >= threshold is TRUE)."""
+    bucket cap, NaN-component vectors (which Spark's nanSafeCompare
+    EMITS: round(NaN,4) >= threshold is TRUE), and NULL-element
+    vectors (which are INERT: the join engine's cosine over them is
+    NULL and the >= filter drops the pair — the Arrow transfer
+    rewrites NULL elements to NaN, so the vectorized engine needs the
+    pre-computed _deg flag to keep them inert)."""
     import math
     import random
 
@@ -240,6 +244,8 @@ def test_embedding_lsh_vectorized_engine_matches_join(spark):
     rows += [
         (300, [float("nan")] + [1.0] * 7),                   # NaN vectors
         (301, [float("nan")] + [1.0] * 7),
+        (400, [None, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),    # NULL-element:
+        (401, [None, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),    # inert, never pair
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
@@ -259,6 +265,9 @@ def test_embedding_lsh_vectorized_engine_matches_join(spark):
         assert v == j, f"cap={cap}"
         if cap is None:
             assert len(j) > 0 and (300, 301, "nan") in j
+            # NULL-element rows pair in NEITHER engine (shared bucket,
+            # NULL cosine → filter-dropped)
+            assert not any(a >= 400 or b >= 400 for a, b, _ in j)
 
 
 def test_bucketed_jaccard_matches_candidate_join_engine(spark):

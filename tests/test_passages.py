@@ -515,6 +515,45 @@ def test_ivf_topk_over_budget_matches_literal_plan(spark, monkeypatch):
     assert over == lit and len(over) > 0
 
 
+def test_ivf_degenerate_corpus_vectors_never_rank_first(spark, monkeypatch):
+    """A NULL-element corpus vector must score cosine NULL (ranked
+    LAST) in BOTH assignment engines.  The over-budget mapInPandas
+    assignment round-trips the vector column through Arrow, which
+    rewrites NULL elements to NaN — unguarded, the scoring cosine
+    became NaN and nanSafeCompare ranked the corrupt vector FIRST for
+    every query probing its cell.  pq_encode_residual has the same
+    hazard one step later: floor(NaN).cast(int) RAISES under ANSI —
+    degenerate rows must encode q_res NULL / q_scale 1.0 instead."""
+    from dump1090_postgis_spark.datapipe import similarity as sim
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) / 11.0 + 0.1 for j in range(8)])
+            for i in range(40)]
+    rows.append((99, [None] + [1.0] * 7))  # NULL-element corpus vector
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id < 3")
+    cents = sim.build_centroids(corpus.filter("vec_id != 99"), 4)
+
+    def run():
+        out = sim.ivf_topk(corpus, queries, cents, k=50, probes=4).collect()
+        coded = {
+            r.vec_id: (r.q_res, r.q_scale)
+            for r in sim.pq_encode_residual(corpus, cents).collect()
+        }
+        return out, coded
+
+    for label in ("literal", "over_budget"):
+        if label == "over_budget":
+            monkeypatch.setattr(sim, "_LITERAL_COMPILE_LIMIT", 1)
+        out, coded = run()
+        deg = [r for r in out if r.neighbor_id == 99]
+        assert deg, f"{label}: probed cells should still surface id 99"
+        assert all(r.cosine is None for r in deg), label
+        # NULL sorts last under desc → never rank 1
+        assert all(r.rank > 1 for r in deg), label
+        assert coded[99] == (None, 1.0), label
+        assert coded[0][0] is not None and len(coded[0][0]) == 8, label
+
+
 def test_semantic_dedup_collapse_exact_equals_full_pairwise(spark):
     """collapse_exact=True must be bit-identical to the full pairwise
     on a corpus with identical-vector groups (including a group whose
