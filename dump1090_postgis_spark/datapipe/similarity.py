@@ -308,6 +308,34 @@ def _ranked_centroids(vec_col, cen_arr) -> "F.Column":
 #: cell ranks within the probe count.
 _TREE_COARSE_PROBES = 2
 
+#: FLOPs budget for the EXACT all-k vectorized assignment: n·k·dim
+#: multiply-adds in the corpus×centroid matmul.  Under auto-k, k grows
+#: with n (k ≈ n/target), so exact assignment is O(n²/target) — a
+#: FLOPs wall, not a row-count wall (a wide-k or high-dim corpus hits
+#: it at far fewer rows than a narrow one, which is why this gate is
+#: NOT keyed on rows like the oracle-exactness gates).  Measured on
+#: the replicated-embeddings decades (64-dim, BLAS pinned 1
+#: thread/worker): ×1000 = 2.5e11 FLOPs, exact assignment is a minor
+#: term of a 39 s envelope; ×10000 = 2.5e13, exact 1,519 s vs
+#: two-level tree 813 s (kept-set divergence 6 of ~1900).  1e12 puts
+#: the flip between those decades: exact stays default while it is
+#: cheap AND better (all k probed), the tree takes over where exact's
+#: quadratic growth dominates the whole plan.
+_ASSIGN_EXACT_MAX_FLOPS = 1.0e12
+
+
+def resolve_assignment_probes(
+    n_rows: int, k: int, dim: int
+) -> int | None:
+    """``assignment_probes='auto'`` rule for the vectorized assignment
+    engine: EXACT all-k matmul (None) while ``n·k·dim`` fits
+    :data:`_ASSIGN_EXACT_MAX_FLOPS`, the two-level coarse/fine tree
+    (:data:`_TREE_COARSE_PROBES` probes) past it.  Pure function of
+    the three sizes so the budget decision itself is unit-testable."""
+    if n_rows * k * dim <= _ASSIGN_EXACT_MAX_FLOPS:
+        return None
+    return _TREE_COARSE_PROBES
+
 
 def _centroid_tree_array(centroids: DataFrame, coarse_probes: int):
     """Two-level centroid index for the over-budget assignment path.
@@ -1162,7 +1190,7 @@ def semantic_dedup(
     target_cluster_size: int = _SEM_TARGET_CLUSTER,
     collapse_exact: bool = True,
     pairwise: str = "auto",
-    assignment_probes: int | None = None,
+    assignment_probes: int | None | str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then inside each cluster drop every row whose
@@ -1240,18 +1268,31 @@ def semantic_dedup(
     the bit-exact join path, exactly like the centroid-tree literal
     budget.
 
-    ``assignment_probes`` (opt-in, vectorized engine only): two-level
-    coarse/fine BLAS assignment instead of the exact all-k matmul —
-    O(n·√k·(1+probes)) vs O(n·k), APPROXIMATE at coarse-cell
-    boundaries (see :func:`_assign_nearest_vectorized`).  Because
-    auto-k grows k with n, exact assignment is O(n²/target): at ~60M
-    corpus rows it becomes the dominant cost and this knob is the
-    honest trade.  Default None keeps every in-registry shape exact.
+    ``assignment_probes`` (vectorized engine only): the assignment
+    search inside the vectorized path.  ``None`` forces the EXACT
+    all-k matmul; an int forces the two-level coarse/fine BLAS search
+    with that many coarse probes — O(n·√k·(1+probes)) vs O(n·k),
+    APPROXIMATE at coarse-cell boundaries (see
+    :func:`_assign_nearest_vectorized`).  The default ``'auto'`` is
+    FLOPs-budgeted (:func:`resolve_assignment_probes`): because auto-k
+    grows k with n, exact assignment is O(n²/target) — measured ~half
+    the ×10000 uncollapsed envelope (1,519 s exact vs 813 s tree,
+    kept-set divergence 6 of ~1900) — so past
+    :data:`_ASSIGN_EXACT_MAX_FLOPS` (n·k·dim) the tree becomes the
+    DEFAULT, not a knob.  The budget probe costs one ``first()`` for
+    the vector dim; oracle-checked scales resolve pairwise='join' and
+    never reach it.  The budget is computed on the CORPUS row count —
+    an upper bound of the assignment pool under ``collapse_exact``
+    (pool = distinct vectors); on the distinct-heavy corpora this
+    budget exists for, the two coincide, and on replication-heavy test
+    corpora the flip is merely conservative (the tree on a tiny pool
+    costs the same as exact).
     """
     from .dedup import spread_for_compute
 
     if pairwise not in ("auto", "join", "vectorized"):
         raise ValueError(f"pairwise must be auto|join|vectorized, got {pairwise!r}")
+    n_rows: int | None = None
     if num_centroids is None:
         n_rows = corpus.count()
         num_centroids = semantic_dedup_auto_k(n_rows, target_cluster_size)
@@ -1265,7 +1306,21 @@ def semantic_dedup(
         # explicit k = the oracle/test path; no count available and no
         # scale signal — stay on the bit-exact join engine.
         pairwise = "join"
-    if assignment_probes is not None and pairwise != "vectorized":
+    if assignment_probes == "auto":
+        if pairwise == "vectorized":
+            if n_rows is None:
+                n_rows = corpus.count()
+            dim_row = (
+                corpus.select(F.size(F.col(vec)).alias("_d"))
+                .filter(F.col("_d").isNotNull())
+                .first()
+            )
+            assignment_probes = resolve_assignment_probes(
+                n_rows, num_centroids, dim_row["_d"] if dim_row else 0
+            )
+        else:
+            assignment_probes = None
+    elif assignment_probes is not None and pairwise != "vectorized":
         # the two-level search is a property of the vectorized
         # assigner; silently ignoring it on the join engine would hide
         # an output-affecting knob.

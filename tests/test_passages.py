@@ -712,3 +712,81 @@ def test_semantic_dedup_auto_gate_picks_vectorized_past_budget(spark, monkeypatc
     assert "FlatMapGroupsInPandas" in plan(
         sim.semantic_dedup(emb, num_centroids=None, tau=0.5)
     )
+
+
+def test_resolve_assignment_probes_is_flops_budgeted():
+    """The assignment-engine rule is a FLOPs property (n·k·dim), not a
+    row count: the measured decades pin the flip between ×1000
+    (2.5e11 — exact, and exact was a minor term of a 39 s envelope)
+    and ×10000 (2.5e13 — exact 1,519 s vs tree 813 s).  A wide-k or
+    high-dim corpus flips at proportionally fewer rows."""
+    from dump1090_postgis_spark.datapipe import similarity as sim
+
+    # the measured decade points (auto-k at 64 dims)
+    assert sim.resolve_assignment_probes(2_000_000, 1954, 64) is None
+    assert (
+        sim.resolve_assignment_probes(20_000_000, 19532, 64)
+        == sim._TREE_COARSE_PROBES
+    )
+    assert (
+        sim.resolve_assignment_probes(60_000_000, 58594, 64)
+        == sim._TREE_COARSE_PROBES
+    )
+    # FLOPs, not rows: few rows × wide k × high dim still flips
+    assert (
+        sim.resolve_assignment_probes(40_000, 100_000, 1024)
+        == sim._TREE_COARSE_PROBES
+    )
+    # and many rows × tiny k × small dim stays exact
+    assert sim.resolve_assignment_probes(100_000_000, 16, 8) is None
+
+
+def test_semantic_dedup_assignment_engine_auto_wiring(spark, monkeypatch):
+    """assignment_probes='auto' (the default) must (a) stay off the
+    Python assigner entirely on oracle-scale corpora (pairwise
+    resolves to 'join'), (b) pick the EXACT all-k matmul under the
+    FLOPs budget, (c) pick the two-level tree past it — without the
+    caller touching any knob."""
+    from dump1090_postgis_spark.datapipe import similarity as sim
+
+    rows = [
+        (i, [float((i * 13 + j * 5) % 17) / 17.0 + 0.05 for j in range(8)])
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    calls: list = []
+    orig = sim._assign_nearest_vectorized
+
+    def spy(df, centroids, vec, out="list_id", coarse_probes=None):
+        calls.append(coarse_probes)
+        return orig(df, centroids, vec, out, coarse_probes=coarse_probes)
+
+    monkeypatch.setattr(sim, "_assign_nearest_vectorized", spy)
+
+    # (a) oracle scale: auto-k resolves pairwise='join' → no Python seam
+    sim.semantic_dedup(emb, num_centroids=None, tau=0.3).collect()
+    assert calls == []
+
+    # (b) force the vectorized gate open: under budget → exact (None)
+    monkeypatch.setattr(sim, "_SEM_VECTORIZE_MIN_ROWS", 10)
+    exact_out = {
+        (r.vec_id, r.keep)
+        for r in sim.semantic_dedup(emb, num_centroids=None, tau=0.3).collect()
+    }
+    assert calls == [None]
+
+    # (c) shrink the budget: auto now picks the tree
+    monkeypatch.setattr(sim, "_ASSIGN_EXACT_MAX_FLOPS", 1.0)
+    tree_out = {
+        (r.vec_id, r.keep)
+        for r in sim.semantic_dedup(emb, num_centroids=None, tau=0.3).collect()
+    }
+    assert calls == [None, sim._TREE_COARSE_PROBES]
+
+    # kept-divergence bound: the tree is approximate only at coarse
+    # Voronoi boundaries — the kept set may move, bounded (measured
+    # 6/1900 at ×10000; pin ≤5% here)
+    n = len(exact_out)
+    diverged = len(exact_out ^ tree_out) / 2
+    assert diverged / n <= 0.05, f"{diverged}/{n} kept-flags diverged"
