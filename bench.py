@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "agg1_histogram_noids",
     "agg2_sliding_hour_counts",
     "agg3_peak_hour_paris",
+    "dst_histogram_hour_paris",  # round-8: DST-boundary rows, synthetic in-plan frame
+    "dst_peak_hour_paris",
     "state1_sessions",
     "agg6_session_summaries",
     "state4_debounced_edges",

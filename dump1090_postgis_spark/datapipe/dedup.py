@@ -1041,3 +1041,41 @@ def containment_pairs(
         F.round(inter / F.size("sh_a").cast("double"), 6).alias("contain_a"),
         F.round(inter / F.size("sh_b").cast("double"), 6).alias("contain_b"),
     )
+
+
+def bucket_cap_stats(
+    banded: DataFrame, max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE
+) -> DataFrame:
+    """One-row audit of what the bucket cap COSTS on a banded frame:
+
+    ``(n_buckets, n_buckets_live, n_buckets_dropped, n_members_dropped,
+    max_bucket_size_seen, cap)`` — live = ``2 <= size <= cap`` (the
+    buckets the verifies expand), dropped = ``size > cap`` (the
+    truncation :data:`DEFAULT_MAX_BUCKET_SIZE` applies silently by
+    design).  A 100 TB operator reads this row next to the pair output
+    to see whether the cap dropped one pathological boilerplate bucket
+    or an actual mega-family (``n_members_dropped`` is the upper bound
+    on docs whose within-bucket pairs were skipped, per band).
+
+    Cost: one count-only partial-agg groupBy over (band, key) id rows
+    — the same shape as :func:`oversize_buckets`, cheap against a
+    persisted signature store and independent of payload columns.
+    ``max_bucket_size=None`` reports zero dropped (no cap)."""
+    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    over = (
+        (F.col("n") > max_bucket_size)
+        if max_bucket_size is not None
+        else F.lit(False)
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(((F.col("n") >= 2) & ~over).cast("long")).alias(
+            "n_buckets_live"
+        ),
+        F.sum(over.cast("long")).alias("n_buckets_dropped"),
+        F.sum(F.when(over, F.col("n")).otherwise(0)).cast("long").alias(
+            "n_members_dropped"
+        ),
+        F.max("n").alias("max_bucket_size_seen"),
+        F.lit(max_bucket_size).cast("long").alias("cap"),
+    )

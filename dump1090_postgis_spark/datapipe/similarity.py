@@ -1549,3 +1549,166 @@ def semantic_dedup(
             ).alias("keep"),
         )
     )
+
+
+#: brute_force_topk engine='auto' switches to the Arrow blocked-matmul
+#: scan at this corpus size — same oracle-gate discipline as the other
+#: vectorized engines (every DuckDB-checked scale stays on the
+#: bit-exact join path).
+_BF_VECTORIZE_MIN_ROWS = 50_000
+
+#: Driver-side pin bound for the query side of the blocked scan (the
+#: query matrix is broadcast, so it must stay driver-small — same
+#: class as the centroid-table pins).
+_BF_MAX_QUERIES = 10_000
+
+
+def brute_force_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT cosine top-k as a blocked Arrow/numpy scan — the scale
+    twin of :func:`brute_force_topk` (and the ground-truth engine for
+    decade-scale recall measurement: the join engine's interpreted HOF
+    dot at 20M corpus × 100 queries is ~2×10⁹ interpreted evaluations).
+
+    Plan shape: the query side is collected ONCE (bounded by
+    ``_BF_MAX_QUERIES`` — a driver-small pin, the brute-force contract)
+    and broadcast; the corpus side is a pure ``mapInPandas`` — each
+    Arrow batch computes its m×q cosine block as one BLAS matmul and
+    emits only its per-query top-k rows, so the global ranking window
+    sees ≤ batches×q×k rows, never the corpus.  Zero corpus shuffle
+    before the final candidate-only ranking.
+
+    Parity with the join engine (pinned by the engine-equivalence
+    pytest): HALF_UP 4-decimal rounding, −0.0 normalized; ranking is
+    cosine DESC under nanSafeCompare (NaN first, NULL last) with
+    neighbor-id ASC tiebreak; self-pairs excluded; degenerate (NULL /
+    NULL-element) corpus vectors pair at cosine NULL (ranked last,
+    still emitted when fewer than k real neighbors rank above them);
+    a degenerate QUERY vector ranks the whole corpus at cosine NULL —
+    its top-k is the k lowest neighbor ids.  Divergence (documented,
+    same as :func:`_assign_nearest_vectorized`): zero-norm vectors
+    rank like NaN here instead of raising DIVIDE_BY_ZERO — zero-norm
+    is out of contract in both engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec).collect()
+    if len(qrows) > _BF_MAX_QUERIES:
+        raise ValueError(
+            f"brute_force_topk_blocked: {len(qrows)} query rows exceed "
+            f"the driver pin bound ({_BF_MAX_QUERIES}); batch the "
+            "queries or use the IVF route"
+        )
+    qrows.sort(key=lambda r: r[0])
+    q_ids = np.array([int(r[0]) for r in qrows], dtype="int64")
+    nq = len(q_ids)
+    q_deg = np.array(
+        [r[1] is None or any(x is None for x in r[1]) for r in qrows],
+        dtype=bool,
+    )
+    dim = max((len(r[1]) for r in qrows if r[1] is not None), default=0)
+    Q = np.zeros((nq, dim))
+    for i, r in enumerate(qrows):
+        if not q_deg[i]:
+            Q[i] = np.asarray([float(x) for x in r[1]])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_deg, Q, qn))
+
+    deg_expr = F.col(vec).isNull() | F.coalesce(
+        F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
+    )
+    src = corpus.select(
+        F.col(id_col).alias("_nid"),
+        F.when(deg_expr, None).otherwise(F.col(vec)).alias("_v"),
+        deg_expr.alias("_deg"),
+    )
+
+    def _scan(batches):
+        q_ids_, q_deg_, Q_, qn_ = bc.value
+        nq_ = len(q_ids_)
+        for pdf in batches:
+            ids = pdf["_nid"].to_numpy(dtype="int64")
+            deg = pdf["_deg"].to_numpy(dtype=bool)
+            m = len(ids)
+            out_q, out_n, out_c = [], [], []
+            clean = np.nonzero(~deg)[0]
+            if clean.size:
+                V = np.stack(
+                    [np.asarray(v, dtype="float64") for v in pdf["_v"].to_numpy()[clean]]
+                )
+                vn = np.sqrt((V * V).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = (V @ Q_.T) / (vn[:, None] * qn_[None, :])
+                rc = np.sign(S) * np.floor(np.abs(S) * 1e4 + 0.5) / 1e4 + 0.0
+                key = np.where(np.isnan(S), np.inf, rc)
+                cids = ids[clean]
+            # deg-corpus ids ascending (the NULL-cosine stratum)
+            dids = np.sort(ids[deg])
+            for j in range(nq_):
+                qid = int(q_ids_[j])
+                if q_deg_[j]:
+                    # every pair is cosine NULL: k lowest ids win
+                    allids = np.sort(ids[ids != qid])[:k]
+                    out_q.extend([qid] * len(allids))
+                    out_n.extend(int(x) for x in allids)
+                    out_c.extend([None] * len(allids))
+                    continue
+                if clean.size:
+                    mask = cids != qid
+                    kj = key[:, j][mask]
+                    idj = cids[mask]
+                    rcj = rc[:, j][mask]
+                    if len(idj):
+                        top = np.lexsort((idj, -kj))[:k]
+                        out_q.extend([qid] * len(top))
+                        out_n.extend(int(x) for x in idj[top])
+                        out_c.extend(float(c) for c in rcj[top])
+                dj = dids[dids != qid][:k]
+                out_q.extend([qid] * len(dj))
+                out_n.extend(int(x) for x in dj)
+                out_c.extend([None] * len(dj))
+            cos = pd.Series(out_c, dtype="float64")
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "cosine": cos,
+                    # pandas float64 holds NaN for BOTH the NULL-cosine
+                    # stratum (None above) and true-NaN cosines, and
+                    # the Arrow return path renders both as NULL — this
+                    # flag is the only way to tell them apart in Spark.
+                    "is_nan": pd.Series(
+                        [c is not None and np.isnan(c) for c in out_c],
+                        dtype="bool",
+                    ),
+                }
+            )
+
+    cand = src.mapInPandas(
+        _scan,
+        schema="query_id bigint, neighbor_id bigint, cosine double, "
+        "is_nan boolean",
+    )
+    # restore true-NaN cosines (nanSafeCompare ranks them FIRST under
+    # desc, exactly like the join engine); NULL-stratum rows stay NULL
+    # (ranked last, id-asc tiebreak)
+    cand = cand.withColumn(
+        "cosine",
+        F.when(F.col("is_nan"), F.lit(float("nan"))).otherwise(
+            F.col("cosine")
+        ),
+    ).drop("is_nan")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -83,8 +83,29 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "tq",
                 ["bin_start", "events", "ids_csv"],
             ),
+            # DST-boundary rows (synthetic in-plan frames — see
+            # testdata_queries "DST boundaries" section): the spring
+            # gap hour and fall repeated hour are value-hash-checked
+            # every round through this driver-window bundle.
+            (
+                "dst_histogram_hour_paris",
+                "tq",
+                ["phase", "bin_start", "events", "ids_csv"],
+            ),
+            (
+                "dst_peak_hour_paris",
+                "tq",
+                ["day", "peak_hour", "events"],
+            ),
         ],
-        [("bin_start", "string"), ("events", "bigint"), ("ids_csv", "string")],
+        [
+            ("bin_start", "string"),
+            ("events", "bigint"),
+            ("ids_csv", "string"),
+            ("phase", "string"),
+            ("day", "string"),
+            ("peak_hour", "string"),
+        ],
     ),
     # STATE-1 sessions + AGG-6 summaries + STATE-9 intention (same grain)
     "session_bundle": (

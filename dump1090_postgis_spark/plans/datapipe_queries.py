@@ -9,6 +9,7 @@ driver records a rows-only check for them.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import functions as F
@@ -230,6 +231,23 @@ def q_dedup_minhash_lsh_fast(spark, sf):
     banded = dd.minhash_banded(docs, hash_family="xxhash64")
     path = lsh_banded_artifact(sf)
     banded.write.mode("overwrite").parquet(path)
+    # Cap observability (the 1024 cap truncates mega-families SILENTLY
+    # by design): surface what it cost — one count-only groupBy over
+    # the just-persisted id rows, logged so a 100 TB operator sees
+    # dropped-bucket / truncated-member counts next to the pair output.
+    cap_row = dd.bucket_cap_stats(spark.read.parquet(path)).first()
+    logging.getLogger(__name__).info(
+        "minhash-LSH bucket-cap audit (%s): %d buckets, %d live, "
+        "%d dropped over cap=%s (%d member rows truncated; largest "
+        "bucket %d)",
+        os.path.basename(os.path.normpath(sf)),
+        cap_row["n_buckets"],
+        cap_row["n_buckets_live"],
+        cap_row["n_buckets_dropped"],
+        cap_row["cap"],
+        cap_row["n_members_dropped"],
+        cap_row["max_bucket_size_seen"],
+    )
     if docs.count() >= _MINHASH_VECTORIZE_MIN_DOCS:
         # scale engine (round 7): bucketed Python-set Jaccard straight
         # from the persisted banded frame — no 27M-pair distinct, no

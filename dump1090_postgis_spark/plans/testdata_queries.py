@@ -361,6 +361,189 @@ ORDER BY events DESC, peak_hour DESC
 
 
 # ---------------------------------------------------------------------------
+# DST boundaries — registry-visible twins of tests/test_dst.py
+# ---------------------------------------------------------------------------
+# The driver testdata spans only January 2024, so no parquet-backed
+# query ever crosses a Europe/Paris DST transition (SURVEY §7's
+# "killer edge case").  These two entries generate their event frames
+# IN-PLAN via sequence() — identically reproducible in DuckDB with
+# generate_series + row_number — so the spring-forward gap hour
+# (2024-03-31 02:xx does not exist) and the fall-back repeated hour
+# (2024-10-27 02:xx happens twice) are VALUE-HASH-checked every round,
+# driver data notwithstanding.
+
+
+def _dst_ticks(spark, start: str, end: str, step: str, id_offset: int):
+    """(event_id, ts) rows every `step` from start..end INCLUSIVE —
+    Spark sequence() and DuckDB generate_series share the inclusive-
+    end convention, and ids are grid positions, so both engines build
+    the identical frame."""
+    return spark.range(1).select(
+        F.posexplode(
+            F.sequence(
+                F.lit(start).cast("timestamp_ntz"),
+                F.lit(end).cast("timestamp_ntz"),
+                F.expr(f"INTERVAL {step}"),
+            )
+        ).alias("pos", "ts")
+    ).select((F.lit(id_offset) + F.col("pos")).alias("event_id"), "ts")
+
+
+_SQL_DST_TICKS = """
+  SELECT {off} + row_number() OVER (ORDER BY ts) - 1 AS event_id, ts
+  FROM (SELECT unnest(generate_series(TIMESTAMP '{start}',
+                                      TIMESTAMP '{end}',
+                                      INTERVAL {step})) AS ts)
+"""
+
+
+def q_dst_histogram_hour_paris(spark, sf):
+    """AGG-1/JOIN-3 across both 2024 Europe/Paris DST transitions:
+    quarter-hour events binned into local hours.  Spring: the 02:00
+    wall-clock axis bin exists but no instant maps into it (must
+    zero-fill); fall: two UTC hours fold into the 02:00 bin (must
+    carry both hours' ids).  `sf` is unused by design — the frame is
+    synthetic so the transition is checkable on January-only data."""
+    spring = _dst_ticks(
+        spark, "2024-03-30 23:00:00", "2024-03-31 03:45:00", "15 MINUTES", 0
+    )
+    fall = _dst_ticks(
+        spark, "2024-10-26 22:00:00", "2024-10-27 02:45:00", "15 MINUTES", 1000
+    )
+
+    def hist(frame, phase, starts, ends):
+        h = events_histogram(
+            frame, starts, ends, "hour", ts="ts", id_col="event_id",
+            tz="Europe/Paris",
+        )
+        return h.select(
+            F.lit(phase).alias("phase"),
+            _fmt(F.col("interval")).alias("bin_start"),
+            F.col("events"),
+            F.array_join(
+                F.transform(F.col("ids"), lambda x: x.cast("string")), ","
+            ).alias("ids_csv"),
+        )
+
+    return hist(
+        spring, "spring", "2024-03-31 00:00:00", "2024-03-31 03:00:00"
+    ).unionAll(
+        hist(fall, "fall", "2024-10-26 22:00:00", "2024-10-27 02:00:00")
+    )
+
+
+def _sql_dst_hist(phase: str, frame_sql: str, starts: str, ends: str) -> str:
+    return f"""
+SELECT '{phase}' AS phase, h.* FROM (
+  WITH ev AS ({frame_sql}), loc AS (
+    SELECT event_id, timezone('Europe/Paris', timezone('UTC', ts)) AS lts
+    FROM ev
+  ), bounds AS (
+    SELECT timezone('Europe/Paris', timezone('UTC', TIMESTAMP '{starts}')) AS lo,
+           timezone('Europe/Paris', timezone('UTC', TIMESTAMP '{ends}')) AS hi
+  ), axis AS (
+    SELECT unnest(generate_series(date_trunc('hour', (SELECT lo FROM bounds)),
+                                  date_trunc('hour', (SELECT hi FROM bounds)),
+                                  INTERVAL 1 HOUR)) AS interval
+  ), binned AS (
+    SELECT date_trunc('hour', lts) AS interval,
+           count(event_id) AS events,
+           array_to_string(list_sort(list(event_id)), ',') AS ids_csv
+    FROM loc
+    WHERE lts >= date_trunc('hour', (SELECT lo FROM bounds))
+      AND lts < date_trunc('hour', (SELECT hi FROM bounds)) + INTERVAL 1 HOUR
+    GROUP BY 1
+  )
+  SELECT {_OFMT.format(c='axis.interval')} AS bin_start,
+         COALESCE(binned.events, 0)::BIGINT AS events,
+         COALESCE(binned.ids_csv, '') AS ids_csv
+  FROM axis LEFT OUTER JOIN binned ON axis.interval = binned.interval
+) h
+"""
+
+
+SQL_DST_HIST = (
+    _sql_dst_hist(
+        "spring",
+        _SQL_DST_TICKS.format(
+            off=0, start="2024-03-30 23:00:00", end="2024-03-31 03:45:00",
+            step="15 MINUTE",
+        ),
+        "2024-03-31 00:00:00",
+        "2024-03-31 03:00:00",
+    )
+    + "\nUNION ALL\n"
+    + _sql_dst_hist(
+        "fall",
+        _SQL_DST_TICKS.format(
+            off=1000, start="2024-10-26 22:00:00", end="2024-10-27 02:45:00",
+            step="15 MINUTE",
+        ),
+        "2024-10-26 22:00:00",
+        "2024-10-27 02:00:00",
+    )
+)
+
+
+def q_dst_peak_hour_paris(spark, sf):
+    """AGG-2/3/4 across both DST transitions: a 12-events-in-12-minutes
+    burst in each transition night over a 20-minute background drip.
+    Fall-back: the burst ends UTC 2024-10-26 23:4x = local 01:4x CEST
+    on the 27th — the top-1-per-LOCAL-day partition must attribute it
+    to the 27th although its UTC date is the 26th.  Spring: the
+    burst's local label lands in the nonexistent 02:xx gap — ICU (both
+    engines) resolves it; parity is the assertion of record."""
+    frames = [
+        # (start, end, step, id_offset)
+        ("2024-10-26 17:30:00", "2024-10-27 05:10:00", "20 MINUTES", 0),
+        ("2024-10-26 23:30:30", "2024-10-26 23:41:30", "1 MINUTE", 5000),
+        ("2024-03-30 18:30:00", "2024-03-31 06:10:00", "20 MINUTES", 10000),
+        ("2024-03-31 00:30:30", "2024-03-31 00:41:30", "1 MINUTE", 15000),
+    ]
+    ev = None
+    for start, end, step, off in frames:
+        part = _dst_ticks(spark, start, end, step, off).select("ts")
+        ev = part if ev is None else ev.unionAll(part)
+    from ..operators.peak_hour import peak_hour
+
+    pk = peak_hour(ev, ts="ts", tz="Europe/Paris")
+    return pk.select(
+        F.col("day").cast("string").alias("day"),
+        _fmt(F.col("peak_hour")).alias("peak_hour"),
+        F.col("events"),
+    )
+
+
+SQL_DST_PEAK = f"""
+WITH ev AS (
+  {_SQL_DST_TICKS.format(off=0, start="2024-10-26 17:30:00", end="2024-10-27 05:10:00", step="20 MINUTE")}
+  UNION ALL
+  {_SQL_DST_TICKS.format(off=5000, start="2024-10-26 23:30:30", end="2024-10-26 23:41:30", step="1 MINUTE")}
+  UNION ALL
+  {_SQL_DST_TICKS.format(off=10000, start="2024-03-30 18:30:00", end="2024-03-31 06:10:00", step="20 MINUTE")}
+  UNION ALL
+  {_SQL_DST_TICKS.format(off=15000, start="2024-03-31 00:30:30", end="2024-03-31 00:41:30", step="1 MINUTE")}
+), counted AS (
+  SELECT ts,
+         count(*) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                        AND CURRENT ROW) AS events,
+         date_trunc('minute', ts - INTERVAL 30 MINUTE) AS peak_hour
+  FROM ev
+), ranked AS (
+  SELECT CAST(CAST(timezone('Europe/Paris', timezone('UTC', peak_hour)) AS DATE) AS VARCHAR) AS day,
+         {_OFMT.format(c='peak_hour')} AS peak_hour,
+         events::BIGINT AS events,
+         row_number() OVER (
+           PARTITION BY CAST(timezone('Europe/Paris', timezone('UTC', peak_hour)) AS DATE)
+           ORDER BY events DESC, peak_hour DESC) AS rnmax
+  FROM counted
+)
+SELECT day, peak_hour, events FROM ranked WHERE rnmax = 1
+ORDER BY events DESC, peak_hour DESC
+"""
+
+
+# ---------------------------------------------------------------------------
 # SET-1, AGG-7, AGG-8
 # ---------------------------------------------------------------------------
 
@@ -2560,6 +2743,8 @@ REGISTRY: dict = {
     "agg1_histogram_day_paris": (q_agg1_histogram_day_paris, SQL_AGG1_PARIS),
     "agg1_histogram_week_utc": (q_agg1_histogram_week_utc, SQL_AGG1_WEEK),
     "agg1_histogram_noids": (q_agg1_histogram_noids, SQL_AGG1_NOIDS),
+    "dst_histogram_hour_paris": (q_dst_histogram_hour_paris, SQL_DST_HIST),
+    "dst_peak_hour_paris": (q_dst_peak_hour_paris, SQL_DST_PEAK),
     "agg5_paths_selected": (q_agg5_paths_selected, SQL_AGG5_SELECTED),
     "agg2_sliding_hour_counts": (q_agg2_sliding_hour_counts, SQL_AGG2),
     "agg3_peak_hour_paris": (q_agg3_peak_hour_paris, SQL_AGG3),

@@ -12,6 +12,19 @@ wall-clock per setting.
 Usage:
     python scripts/bench_ivf_recall.py                 # sf0.1
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python scripts/bench_ivf_recall.py
+    SPARK_GRAFT_IVF_SCALE=10000 python scripts/bench_ivf_recall.py   # decade mode
+
+Decade mode (SPARK_GRAFT_IVF_SCALE=N): the sf0.1 embeddings replicated
+×N with a DETERMINISTIC per-copy perturbation (exact replication would
+make recall degenerate — every true neighbor is an exact copy in the
+query's own cell, recall 1.0 at any probe count; the perturbation
+smears each anchor's cloud across cell boundaries so recall must be
+earned).  Ground truth comes from ``brute_force_topk_blocked`` (the
+Arrow blocked scan — the interpreted join engine at 20M×100 pairs is
+~2×10⁹ interpreted dot evaluations); the measured operator is the
+UNCHANGED production ``ivf_topk`` at the registry's nlist=16, nprobe ∈
+{1, 4, 16} (16 = full scan, the exactness sanity row).  PQ is skipped
+in decade mode (the sf-scale run records the residual-int8 delta).
 """
 
 from __future__ import annotations
@@ -23,11 +36,56 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+IVF_SCALE = int(os.environ.get("SPARK_GRAFT_IVF_SCALE", "0"))
 K = 5
-NLISTS = (16, 32)
+NLISTS = (16, 32) if not IVF_SCALE else (16,)
+NPROBES_DECADE = (1, 4, 16)
 N_QUERIES = 100
 LLOYD_ITERS = 2
+PERTURB = 0.6  # decade-mode per-dim noise amplitude
+
+
+def _perturbed_decade_corpus(spark):
+    """Replicate sf0.1 embeddings ×IVF_SCALE with vec_id shifts and a
+    deterministic sin-based per-copy perturbation; cached under the
+    repo scratch dir."""
+    from pyspark.sql import functions as F
+
+    from dump1090_postgis_spark.schemas import load_table
+
+    dst = os.path.join(REPO, f".bench_ivf_x{IVF_SCALE}")
+    out = os.path.join(dst, "embeddings.parquet")
+    if not os.path.exists(out):
+        os.makedirs(dst, exist_ok=True)
+        base = load_table(spark, SF_DIR, "embeddings")
+        mx = base.agg(F.max("vec_id")).collect()[0][0]
+        rep = (
+            base.repartition(32)
+            .withColumn(
+                "_rep", F.explode(F.sequence(F.lit(0), F.lit(IVF_SCALE - 1)))
+            )
+            .withColumn("vec_id", F.col("vec_id") + F.col("_rep") * (mx + 1))
+            .drop("_rep")
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: x.cast("double")
+                    + PERTURB
+                    * F.sin(
+                        (F.pmod(F.col("vec_id"), F.lit(8191)) + 1).cast(
+                            "double"
+                        )
+                        * (i + 1).cast("double")
+                    ),
+                ),
+            )
+        )
+        rep.repartition(32).write.mode("overwrite").parquet(out)
+        print(f"generated perturbed embeddings x{IVF_SCALE}", file=sys.stderr)
+    return spark.read.parquet(out)
 
 
 def main() -> int:
@@ -38,13 +96,19 @@ def main() -> int:
     from dump1090_postgis_spark.session import get_spark
 
     spark = get_spark(app_name="bench_ivf_recall")
-    emb = load_table(spark, SF_DIR, "embeddings")
+    if IVF_SCALE:
+        emb = _perturbed_decade_corpus(spark)
+    else:
+        emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
 
     t0 = time.time()
+    gt_engine = (
+        sim.brute_force_topk_blocked if IVF_SCALE else sim.brute_force_topk
+    )
     exact = {
         (r.query_id, r.neighbor_id)
-        for r in sim.brute_force_topk(emb, queries, k=K).collect()
+        for r in gt_engine(emb, queries, k=K).collect()
     }
     t_exact = time.time() - t0
     n_q = len({q for q, _ in exact})
@@ -58,7 +122,10 @@ def main() -> int:
         ).persist()
         centroids.count()
         train_secs[str(nlist)] = round(time.time() - t0, 2)
-        for probes in (1, 2, 4, 8, nlist):
+        probe_points = (
+            NPROBES_DECADE if IVF_SCALE else (1, 2, 4, 8, nlist)
+        )
+        for probes in probe_points:
             if probes > nlist:
                 continue
             t0 = time.time()
@@ -70,6 +137,22 @@ def main() -> int:
             }
             dt = time.time() - t0
             recall = len(exact & approx) / len(exact)
+            if IVF_SCALE:
+                rows.append(
+                    {
+                        "nlist": nlist,
+                        "nprobe": probes,
+                        "recall_at_k": round(recall, 4),
+                        "sec": round(dt, 2),
+                        "scan_fraction": round(probes / nlist, 3),
+                    }
+                )
+                print(
+                    f"nlist={nlist:>2} nprobe={probes:>2}  "
+                    f"recall@{K}={recall:.4f}  {dt:.2f}s",
+                    file=sys.stderr,
+                )
+                continue
             # IVF-PQ at the SAME centroids/probes — identical candidate
             # sets, so the recall delta isolates the residual-int8 cost
             t0 = time.time()
@@ -101,7 +184,9 @@ def main() -> int:
 
     out = {
         "metric": "ivf_recall_curve",
-        "sf_dir": SF_DIR,
+        "sf_dir": SF_DIR if not IVF_SCALE else f".bench_ivf_x{IVF_SCALE}",
+        "scale": IVF_SCALE or None,
+        "perturb": PERTURB if IVF_SCALE else None,
         "k": K,
         "lloyd_iterations": LLOYD_ITERS,
         "n_queries": n_q,

@@ -291,6 +291,196 @@ def bench_socket_sustained(spark, lines: list[str], attributed: bool = False) ->
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+SOAK_SECS = int(os.environ.get("SPARK_GRAFT_SOAK_SECS", "600"))
+SOAK_RATE = int(os.environ.get("SPARK_GRAFT_SOAK_RATE", "6000"))  # msg/s
+SOAK_GEN_SECS = int(os.environ.get("SPARK_GRAFT_SOAK_GEN_SECS", "120"))
+
+
+def bench_soak(spark, lines: list[str]) -> dict:
+    """Sustained ≥10-minute socket soak with STATE-GROWTH accounting —
+    the bounded-state claim (STATE-1's 300 s inactivity eviction)
+    proven over time rather than asserted.
+
+    Design:
+    - the feeder paces SOAK_RATE msg/s for SOAK_SECS and ROTATES the
+      session-key population every SOAK_GEN_SECS (hexident prefixed
+      with a generation tag): keys of a retired generation stop
+      receiving messages, so the 300 s processing-time timeout must
+      evict them — without rotation the looped replay keeps every
+      session alive forever and eviction is never exercised;
+    - the pipeline is the TWS/RocksDB twin when the protobuf runtime
+      is available (state off-heap — the 100 TB posture), else the
+      legacy HDFS-backed handler;
+    - EVERY trigger's stateOperators row is recorded via lastProgress
+      polling (recentProgress caps at ~100 entries — too short for a
+      10-minute 1 s-trigger run): rows total, rows removed (evictions)
+      and the RocksDB size custom metrics.
+
+    Verdict criterion: after warm-up (first eviction wave at
+    SOAK_GEN_SECS + 300 s), state rows and RocksDB bytes must be FLAT
+    — summarized as steady-state mean/max vs the warm-up peak.
+    """
+    from dump1090_postgis_spark.sources.sbs1 import socket_stream
+    from dump1090_postgis_spark.streaming.pbcompat import (
+        prepare_env,
+        tws_available,
+    )
+    from dump1090_postgis_spark.streaming.pipeline import (
+        event_stream,
+        parsed_stream,
+    )
+
+    use_tws = prepare_env() and tws_available()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if use_tws:
+        from dump1090_postgis_spark.streaming.tws import (
+            ROCKSDB_PROVIDER,
+            event_stream_tws,
+        )
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        stage = event_stream_tws
+    else:
+        stage = event_stream
+
+    stop_feed = threading.Event()
+    sent = {"n": 0, "gen": 0}
+
+    class Feeder(socketserver.BaseRequestHandler):
+        def handle(self):
+            slice_n = max(1, SOAK_RATE // 10)
+            deadline = time.time() + SOAK_SECS
+            t_start = time.time()
+            gen = -1
+            gen_lines: list[str] = []
+            i = 0
+            try:
+                while time.time() < deadline and not stop_feed.is_set():
+                    t_slice = time.time()
+                    g = int((time.time() - t_start) // SOAK_GEN_SECS)
+                    if g != gen:
+                        # retire the old key population: every hexident
+                        # gets the generation prefix, so gen g-1 keys
+                        # go quiet and MUST age out 300 s later
+                        gen = g
+                        sent["gen"] = gen
+                        gen_lines = [
+                            l.replace(",A", f",G{gen}A", 1) for l in lines
+                        ]
+                    chunk = []
+                    for _ in range(slice_n):
+                        chunk.append(gen_lines[i % len(gen_lines)])
+                        i += 1
+                    self.request.sendall(("\n".join(chunk) + "\n").encode())
+                    sent["n"] += len(chunk)
+                    dt = time.time() - t_slice
+                    if dt < 0.1:
+                        time.sleep(0.1 - dt)
+                while not stop_feed.is_set():
+                    time.sleep(0.2)
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Feeder)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    ckpt = tempfile.mkdtemp(prefix="soak_ckpt")
+    series: list[dict] = []
+    try:
+        raw = socket_stream(spark, "127.0.0.1", srv.server_address[1])
+        events = stage(parsed_stream(raw))
+        t0 = time.time()
+        q = (
+            events.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        seen = set()
+        drain = 20  # catch the post-feed eviction tail
+        while time.time() < t0 + SOAK_SECS + drain:
+            p = q.lastProgress
+            if p and p.get("batchId") is not None and p["batchId"] not in seen:
+                seen.add(p["batchId"])
+                ops = p.get("stateOperators") or []
+                rocks = {}
+                for o in ops:
+                    for k, v in (o.get("customMetrics") or {}).items():
+                        if "rocksdb" in k.lower() and (
+                            "SizeBytes" in k or "MemoryUsage" in k
+                        ):
+                            rocks[k] = rocks.get(k, 0) + v
+                series.append(
+                    {
+                        "t": round(time.time() - t0, 1),
+                        "batch": p["batchId"],
+                        "in": p.get("numInputRows", 0),
+                        "rows": sum(o.get("numRowsTotal", 0) for o in ops),
+                        "removed": sum(
+                            o.get("numRowsRemoved", 0) for o in ops
+                        ),
+                        **rocks,
+                    }
+                )
+            time.sleep(0.4)
+        stop_feed.set()
+        q.stop()
+        elapsed = time.time() - t0
+        total_in = sum(s["in"] for s in series)
+        evicted = sum(s["removed"] for s in series)
+        # steady state begins after the first full eviction wave
+        warm = SOAK_GEN_SECS + 300 + 30
+        steady = [s for s in series if s["t"] >= warm]
+        warmup = [s for s in series if s["t"] < warm]
+        size_key = next(
+            (k for k in (steady or series)[-1] if "rocksdb" in k.lower()),
+            None,
+        )
+
+        def stat(rows, key):
+            vals = [s.get(key, 0) for s in rows] or [0]
+            return {"mean": round(sum(vals) / len(vals), 1), "max": max(vals)}
+
+        out = {
+            "soak_engine": "tws_rocksdb" if use_tws else "legacy_hdfs",
+            "soak_secs": SOAK_SECS,
+            "soak_rate_target": SOAK_RATE,
+            "soak_gen_secs": SOAK_GEN_SECS,
+            "soak_sent": sent["n"],
+            "soak_processed": total_in,
+            "soak_keepup_ratio": round(total_in / max(sent["n"], 1), 3),
+            "soak_generations": sent["gen"] + 1,
+            "soak_evicted_rows": evicted,
+            "soak_triggers_recorded": len(series),
+            "soak_state_rows_warmup": stat(warmup, "rows"),
+            "soak_state_rows_steady": stat(steady, "rows"),
+        }
+        if size_key:
+            out["soak_rocksdb_metric"] = size_key
+            out["soak_rocksdb_warmup"] = stat(warmup, size_key)
+            out["soak_rocksdb_steady"] = stat(steady, size_key)
+        # full per-trigger series for the curious (not in the JSON line)
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", ".soak_series.json"),
+            "w",
+        ) as fh:
+            json.dump(series, fh)
+        return out
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        srv.shutdown()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def bench_checkpoint_recovery(spark, drop: str) -> dict:
     """Kill the file-replay query mid-stream, restart on the SAME
     checkpoint: time until the restarted query finishes its first
@@ -398,9 +588,16 @@ def main() -> int:
                 out.update(bench_socket_sustained(spark, lines))
             if which in ("all", "socket_attributed"):
                 out.update(bench_socket_sustained(spark, lines, attributed=True))
+        if which == "soak":
+            lines = [r.value for r in spark.read.text(drop).limit(200_000).collect()]
+            out.update(bench_soak(spark, lines))
         if which in ("all", "recovery"):
             out.update(bench_checkpoint_recovery(spark, drop))
-        out["value"] = out.get("file_replay_rate") or out.get("socket_sustained_rate")
+        out["value"] = (
+            out.get("file_replay_rate")
+            or out.get("socket_sustained_rate")
+            or out.get("soak_processed")
+        )
         print(json.dumps(out))
     finally:
         shutil.rmtree(drop, ignore_errors=True)

@@ -402,3 +402,59 @@ def test_stratified_exact_split_deterministic_and_seeded(spark):
          stratified_exact_split(df, ["source"], frac=0.2, seed="y").collect()}
     assert a == b
     assert a != c  # a different seed draws a different holdout
+
+
+def test_contraction_restores_cap_dropped_megafamily(spark):
+    """Cap × contraction interaction on the star-shaped duplicate
+    graph: an exact-dup family LARGER than the bucket cap produces
+    ZERO within-family LSH pairs (every bucket over cap is dropped —
+    by design), so the uncontracted graph would leave the family as
+    singletons; contract_families guarantees family connectivity by
+    construction, so the contracted pipeline still resolves ONE
+    cluster with the family minimum as canonical.  This is the
+    megastar safety property the ×1000 skew bench measures at 1M
+    members (scripts/bench_skew_star.py)."""
+    from dump1090_postgis_spark.datapipe import dedup as dd
+    from dump1090_postgis_spark.datapipe.cluster import (
+        contract_families,
+        duplicate_clusters,
+    )
+
+    mega = "identical boilerplate page served by every mirror of the site"
+    other = "a genuinely distinct document about columnar shuffle plans"
+    docs = spark.createDataFrame(
+        [(i, mega) for i in range(30)] + [(100, other), (101, other)],
+        "doc_id long, text string",
+    )
+    cap = 5
+    banded = dd.minhash_banded(docs, hash_family="xxhash64")
+    capped_pairs = dd.bucketed_jaccard_pairs(
+        docs, banded, threshold=0.5, max_bucket_size=cap
+    )
+    got = {(r.id_a, r.id_b) for r in capped_pairs.collect()}
+    assert got == {(100, 101)}  # the megafamily was cap-dropped entirely
+    # the cap audit row names exactly that cost
+    audit = dd.bucket_cap_stats(banded, max_bucket_size=cap).first()
+    assert audit["n_buckets_dropped"] == 4 and audit["n_members_dropped"] == 120
+
+    # contraction: rep-only pairs + fan-out restores the family
+    fam = contract_families(docs)
+    rep_docs = docs.join(
+        fam.filter(F.col("node") == F.col("rep")).select(
+            F.col("node").alias("doc_id")
+        ),
+        "doc_id",
+        "semi",
+    )
+    rpairs = dd.bucketed_jaccard_pairs(
+        rep_docs,
+        dd.minhash_banded(rep_docs, hash_family="xxhash64"),
+        threshold=0.5,
+        max_bucket_size=cap,
+    )
+    clusters = {
+        r.doc_id: (r.component, r.cluster_size, r.is_canonical)
+        for r in duplicate_clusters(docs, rpairs, contract=fam).collect()
+    }
+    assert all(clusters[i] == (0, 30, i == 0) for i in range(30))
+    assert clusters[100] == (100, 2, True) and clusters[101] == (100, 2, False)

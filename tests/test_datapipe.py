@@ -1039,3 +1039,65 @@ def test_lsh_candidate_recall_floor_vs_exact_allpairs(spark):
         }
         recall = len(gt & cands) / len(gt)
         assert recall >= 0.9, (fam, recall, len(gt))
+
+
+def test_bucket_cap_stats_reports_truncation(spark):
+    """bucket_cap_stats must account for exactly what the cap silently
+    drops: the 20-copy family is one over-cap bucket per band (20
+    member rows each), the legit pair is one live bucket per band, and
+    singletons count toward neither."""
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(20)] + [(100, FAR), (101, FAR)],
+        "doc_id long, text string",
+    )
+    banded = dd.minhash_banded(docs)
+    row = dd.bucket_cap_stats(banded, max_bucket_size=5).first()
+    assert row["n_buckets_dropped"] == 4          # the hot family, per band
+    assert row["n_members_dropped"] == 4 * 20
+    assert row["n_buckets_live"] == 4             # the (100,101) pair per band
+    assert row["max_bucket_size_seen"] == 20 and row["cap"] == 5
+    # no cap: nothing dropped, hot family counts as live
+    row = dd.bucket_cap_stats(banded, max_bucket_size=None).first()
+    assert row["n_buckets_dropped"] == 0 and row["n_members_dropped"] == 0
+    assert row["n_buckets_live"] == 8 and row["cap"] is None
+
+
+def test_brute_force_topk_blocked_matches_join_engine(spark):
+    """brute_force_topk_blocked (Arrow blocked-matmul scan — the
+    decade-scale ground-truth engine) must emit the same
+    (query_id, rank, neighbor_id, cosine) rows as the interpreted
+    broadcast-join engine: HALF_UP rounding, NaN-first / NULL-last
+    ranking, id tiebreaks, self-exclusion, degenerate corpus AND
+    query vectors."""
+    import math
+    import random
+
+    rnd = random.Random(21)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    rows += [
+        (200, [float("nan")] + [1.0] * 7),            # NaN corpus vector
+        (201, [None, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # NULL-element
+        (202, None),                                   # NULL vector
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # queries: clean ones + a NaN query + a NULL-element query
+    queries = spark.createDataFrame(
+        [rows[0], rows[5], (300, [float("nan")] + [0.5] * 7),
+         (301, [None, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def norm(df):
+        out = set()
+        for r in df.collect():
+            c = r.cosine
+            c = "nan" if (c is not None and math.isnan(c)) else c
+            out.add((r.query_id, r.rank, r.neighbor_id, c))
+        return out
+
+    j = norm(sim.brute_force_topk(corpus, queries, k=7))
+    b = norm(sim.brute_force_topk_blocked(corpus, queries, k=7))
+    assert b == j and len(b) == 4 * 7
+    # sanity: the NaN corpus vector ranks FIRST for clean queries
+    assert any(q == 0 and rk == 1 and n == 200 and c == "nan"
+               for q, rk, n, c in j)
