@@ -25,12 +25,30 @@ def brute_force_topk(
     k: int = 5,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    engine: str = "auto",
 ) -> DataFrame:
     """Exact cosine top-k neighbors (self excluded) for each query row.
 
     Returns (query_id, rank, neighbor_id, cosine) — rank 1..k by cosine
     desc with neighbor-id tiebreak (deterministic).
+
+    ``engine``: ``'join'`` is the broadcast theta join with the
+    interpreted staged-cosine (bit-exact vs the DuckDB oracle);
+    ``'blocked'`` is :func:`brute_force_topk_blocked` (Arrow blocked
+    BLAS scan, per-batch top-k emission — same rows, ~50× less per-dot
+    cost); ``'auto'`` (default) picks blocked past
+    ``_BF_VECTORIZE_MIN_ROWS`` corpus rows (one eager count) — the
+    same oracle-gate discipline as every other vectorized engine here:
+    all DuckDB-checked scales stay on the join path.
     """
+    if engine not in ("auto", "join", "blocked"):
+        raise ValueError(f"engine must be auto|join|blocked, got {engine!r}")
+    if engine == "auto":
+        engine = (
+            "blocked" if corpus.count() >= _BF_VECTORIZE_MIN_ROWS else "join"
+        )
+    if engine == "blocked":
+        return brute_force_topk_blocked(corpus, queries, k, vec, id_col)
     # Stage the double-cast vector AND its norm as named columns BEFORE
     # the broadcast theta join: the higher-order transform/aggregate
     # expressions run interpreted (no whole-stage codegen), so leaving

@@ -1101,3 +1101,22 @@ def test_brute_force_topk_blocked_matches_join_engine(spark):
     # sanity: the NaN corpus vector ranks FIRST for clean queries
     assert any(q == 0 and rk == 1 and n == 200 and c == "nan"
                for q, rk, n, c in j)
+
+
+def test_brute_force_auto_gate(spark, monkeypatch):
+    """brute_force_topk engine='auto' stays on the join engine below
+    the corpus budget (no Python seam in the plan) and switches to the
+    blocked Arrow scan past it — same discipline as the LSH/semdedup
+    vectorized gates."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5, 0.2]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.limit(3)
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    assert "MapInPandas" not in plan(sim.brute_force_topk(df, q, k=3))
+    monkeypatch.setattr(sim, "_BF_VECTORIZE_MIN_ROWS", 10)
+    assert "MapInPandas" in plan(sim.brute_force_topk(df, q, k=3))
