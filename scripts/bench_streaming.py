@@ -363,11 +363,14 @@ def bench_soak(spark, lines: list[str]) -> dict:
                     if g != gen:
                         # retire the old key population: every hexident
                         # gets the generation prefix, so gen g-1 keys
-                        # go quiet and MUST age out 300 s later
+                        # go quiet and MUST age out 300 s later.  The
+                        # prefix must stay [0-9A-F] — the SBS-1 parser
+                        # validates hexident as uppercase hex and NULLs
+                        # the key otherwise (operators/parse.py:77).
                         gen = g
                         sent["gen"] = gen
                         gen_lines = [
-                            l.replace(",A", f",G{gen}A", 1) for l in lines
+                            l.replace(",A", f",{gen}A", 1) for l in lines
                         ]
                     chunk = []
                     for _ in range(slice_n):
@@ -410,7 +413,9 @@ def bench_soak(spark, lines: list[str]) -> dict:
                 for o in ops:
                     for k, v in (o.get("customMetrics") or {}).items():
                         if "rocksdb" in k.lower() and (
-                            "SizeBytes" in k or "MemoryUsage" in k
+                            "SstFileSize" in k
+                            or "SizeBytes" in k
+                            or "MemoryUsage" in k
                         ):
                             rocks[k] = rocks.get(k, 0) + v
                 series.append(
@@ -435,9 +440,10 @@ def bench_soak(spark, lines: list[str]) -> dict:
         warm = SOAK_GEN_SECS + 300 + 30
         steady = [s for s in series if s["t"] >= warm]
         warmup = [s for s in series if s["t"] < warm]
+        last_keys = list((steady or series)[-1]) if series else []
         size_key = next(
-            (k for k in (steady or series)[-1] if "rocksdb" in k.lower()),
-            None,
+            (k for k in last_keys if "SstFileSize" in k),
+            next((k for k in last_keys if "rocksdb" in k.lower()), None),
         )
 
         def stat(rows, key):
