@@ -610,7 +610,10 @@ def test_tws_processor_full_lifecycle_matches_legacy(spark):
 
     from dump1090_postgis_spark.operators import parse
     from dump1090_postgis_spark.streaming.state import SESSION_TIMEOUT_MS
-    from dump1090_postgis_spark.streaming.tws import SessionProcessor
+    from dump1090_postgis_spark.streaming.tws import (
+        TWS_STATE_NAME,
+        SessionProcessor,
+    )
 
     class FakeValueState:
         def __init__(self):
@@ -668,7 +671,7 @@ def test_tws_processor_full_lifecycle_matches_legacy(spark):
         key = (row["hexident"],)
         for out in proc.handleInputRows(key, iter([pdf]), TimerValues(now_ms)):
             emitted.append(out)
-        sess = handle.states["session"]
+        sess = handle.states[TWS_STATE_NAME]
         if sess.exists():
             if first_deadline is None:
                 first_deadline = now_ms + SESSION_TIMEOUT_MS
@@ -707,7 +710,7 @@ def test_tws_processor_full_lifecycle_matches_legacy(spark):
     # fire (anchor timer < advanced deadline) must RE-ARM without
     # emitting; the fire at the stored deadline emits exactly one
     # summary and clears state.
-    live = [k for k, s in [("session", handle.states["session"])] if s.exists()]
+    live = [k for k, s in [(TWS_STATE_NAME, handle.states[TWS_STATE_NAME])] if s.exists()]
     summaries = []
     fires = 0
     while handle.timers and not summaries and fires < 5:
@@ -723,7 +726,7 @@ def test_tws_processor_full_lifecycle_matches_legacy(spark):
         assert len(summaries) == 1
         srow = summaries[0].iloc[0]
         assert srow["kind"] == "flight_summary"
-        assert not handle.states["session"].exists()
+        assert not handle.states[TWS_STATE_NAME].exists()
         # a stale timer after the clear is a no-op (no crash, no rows)
         assert list(
             proc.handleExpiredTimer(
