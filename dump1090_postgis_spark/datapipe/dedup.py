@@ -610,11 +610,16 @@ def hyperplane_weights(
 
 
 #: embedding_near_dup_pairs engine='auto' switches to the bucketed
-#: Arrow/numpy verify at this corpus size — the same oracle-gate
-#: discipline as semantic_dedup's _SEM_VECTORIZE_MIN_ROWS: every
-#: DuckDB-checked scale (sf0.01: 500, sf0.1: 2k, ×10: 20k) stays on
-#: the bit-exact join engine.
-_EMB_VECTORIZE_MIN_ROWS = 50_000
+#: Arrow/numpy verify once rows × dim exceeds this work budget —
+#: calibrated to the round-8 measured flip (50k rows at dim 64 =
+#: 3.2e6), expressed in rows×dim so a wide-embedding corpus flips
+#: proportionally earlier (the interpreted signature/verify cost is
+#: per-element, not per-row).  Same oracle-gate discipline as
+#: semantic_dedup's _SEM_VECTORIZE_MIN_ROWS: every DuckDB-checked
+#: scale (sf0.01: 500, sf0.1: 2k, ×10: 20k — all dim 64) stays on the
+#: bit-exact join engine.  The size source is hint → plan stats →
+#: bounded probe (costmodel.work_exceeds), never an unbounded count.
+_EMB_JOIN_MAX_WORK = 3.2e6
 
 
 def _bucket_verify_vectorized(
@@ -724,6 +729,7 @@ def embedding_near_dup_pairs(
     seed: int = 7,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     engine: str = "auto",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup: banded random-hyperplane LSH candidates +
     exact cosine verification.
@@ -753,16 +759,22 @@ def embedding_near_dup_pairs(
     shape (bit-exact vs the DuckDB oracle); ``'vectorized'`` verifies
     buckets directly with numpy matmuls
     (:func:`_bucket_verify_vectorized` — no 144M-pair distinct, no
-    vector-carrying pair joins); ``'auto'`` (default) picks vectorized
-    past ``_EMB_VECTORIZE_MIN_ROWS`` corpus rows (one eager count) —
-    every oracle scale stays on the join engine.
+    vector-carrying pair joins); ``'auto'`` (default) dispatches on
+    the rows×dim work budget ``_EMB_JOIN_MAX_WORK`` with the shared
+    size source (``corpus_rows`` hint → plan stats → bounded probe,
+    :func:`.costmodel.work_exceeds` — no unbounded count) — every
+    oracle scale stays on the join engine.
     """
+    from .costmodel import work_exceeds
+
     if engine not in ("auto", "join", "vectorized"):
         raise ValueError(f"engine must be auto|join|vectorized, got {engine!r}")
     if engine == "auto":
         engine = (
             "vectorized"
-            if emb.count() >= _EMB_VECTORIZE_MIN_ROWS
+            if work_exceeds(
+                emb, _EMB_JOIN_MAX_WORK, dim, size_hint=corpus_rows
+            )
             else "join"
         )
     planes = hyperplane_weights(dim, bands, bits_per_band, seed)

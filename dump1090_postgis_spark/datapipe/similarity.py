@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .costmodel import work_exceeds
 from .dedup import embedding_cosine
 
 
@@ -26,6 +27,7 @@ def brute_force_topk(
     vec: str = "embedding",
     id_col: str = "vec_id",
     engine: str = "auto",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors (self excluded) for each query row.
 
@@ -36,16 +38,33 @@ def brute_force_topk(
     interpreted staged-cosine (bit-exact vs the DuckDB oracle);
     ``'blocked'`` is :func:`brute_force_topk_blocked` (Arrow blocked
     BLAS scan, per-batch top-k emission — same rows, ~50× less per-dot
-    cost); ``'auto'`` (default) picks blocked past
-    ``_BF_VECTORIZE_MIN_ROWS`` corpus rows (one eager count) — the
-    same oracle-gate discipline as every other vectorized engine here:
-    all DuckDB-checked scales stay on the join path.
+    cost); ``'auto'`` (default) dispatches on the FLOPs budget
+    ``_BF_JOIN_MAX_FLOPS`` (corpus rows × queries × dim — both engines
+    are O(n·q·d), so the crossover where the blocked engine's fixed
+    Arrow overhead amortizes is a FLOPs wall, not a row wall).  The
+    corpus size comes from ``corpus_rows`` (caller hint) → Catalyst
+    plan stats → a bounded limit-probe, never an unbounded count
+    (:func:`.costmodel.rows_at_least`); nq/dim come from one tiny agg
+    over the query side — the driver-small side by contract (the
+    blocked engine collects it whole).  Same oracle-gate discipline as
+    every other vectorized engine here: all DuckDB-checked scales stay
+    on the join path.
     """
     if engine not in ("auto", "join", "blocked"):
         raise ValueError(f"engine must be auto|join|blocked, got {engine!r}")
     if engine == "auto":
+        qstat = queries.agg(
+            F.count(F.lit(1)).alias("_nq"),
+            F.first(F.size(F.col(vec)), ignorenulls=True).alias("_dim"),
+        ).first()
+        units = (qstat["_nq"] or 0) * (qstat["_dim"] or 0)
         engine = (
-            "blocked" if corpus.count() >= _BF_VECTORIZE_MIN_ROWS else "join"
+            "blocked"
+            if units > 0
+            and work_exceeds(
+                corpus, _BF_JOIN_MAX_FLOPS, units, size_hint=corpus_rows
+            )
+            else "join"
         )
     if engine == "blocked":
         return brute_force_topk_blocked(corpus, queries, k, vec, id_col)
@@ -286,7 +305,51 @@ _LITERAL_COMPILE_LIMIT = 20_000
 _SEM_SALT = 8
 
 
-def _centroid_literal(centroids: DataFrame):
+def resolve_pairwise_salt(
+    live_clusters: int,
+    max_members: int,
+    slots: int = 256,
+    target: int = 1024,
+    cap: int = _SEM_SALT,
+) -> int:
+    """Salt for semantic_dedup's vectorized within-cluster pairwise,
+    keyed on the OBSERVED cluster shape (round-9; the round-8 rule
+    keyed on k — at the ×30000 envelope k=58.6k resolved salt 1 while
+    2,000 LIVE clusters of ~30k members did all the work, a straggler
+    hazard on a real fleet).
+
+    Two pressures, take the larger:
+    - task-count: live_clusters × salt ≥ ``slots`` groups so the
+      cluster's task slots fill;
+    - hot-cluster split: a b-member cluster's pairwise is O(b²) block
+      work — salt ≥ max_members / ``target`` keeps each (cluster,
+      salt) task's share near the by-construction-bounded
+      target-cluster workload.
+
+    Replication through the Arrow shuffle costs ×salt, so both are
+    clamped to ``cap``; pure function of the two observed sizes so the
+    rule is unit-testable (the semantic_dedup caller reads them off
+    the already-checkpointed assignment — one count-only groupBy, no
+    corpus re-derivation)."""
+    if live_clusters <= 0:
+        return 1  # empty pool — nothing to fan out
+    by_slots = -(-slots // live_clusters)
+    by_hot = -(-max(0, max_members) // max(1, target))
+    return max(1, min(cap, max(by_slots, by_hot)))
+
+
+def _collect_centroids(centroids: DataFrame) -> list:
+    """One driver collect of the (tiny, k-row) centroid table, sorted
+    by id — shared by the literal compiler and the budget dispatchers
+    so multi-consumer plans (ivf_topk, ivf_pq_topk) run the centroid
+    pipeline exactly once."""
+    return sorted(
+        centroids.select("centroid_id", "centroid").collect(),
+        key=lambda r: r.centroid_id,
+    )
+
+
+def _centroid_literal(centroids: DataFrame, _rows: list | None = None):
     """Plan-time compile of a broadcast-class centroid table into a
     LITERAL array<struct<centroid_id, centroid>> column (the
     operators/attribution.py pattern): the centroid-build pipeline runs
@@ -294,7 +357,7 @@ def _centroid_literal(centroids: DataFrame):
     embeds the values — no recompute per branch, no exchange at all on
     the corpus side.  Returns None when the table exceeds the literal
     budget (caller then uses _centroid_array)."""
-    rows = centroids.select("centroid_id", "centroid").collect()
+    rows = _rows if _rows is not None else _collect_centroids(centroids)
     if not rows or len(rows) * len(rows[0].centroid) > _LITERAL_COMPILE_LIMIT:
         return None
     return F.array(*[
@@ -302,7 +365,7 @@ def _centroid_literal(centroids: DataFrame):
             F.lit(int(r.centroid_id)).alias("centroid_id"),
             F.array(*[F.lit(float(x)) for x in r.centroid]).alias("centroid"),
         )
-        for r in sorted(rows, key=lambda r: r.centroid_id)
+        for r in rows
     ])
 
 
@@ -340,6 +403,25 @@ _TREE_COARSE_PROBES = 2
 #: cheap AND better (all k probed), the tree takes over where exact's
 #: quadratic growth dominates the whole plan.
 _ASSIGN_EXACT_MAX_FLOPS = 1.0e12
+
+
+#: FLOPs budget for the LITERAL-projection corpus assignment in the
+#: IVF family (ivf_topk / pq_encode_residual / ivf_pq_topk): n·k·dim
+#: multiply-adds, each an INTERPRETED higher-order-function evaluation
+#: (no whole-stage codegen for transform/aggregate).  The round-8
+#: literal gate was a LITERAL-COUNT budget (k·dim ≤ 20k), blind to n:
+#: at ×10000 (20M rows × nlist 16 × 64 dims = 2.0e10 FLOPs) the
+#: interpreted assignment alone measured 546 s at scan-fraction 1/16
+#: (BASELINE.md "IVF recall-vs-wall at ×10000" — named there the
+#: obvious next lever).  Past this budget the corpus assignment
+#: dispatches to :func:`_assign_nearest_vectorized` — the EXACT all-k
+#: blocked BLAS matmul, ~50× cheaper per cosine, same cells on every
+#: geometry (parity contract in that helper's docstring).  1e9 keeps
+#: every oracle/bench scale on the bit-exact literal path (sf0.01
+#: 500×8×64 = 2.6e5 … ×100 200k → 1.0e8) and flips from ×1000
+#: (2M → 1.0e9 exceeded) where the interpreted path is already
+#: ~minutes.
+_IVF_ASSIGN_LITERAL_MAX_FLOPS = 1.0e9
 
 
 def resolve_assignment_probes(
@@ -488,7 +570,7 @@ def _numpy_centroid_tree(cen_mat, coarse_k: int | None = None):
 
 def _assign_nearest_vectorized(
     df: DataFrame, centroids: DataFrame, vec: str, out: str = "list_id",
-    coarse_probes: int | None = None,
+    coarse_probes: int | None = None, _cen_rows: list | None = None,
 ) -> DataFrame:
     """EXACT nearest-centroid assignment as an Arrow ``mapInPandas``
     blocked numpy matmul — the scale twin of the literal-projection
@@ -541,9 +623,15 @@ def _assign_nearest_vectorized(
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    rows = sorted(
-        centroids.select("centroid_id", "centroid").collect(),
-        key=lambda r: r.centroid_id,
+    # `_cen_rows` (pre-collected, id-sorted — _collect_centroids) lets
+    # multi-consumer plans run the centroid pipeline exactly once.
+    rows = (
+        _cen_rows
+        if _cen_rows is not None
+        else sorted(
+            centroids.select("centroid_id", "centroid").collect(),
+            key=lambda r: r.centroid_id,
+        )
     )
     cen_ids = np.array([int(r.centroid_id) for r in rows], dtype="int64")
     cen_mat = np.array(
@@ -743,6 +831,64 @@ def build_centroids(corpus: DataFrame, num_centroids: int = 16,
     return centroids
 
 
+def _resolve_ivf_assignment(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec: str,
+    assign_engine: str,
+    corpus_rows: int | None,
+    _cen_rows: list | None = None,
+):
+    """Shared corpus-assignment dispatch for the IVF family: returns
+    ``(assigned_fn, cen_lit, cen_rows)`` where ``assigned_fn(df)``
+    attaches ``list_id`` to a ``_deg``-flagged corpus frame.
+
+    ``assign_engine='auto'`` is FLOPs-budgeted
+    (:data:`_IVF_ASSIGN_LITERAL_MAX_FLOPS` on n·k·dim; size source
+    hint → plan stats → bounded probe, never an unbounded count —
+    :func:`.costmodel.work_exceeds`): the literal projection evaluates
+    k INTERPRETED higher-order cosines per corpus row, a per-row cost
+    the 20k-LITERAL budget alone is blind to.  ``'literal'`` /
+    ``'vectorized'`` force an engine (the literal path falls back to
+    :func:`with_nearest_centroid`'s own over-budget dispatch when the
+    centroid table exceeds the literal compile limit)."""
+    from .costmodel import work_exceeds
+
+    if assign_engine not in ("auto", "literal", "vectorized"):
+        raise ValueError(
+            f"assign_engine must be auto|literal|vectorized, got "
+            f"{assign_engine!r}"
+        )
+    cen_rows = (
+        _cen_rows if _cen_rows is not None else _collect_centroids(centroids)
+    )
+    cen_lit = _centroid_literal(centroids, _rows=cen_rows)
+    if assign_engine == "auto":
+        kdim = len(cen_rows) * (
+            len(cen_rows[0].centroid) if cen_rows else 0
+        )
+        assign_engine = (
+            "vectorized"
+            if cen_lit is None
+            or work_exceeds(
+                corpus, _IVF_ASSIGN_LITERAL_MAX_FLOPS, kdim,
+                size_hint=corpus_rows,
+            )
+            else "literal"
+        )
+    if assign_engine == "vectorized":
+        def assigned_fn(df):
+            return _assign_nearest_vectorized(
+                df, centroids, vec, "list_id", _cen_rows=cen_rows
+            )
+    else:
+        def assigned_fn(df):
+            return with_nearest_centroid(
+                df, centroids, vec, "list_id", _cen_lit=cen_lit
+            )
+    return assigned_fn, cen_lit, cen_rows
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -751,6 +897,8 @@ def ivf_topk(
     probes: int = 4,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    assign_engine: str = "auto",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their nearest
     centroid's list; each query scans only its `probes` nearest lists.
@@ -763,28 +911,37 @@ def ivf_topk(
     the CANDIDATE set (|candidates| ≈ probes/C of the corpus per query
     — not the corpus itself).
 
-    Past the 20k-literal budget the CORPUS assignment defaults to the
-    EXACT vectorized matmul (:func:`with_nearest_centroid`
-    ``over_budget='exact'``), so corpus and query sides agree on every
-    cell — no asymmetric tree mis-assignment; the recall loss vs brute
-    force is exactly the probes/nlist scan fraction, at any scale.
-    Every oracle-checked scale fits the literal budget and never
-    leaves the declarative path.
+    The CORPUS assignment engine is FLOPs-budgeted (round-9, the
+    round-8 verdict's #1 lever): ``assign_engine='auto'`` dispatches
+    through :func:`_resolve_ivf_assignment` — the literal interpreted
+    projection while n·k·dim fits
+    :data:`_IVF_ASSIGN_LITERAL_MAX_FLOPS` (every oracle-checked scale
+    does, so DuckDB-audited plans stay bit-exact), the EXACT all-k
+    blocked BLAS matmul (:func:`_assign_nearest_vectorized`) past it —
+    same cells on every geometry, so corpus and query sides agree; the
+    recall loss vs brute force stays exactly the probes/nlist scan
+    fraction at any scale.  ``corpus_rows`` is the no-job size hint.
 
     Degenerate (NULL / NULL-element) corpus vectors score cosine NULL
     — ranked LAST under the desc ordering — in BOTH assignment
-    engines: the flag is computed Spark-side BEFORE the assignment
-    because the over-budget mapInPandas round-trips the vector column
-    through Arrow, which rewrites NULL elements to NaN; unguarded,
-    such a vector's cosine would become NaN and nanSafeCompare would
-    rank it FIRST for every query probing its cell."""
-    cen_lit = _centroid_literal(centroids)
+    engines, and NaN-COMPONENT corpus vectors score cosine NaN —
+    ranked FIRST under nanSafeCompare — in both: the flags are
+    computed Spark-side BEFORE the assignment because the vectorized
+    mapInPandas round-trips the vector column through Arrow, which
+    rewrites NULL elements to NaN on the way OUT and NaN elements to
+    NULL on the way BACK (pandas→Arrow treats float NaN as missing);
+    unguarded, a NULL-element vector would rank FIRST and a true-NaN
+    vector would silently fall to the NULL stratum whenever the
+    vectorized engine ran."""
+    assigned_fn, cen_lit, _ = _resolve_ivf_assignment(
+        corpus, centroids, vec, assign_engine, corpus_rows
+    )
     deg = F.col(vec).isNull() | F.coalesce(
         F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
     )
-    corpus_assigned = with_nearest_centroid(
-        corpus.withColumn("_deg", deg), centroids, vec, "list_id",
-        _cen_lit=cen_lit,
+    nan_flag = F.coalesce(F.exists(F.col(vec), F.isnan), F.lit(False))
+    corpus_assigned = assigned_fn(
+        corpus.withColumn("_deg", deg).withColumn("_nan", nan_flag)
     )
     query_probes = with_probed_centroids(
         queries, centroids, probes, vec, "list_id", _cen_lit=cen_lit
@@ -795,14 +952,16 @@ def ivf_topk(
     )
     c = corpus_assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec).alias("_cv"),
-        "list_id", "_deg",
+        "list_id", "_deg", "_nan",
     )
     scored = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.when(F.col("_deg"), F.lit(None).cast("double")).otherwise(
+            F.when(F.col("_deg"), F.lit(None).cast("double"))
+            .when(F.col("_nan"), F.lit(float("nan")))
+            .otherwise(
                 F.round(embedding_cosine(F.col("_qv"), F.col("_cv")), 4)
                 + F.lit(0.0)
             ),
@@ -822,6 +981,9 @@ def pq_encode_residual(
     vec: str = "embedding",
     id_col: str = "vec_id",
     _cen_lit=None,
+    assign_engine: str = "auto",
+    corpus_rows: int | None = None,
+    _cen_rows: list | None = None,
 ) -> DataFrame:
     """IVF-PQ-style residual codes: assign each vector to its nearest
     coarse centroid, then int8-quantize the RESIDUAL (v − centroid)
@@ -845,21 +1007,46 @@ def pq_encode_residual(
 
     Degenerate (NULL / NULL-element) vectors encode as q_res = NULL
     (whole array) with q_scale 1.0, in BOTH assignment engines — the
-    flag is pre-computed Spark-side because the over-budget Arrow
+    flag is pre-computed Spark-side because the vectorized Arrow
     assignment rewrites NULL elements to NaN, and an unguarded
     ``floor(NaN).cast(int)`` RAISES under ANSI mode (the literal path
     used to emit element-level NULL codes; whole-NULL is the
     engine-consistent contract, and reconstruction of a NULL q_res is
     NULL → cosine NULL → ranked last, same endpoint).
+
+    NaN-COMPONENT vectors fold into the same degenerate stratum
+    (round-9): the literal path's ``floor(NaN/scale)`` would RAISE
+    under ANSI, and the vectorized Arrow return path rewrites NaN
+    elements to NULL (pandas→Arrow treats float NaN as missing) —
+    folding them keeps both engines at the identical q_res=NULL /
+    q_scale=1.0 endpoint (reconstruction NULL → cosine NULL → ranked
+    last) instead of an engine-dependent raise-vs-NULL split.
+
+    ``assign_engine`` / ``corpus_rows``: the FLOPs-budgeted corpus
+    assignment dispatch — see :func:`_resolve_ivf_assignment` /
+    :func:`ivf_topk`.  (``_cen_lit`` short-circuits the dispatch to
+    the literal engine for callers that already compiled it.)
     """
-    cen_lit = _cen_lit if _cen_lit is not None else _centroid_literal(centroids)
-    deg = F.col(vec).isNull() | F.coalesce(
-        F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
+    if _cen_lit is not None:
+        cen_lit = _cen_lit
+
+        def assigned_fn(df):
+            return with_nearest_centroid(
+                df, centroids, vec, "list_id", _cen_lit=cen_lit
+            )
+    else:
+        assigned_fn, cen_lit, _ = _resolve_ivf_assignment(
+            corpus, centroids, vec, assign_engine, corpus_rows,
+            _cen_rows=_cen_rows,
+        )
+    deg = (
+        F.col(vec).isNull()
+        | F.coalesce(
+            F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
+        )
+        | F.coalesce(F.exists(F.col(vec), F.isnan), F.lit(False))
     )
-    assigned = with_nearest_centroid(
-        corpus.withColumn("_deg", deg), centroids, vec, "list_id",
-        _cen_lit=cen_lit,
-    )
+    assigned = assigned_fn(corpus.withColumn("_deg", deg))
     cen_rows = F.broadcast(
         centroids.select(
             F.col("centroid_id").alias("list_id"), "centroid"
@@ -907,6 +1094,8 @@ def ivf_pq_topk(
     probes: int = 4,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    assign_engine: str = "auto",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: the IVF probe structure of
     :func:`ivf_topk` scoring against residual-int8 RECONSTRUCTIONS
@@ -925,9 +1114,19 @@ def ivf_pq_topk(
     smaller coded corpus — plus a broadcast of the tiny centroid
     table for reconstruction; the only corpus-wide exchange remains
     the final per-query ranking over probed candidates.
+
+    The corpus-side ENCODE assignment is FLOPs-budgeted exactly like
+    :func:`ivf_topk` (``assign_engine``/``corpus_rows`` pass straight
+    through to :func:`pq_encode_residual`); query probing stays on the
+    literal projection — the query side is the small side.
     """
-    cen_lit = _centroid_literal(centroids)
-    coded = pq_encode_residual(corpus, centroids, vec, id_col, _cen_lit=cen_lit)
+    cen_rows = _collect_centroids(centroids)
+    cen_lit = _centroid_literal(centroids, _rows=cen_rows)
+    coded = pq_encode_residual(
+        corpus, centroids, vec, id_col,
+        assign_engine=assign_engine, corpus_rows=corpus_rows,
+        _cen_rows=cen_rows,
+    )
     query_probes = with_probed_centroids(
         queries, centroids, probes, vec, "list_id", _cen_lit=cen_lit
     )
@@ -1481,8 +1680,24 @@ def semantic_dedup(
         # salt fan-out as the join below, ~10–50× cheaper per dot (the
         # ×1000 uncollapsed envelope was ~10⁹ INTERPRETED HOF dots =
         # 1,102 s); gated off every oracle scale by the row-count
-        # budget above.
-        vsalt = max(1, min(_SEM_SALT, -(-256 // max(1, num_centroids))))
+        # budget above.  The salt is keyed on the OBSERVED cluster
+        # shape, not k (round-9; see resolve_pairwise_salt): one
+        # count-only groupBy over the just-checkpointed assignment —
+        # list_id only, no vectors travel, no corpus re-derivation.
+        shape = (
+            staged.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .agg(
+                F.count(F.lit(1)).alias("_live"),
+                F.max("_m").alias("_mx"),
+            )
+            .first()
+        )
+        vsalt = resolve_pairwise_salt(
+            int(shape["_live"] or 0),
+            int(shape["_mx"] or 0),
+            target=target_cluster_size,
+        )
         drops = _pairwise_drops_vectorized(
             staged, id_col, tau, salt=vsalt
         ).withColumn("_dropped", F.lit(True))
@@ -1570,14 +1785,19 @@ def semantic_dedup(
 
 
 #: brute_force_topk engine='auto' switches to the Arrow blocked-matmul
-#: scan at this corpus size — same oracle-gate discipline as the other
-#: vectorized engines (every DuckDB-checked scale stays on the
-#: bit-exact join path).
-_BF_VECTORIZE_MIN_ROWS = 50_000
+#: scan once corpus_rows × nq × dim exceeds this budget — calibrated
+#: to the round-8 measured flip (50k corpus rows at the bench shape of
+#: 5 queries × 64 dims = 1.6e7), now expressed in FLOPs so a wide-dim
+#: or many-query call flips proportionally earlier.  Same oracle-gate
+#: discipline as the other vectorized engines: every DuckDB-checked
+#: scale (sf0.01 500×5×64 = 1.6e5, sf0.1 2k → 6.4e5, ×10 20k → 6.4e6)
+#: stays on the bit-exact join path.
+_BF_JOIN_MAX_FLOPS = 1.6e7
 
-#: Driver-side pin bound for the query side of the blocked scan (the
-#: query matrix is broadcast, so it must stay driver-small — same
-#: class as the centroid-table pins).
+#: Per-chunk bound for the query side of the blocked scan (the query
+#: matrix is broadcast, so each chunk must stay driver-small — same
+#: class as the centroid-table pins).  Query sets past it are batched
+#: transparently: one collect, ≤this many per broadcast/scan pass.
 _BF_MAX_QUERIES = 10_000
 
 
@@ -1593,44 +1813,111 @@ def brute_force_topk_blocked(
     decade-scale recall measurement: the join engine's interpreted HOF
     dot at 20M corpus × 100 queries is ~2×10⁹ interpreted evaluations).
 
-    Plan shape: the query side is collected ONCE (bounded by
-    ``_BF_MAX_QUERIES`` — a driver-small pin, the brute-force contract)
-    and broadcast; the corpus side is a pure ``mapInPandas`` — each
-    Arrow batch computes its m×q cosine block as one BLAS matmul and
-    emits only its per-query top-k rows, so the global ranking window
-    sees ≤ batches×q×k rows, never the corpus.  Zero corpus shuffle
-    before the final candidate-only ranking.
+    Plan shape: the query side is collected ONCE (driver memory is
+    O(nq·dim) — the query side is the small side by the brute-force
+    contract) and processed in chunks of ≤ ``_BF_MAX_QUERIES``, so
+    each BROADCAST query matrix stays driver-small regardless of nq
+    (round-9: the hard raise past 10k became transparent batching —
+    decade-scale ground truth needs 100k-query sets).  Per chunk the
+    corpus side is a pure ``mapInPandas`` — each Arrow batch computes
+    its m×q cosine block as one BLAS matmul and emits only its
+    per-query top-k rows, so the global ranking window sees ≤
+    chunks×batches×q×k rows, never the corpus.  Zero corpus shuffle
+    before the final candidate-only ranking; the corpus is re-SCANNED
+    once per chunk (the honest cost of chunked brute force at 100 TB —
+    past a few chunks the IVF route is the right tool).
+
+    Mixed vector LENGTHS (round-9, the ADVICE shape-crash fix): the
+    join engine scores a length-mismatched pair at cosine NULL
+    (``zip_with`` pads with NULL → NULL dot).  A single matrix cannot
+    host mixed dims, so queries are grouped by vector length — one
+    scan per distinct length — and within a group every corpus vector
+    whose length differs folds into the degenerate NULL-cosine
+    stratum: exactly the join engine's pairing, and no ``np.stack`` /
+    matmul shape crash.  Degenerate (NULL / NULL-element) queries are
+    hosted by exactly one group (they only need neighbor ids), so no
+    duplicate emission across scans.
 
     Parity with the join engine (pinned by the engine-equivalence
     pytest): HALF_UP 4-decimal rounding, −0.0 normalized; ranking is
     cosine DESC under nanSafeCompare (NaN first, NULL last) with
     neighbor-id ASC tiebreak; self-pairs excluded; degenerate (NULL /
-    NULL-element) corpus vectors pair at cosine NULL (ranked last,
-    still emitted when fewer than k real neighbors rank above them);
-    a degenerate QUERY vector ranks the whole corpus at cosine NULL —
-    its top-k is the k lowest neighbor ids.  Divergence (documented,
-    same as :func:`_assign_nearest_vectorized`): zero-norm vectors
-    rank like NaN here instead of raising DIVIDE_BY_ZERO — zero-norm
-    is out of contract in both engines.
+    NULL-element / length-mismatched) corpus vectors pair at cosine
+    NULL (ranked last, still emitted when fewer than k real neighbors
+    rank above them); a degenerate QUERY vector ranks the whole corpus
+    at cosine NULL — its top-k is the k lowest neighbor ids.
+    Divergence (documented, same as :func:`_assign_nearest_vectorized`):
+    zero-norm vectors rank like NaN here instead of raising
+    DIVIDE_BY_ZERO — zero-norm is out of contract in both engines.
     """
+    spark = corpus.sparkSession
+    out_cols = "query_id bigint, rank int, neighbor_id bigint, cosine double"
+    qrows = list(queries.select(id_col, vec).collect())
+    if not qrows:
+        return spark.createDataFrame([], out_cols)
+    groups: dict[int, list] = {}
+    deg_qrows = []
+    for r in qrows:
+        v = r[1]
+        if v is None or any(x is None for x in v):
+            deg_qrows.append(r)
+        else:
+            groups.setdefault(len(v), []).append(r)
+    if groups:
+        host = max(groups, key=lambda d: len(groups[d]))
+        groups[host].extend(deg_qrows)
+    else:
+        groups = {0: deg_qrows}
+    cands = []
+    for dim in sorted(groups):
+        grows = sorted(groups[dim], key=lambda r: r[0])
+        for c0 in range(0, len(grows), _BF_MAX_QUERIES):
+            cands.append(
+                _bf_blocked_scan(
+                    corpus, grows[c0 : c0 + _BF_MAX_QUERIES], dim, k,
+                    vec, id_col,
+                )
+            )
+    cand = cands[0]
+    for extra in cands[1:]:
+        cand = cand.unionByName(extra)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _bf_blocked_scan(
+    corpus: DataFrame,
+    qrows: list,
+    dim: int,
+    k: int,
+    vec: str,
+    id_col: str,
+) -> DataFrame:
+    """One broadcast+scan pass of :func:`brute_force_topk_blocked` for
+    a single (length-group, ≤``_BF_MAX_QUERIES``) query chunk: emits
+    per-batch top-k candidate rows (query_id, neighbor_id, cosine)
+    with true-NaN cosines restored Spark-side — the final global
+    ranking lives in the caller."""
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(id_col, vec).collect()
-    if len(qrows) > _BF_MAX_QUERIES:
-        raise ValueError(
-            f"brute_force_topk_blocked: {len(qrows)} query rows exceed "
-            f"the driver pin bound ({_BF_MAX_QUERIES}); batch the "
-            "queries or use the IVF route"
-        )
-    qrows.sort(key=lambda r: r[0])
     q_ids = np.array([int(r[0]) for r in qrows], dtype="int64")
     nq = len(q_ids)
     q_deg = np.array(
-        [r[1] is None or any(x is None for x in r[1]) for r in qrows],
+        [
+            r[1] is None
+            or any(x is None for x in r[1])
+            or len(r[1]) != dim
+            for r in qrows
+        ],
         dtype=bool,
     )
-    dim = max((len(r[1]) for r in qrows if r[1] is not None), default=0)
     Q = np.zeros((nq, dim))
     for i, r in enumerate(qrows):
         if not q_deg[i]:
@@ -1638,8 +1925,15 @@ def brute_force_topk_blocked(
     qn = np.sqrt((Q * Q).sum(axis=1))
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_deg, Q, qn))
 
-    deg_expr = F.col(vec).isNull() | F.coalesce(
-        F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
+    # length-mismatched corpus vectors fold into the NULL-cosine
+    # stratum — the join engine's zip_with gives their pairs NULL dots
+    # (see brute_force_topk_blocked docstring).
+    deg_expr = (
+        F.col(vec).isNull()
+        | F.coalesce(
+            F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
+        )
+        | (F.size(F.col(vec)) != F.lit(dim))
     )
     src = corpus.select(
         F.col(id_col).alias("_nid"),
@@ -1716,17 +2010,9 @@ def brute_force_topk_blocked(
     # restore true-NaN cosines (nanSafeCompare ranks them FIRST under
     # desc, exactly like the join engine); NULL-stratum rows stay NULL
     # (ranked last, id-asc tiebreak)
-    cand = cand.withColumn(
+    return cand.withColumn(
         "cosine",
         F.when(F.col("is_nan"), F.lit(float("nan"))).otherwise(
             F.col("cosine")
         ),
     ).drop("is_nan")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )

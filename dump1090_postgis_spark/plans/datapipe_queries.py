@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..schemas import load_table
 from ..datapipe import dedup as dd
+from ..datapipe.costmodel import rows_at_least
 from ..datapipe import similarity as sim
 from ..datapipe import text as tx
 from ..datapipe.multimodal import attach_binary, decode_metadata
@@ -248,13 +249,16 @@ def q_dedup_minhash_lsh_fast(spark, sf):
         cap_row["n_members_dropped"],
         cap_row["max_bucket_size_seen"],
     )
-    if docs.count() >= _MINHASH_VECTORIZE_MIN_DOCS:
+    if rows_at_least(docs, _MINHASH_VECTORIZE_MIN_DOCS):
         # scale engine (round 7): bucketed Python-set Jaccard straight
         # from the persisted banded frame — no 27M-pair distinct, no
         # shingle-carrying pair joins (×100: 121 → 42.8 s, identical
         # pairs; see BASELINE).  Every oracle scale stays below the
         # gate on the bit-exact candidate-join path; engine
-        # equivalence is pytest-pinned.
+        # equivalence is pytest-pinned.  (rows_at_least = the shared
+        # bounded size probe — the break-even is measured in DOCS at
+        # the test shingle profile, so rows is the right unit here;
+        # per-row width is carried by the measured threshold.)
         return dd.bucketed_jaccard_pairs(
             docs, spark.read.parquet(path), threshold=0.5
         )
@@ -365,7 +369,8 @@ def q_dedup_clusters(spark, sf):
     from ..datapipe.cluster import contract_families, duplicate_clusters
 
     docs = load_table(spark, sf, "documents")
-    if docs.count() < _CONTRACT_MIN_DOCS:
+    # shared bounded size probe — no unbounded count (costmodel)
+    if not rows_at_least(docs, _CONTRACT_MIN_DOCS):
         cands = dd.lsh_candidate_pairs(docs, hash_family="md5")
         pairs = dd.jaccard_pairs(docs, cands, threshold=0.5)
         return duplicate_clusters(docs, pairs)
