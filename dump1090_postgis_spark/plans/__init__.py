@@ -80,6 +80,14 @@ DRIVER_WINDOW: list[str] = [
 ]
 
 
+# Oracle builders that failed ENVIRONMENTALLY during the most recent
+# full_registry() build, name -> "ExcType: message".  Consumers
+# (scripts/check_oracle.py) report these as a distinct "degraded"
+# status so silent oracle loss is visible, not folded into the
+# by-design rows-only entries.
+DEGRADED_ORACLES: dict[str, str] = {}
+
+
 def full_registry():
     """name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql|None).
 
@@ -109,16 +117,24 @@ def full_registry():
     # oracle resolves its artifact path from the environment and runs
     # a compute-if-missing guard).  Normalize to plain strings here so
     # every consumer (driver, check_oracle, bench) sees the str
-    # contract.  A failing builder (missing SF_DIR, over-budget
-    # pure-Python artifact pass) degrades THAT entry to SQL=None — the
-    # weaker rows-only check — instead of breaking every registry
-    # consumer for queries unrelated to it.
+    # contract.  Only the EXPECTED environmental failures degrade the
+    # entry to SQL=None (the weaker rows-only check): OSError for a
+    # missing/unwritable SF_DIR or artifact path, RuntimeError for the
+    # pure-Python artifact guard's over-budget refusal
+    # (datapipe/lsh_artifact.py).  Anything else — i.e. a coding bug
+    # introduced into a builder — propagates and fails the registry
+    # build loudly rather than silently removing value-hash
+    # verification for that query (round-8 advisor finding).  Degraded
+    # entries are recorded in DEGRADED_ORACLES so check_oracle can
+    # report them as a distinct status instead of plain "no oracle".
+    DEGRADED_ORACLES.clear()
+
     def _resolve(name, sql):
         if not callable(sql):
             return sql
         try:
             return sql()
-        except Exception as exc:  # noqa: BLE001 — degrade, don't break
+        except (OSError, RuntimeError) as exc:  # environmental only
             import logging
 
             logging.getLogger(__name__).warning(
@@ -127,6 +143,7 @@ def full_registry():
                 name,
                 exc,
             )
+            DEGRADED_ORACLES[name] = f"{type(exc).__name__}: {exc}"
             return None
 
     return {n: (fn, _resolve(n, sql)) for n, (fn, sql) in reg.items()}

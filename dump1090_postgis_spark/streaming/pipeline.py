@@ -160,6 +160,28 @@ def attributing_sink(
     return sink
 
 
+def resolve_stream_engine(engine: str = "auto") -> str:
+    """Resolve the stateful-session engine: ``'tws'`` |  ``'legacy'``.
+
+    ``'auto'`` (the default) selects ``'tws'``
+    (``transformWithStateInPandas`` + RocksDB state store — the
+    recommended 100 TB engine: off-heap spillable state, typed
+    ValueState, explicit timers, 0.93× legacy throughput measured)
+    whenever the Python↔JVM state-server transport is available
+    (``pbcompat`` finds a same-major protobuf runtime), else falls
+    back to the legacy ``applyInPandasWithState`` handler
+    (HDFS-backed state, no protobuf requirement).  Both engines share
+    ``state.advance_session`` — one state machine, two APIs, parity
+    pinned by tests."""
+    if engine not in ("auto", "tws", "legacy"):
+        raise ValueError(f"engine must be auto|tws|legacy, got {engine!r}")
+    if engine != "auto":
+        return engine
+    from .pbcompat import prepare_env, tws_available
+
+    return "tws" if (prepare_env() and tws_available()) else "legacy"
+
+
 def start_pipeline(
     raw_stream: DataFrame,
     sink_fn,
@@ -167,14 +189,40 @@ def start_pipeline(
     trigger: str = COMMIT_PERIOD,
     runways: DataFrame | None = None,
     airport_bbox: DataFrame | None = None,
+    engine: str = "auto",
 ):
     """Wire the stages and start the query.  ``sink_fn(batch_df,
     epoch_id)`` receives each micro-batch of events (foreachBatch =
     SNK-1's transactional batched writes).  Pass ``runways`` (and
     optionally ``airport_bbox``) to run STATE-5 runway attribution
     inside the batch sink — ``sink_fn`` then receives events WITH the
-    ``runway`` column, matching the batch ETL's attributed edges."""
-    events = event_stream(parsed_stream(raw_stream))
+    ``runway`` column, matching the batch ETL's attributed edges.
+
+    ``engine``: ``'auto'`` (default — TWS when available, see
+    :func:`resolve_stream_engine`), ``'tws'``, or ``'legacy'``.  On
+    the TWS path this (a) verifies ``checkpoint_dir`` wasn't written
+    by an incompatibly-named state schema
+    (:func:`..streaming.tws.assert_checkpoint_state_compatible` —
+    Spark would otherwise restart CLEANLY and silently drop in-flight
+    sessions), and (b) sets the session's state-store provider to
+    RocksDB if no provider is configured (TWS requires it; RocksDB is
+    also valid for any concurrently-started legacy query)."""
+    resolved = resolve_stream_engine(engine)
+    if resolved == "tws":
+        from .tws import (
+            ROCKSDB_PROVIDER,
+            assert_checkpoint_state_compatible,
+            event_stream_tws,
+        )
+
+        assert_checkpoint_state_compatible(checkpoint_dir)
+        spark = raw_stream.sparkSession
+        key = "spark.sql.streaming.stateStore.providerClass"
+        if spark.conf.get(key, None) in (None, ""):
+            spark.conf.set(key, ROCKSDB_PROVIDER)
+        events = event_stream_tws(parsed_stream(raw_stream))
+    else:
+        events = event_stream(parsed_stream(raw_stream))
     if runways is not None:
         sink_fn = attributing_sink(runways, airport_bbox, sink_fn)
     return (

@@ -12,7 +12,11 @@ Operationally this path requires the RocksDB state store
 (``spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider``)
 — which is also the right choice at scale: state lives off-heap and
 spills, so a 100 TB-feed session pool is bounded by disk, not executor
-heap.  The legacy handler remains the default for HDFS-backed state.
+heap.  This is the RECOMMENDED (and, where the transport is
+available, default-selected) engine — ``pipeline.start_pipeline``
+dispatches ``engine='auto'`` to it; the legacy
+``applyInPandasWithState`` handler remains for HDFS-backed state and
+protobuf-less environments.
 
 Round-trip budget (the round-6 verdict's 0.65×-of-legacy profiling
 task): every ValueState/timer call is ONE protobuf message over the
@@ -68,12 +72,81 @@ ROCKSDB_PROVIDER = (
 #: deserialization of checkpoints written by the pre-lazy-timer
 #: handler (which stored the bare STATE_SCHEMA tuple under the name
 #: ``"session"``).  The state is therefore VERSIONED by name —
-#: ``TWS_STATE_NAME = "session_v2"`` — so a restart from an old
-#: checkpoint fails loudly on the missing state name instead of
-#: silently misparsing ``packed[-2]/packed[-1]`` as session fields.
-#: Bump the suffix on any future schema change.
+#: ``TWS_STATE_NAME = "session_v2"`` — which prevents the silent
+#: MISPARSE of ``packed[-2]/packed[-1]`` as session fields.  It does
+#: NOT by itself make the restart fail: Spark 4's transformWithState
+#: permits adding and removing state variables across restarts, so a
+#: restart from a pre-rename checkpoint SUCCEEDS with an empty
+#: ``session_v2`` column family, silently dropping every in-flight
+#: session stored under the old ``"session"`` name (measured on this
+#: Spark build: old-name checkpoint → new processor → batches commit
+#: cleanly, no error).  The loud failure is therefore driver-side:
+#: :func:`assert_checkpoint_state_compatible` reads the checkpoint's
+#: operator metadata and raises BEFORE the query starts when the
+#: recorded state-variable names don't match this handler's.  Bump
+#: the suffix AND keep the guard on any future schema change.
 TWS_STATE_SCHEMA = STATE_SCHEMA + ", deadline_ms long, timer_armed boolean"
 TWS_STATE_NAME = "session_v2"
+
+
+def assert_checkpoint_state_compatible(
+    checkpoint_dir: str,
+    expected_state_name: str = TWS_STATE_NAME,
+    operator_id: int = 0,
+) -> None:
+    """Raise before restart if ``checkpoint_dir`` was written by a TWS
+    processor whose user state variables differ from this handler's.
+
+    Spark records each stateful operator's state-variable names in
+    ``state/<op>/_metadata/v2/<batch>`` (``operatorPropertiesJson`` →
+    ``stateVariables``).  Restarting with a renamed state variable is
+    ACCEPTED by Spark (add/remove is legal schema evolution), which
+    here would silently drop every in-flight session — so this guard
+    turns the rename into the loud failure the version suffix was
+    meant to provide.  A fresh/absent checkpoint passes; internal
+    ``$procTimers_*`` variables are ignored; unreadable metadata is
+    ignored (Spark's own validation owns malformed checkpoints).
+
+    Migration from a pre-``session_v2`` checkpoint: drain the old
+    query with the old handler (stop the feed, let every session
+    evict and emit), then start the upgraded handler on a FRESH
+    checkpoint directory.
+    """
+    import json
+    import os
+
+    meta_dir = os.path.join(
+        checkpoint_dir, "state", str(operator_id), "_metadata", "v2"
+    )
+    try:
+        batches = sorted(
+            int(f) for f in os.listdir(meta_dir) if f.isdigit()
+        )
+    except OSError:
+        return  # fresh checkpoint (or non-local FS) — nothing to check
+    if not batches:
+        return
+    try:
+        with open(os.path.join(meta_dir, str(batches[-1]))) as fh:
+            lines = fh.read().splitlines()
+        meta = json.loads(lines[1])
+        props = json.loads(meta["operatorPropertiesJson"])
+        names = {
+            v["stateName"]
+            for v in props.get("stateVariables", [])
+            if not v["stateName"].startswith("$")
+        }
+    except (OSError, ValueError, KeyError, IndexError):
+        return  # malformed metadata: defer to Spark's own validation
+    if names and names != {expected_state_name}:
+        raise RuntimeError(
+            f"checkpoint {checkpoint_dir!r} was written with TWS state "
+            f"variables {sorted(names)}, but this handler uses "
+            f"{expected_state_name!r}. Spark would restart cleanly and "
+            "silently DROP every in-flight session stored under the old "
+            "name. Drain the old query with its original handler, then "
+            "start the upgraded handler on a fresh checkpoint directory."
+        )
 
 
 class SessionProcessor(StatefulProcessor):

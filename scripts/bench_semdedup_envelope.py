@@ -42,7 +42,23 @@ def main() -> int:
     spark = get_spark(app_name=f"semdedup-envelope-x{SCALE}")
     emb = load_table(spark, SF_DIR, "embeddings")
     n = emb.count()
-    out = {"scale": SCALE, "rows": n, "collapse_exact": False}
+    # Report the pairwise salt the run will resolve (round-9: keyed on
+    # the OBSERVED cluster shape — live clusters × max members — not
+    # k; at the ×30000 envelope the k-rule resolved salt 1 while 2,000
+    # live clusters of ~30k members did all the work).  Estimated here
+    # from the replication structure (each sf0.1 anchor is one exact
+    # family of SCALE members) so the figure lands in the JSON without
+    # re-running the assignment.
+    base_anchors = n // SCALE
+    est_salt = sim.resolve_pairwise_salt(base_anchors, SCALE)
+    out = {
+        "scale": SCALE,
+        "rows": n,
+        "collapse_exact": False,
+        "est_live_clusters": base_anchors,
+        "est_max_members": SCALE,
+        "est_pairwise_salt": est_salt,
+    }
     for engine in engines:
         probes = 2 if engine == "vectorized-tree" else None
         t0 = time.monotonic()

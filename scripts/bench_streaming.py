@@ -361,17 +361,28 @@ def bench_soak(spark, lines: list[str]) -> dict:
                     t_slice = time.time()
                     g = int((time.time() - t_start) // SOAK_GEN_SECS)
                     if g != gen:
-                        # retire the old key population: every hexident
+                        # retire the old key population: EVERY hexident
                         # gets the generation prefix, so gen g-1 keys
                         # go quiet and MUST age out 300 s later.  The
                         # prefix must stay [0-9A-F] — the SBS-1 parser
                         # validates hexident as uppercase hex and NULLs
                         # the key otherwise (operators/parse.py:77).
+                        # Rewrite field index 4 (MSG,type,session,
+                        # aircraft,hexident,...) explicitly — a bare
+                        # `.replace(",A", ...)` only mutated lines whose
+                        # FIRST ",A" was the hexident, so keys not
+                        # starting with 'A' never retired and the
+                        # eviction accounting undercounted (round-8
+                        # advisor finding).
                         gen = g
                         sent["gen"] = gen
-                        gen_lines = [
-                            l.replace(",A", f",{gen}A", 1) for l in lines
-                        ]
+
+                        def _restamp(line: str, g: int = gen) -> str:
+                            f = line.split(",")
+                            f[4] = f"{g:X}{f[4]}"
+                            return ",".join(f)
+
+                        gen_lines = [_restamp(l) for l in lines]
                     chunk = []
                     for _ in range(slice_n):
                         chunk.append(gen_lines[i % len(gen_lines)])

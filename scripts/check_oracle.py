@@ -74,7 +74,22 @@ def main(argv: list[str]) -> int:
             results[name] = {"status": "fail", "err": "spark_raised"}
             continue
         if name not in oracles:
-            ok = len(sdf) >= 0
+            # Distinguish a BY-DESIGN rows-only entry (no SQL oracle was
+            # ever registered) from an entry whose oracle BUILDER failed
+            # environmentally during this registry build — silent oracle
+            # loss must be visible, and a degraded entry counts as FAIL.
+            from dump1090_postgis_spark.plans import DEGRADED_ORACLES
+
+            if name in DEGRADED_ORACLES:
+                why = DEGRADED_ORACLES[name]
+                print(f"FAIL  {name}: oracle DEGRADED ({why}) rows={len(sdf)}")
+                n_fail += 1
+                results[name] = {
+                    "status": "degraded",
+                    "spark_rows": len(sdf),
+                    "err": why[:300],
+                }
+                continue
             print(f"check {name}: rows-only (no oracle) rows={len(sdf)} "
                   f"[{time.time()-t0:.1f}s]")
             n_pass += 1

@@ -128,3 +128,47 @@ def test_banded_artifact_python_pass_is_row_bounded(tmp_path):
     # within budget: materializes and is idempotent
     assert ensure_banded_artifact("/root/testdata/sf0.01", out) is True
     assert ensure_banded_artifact("/root/testdata/sf0.01", out) is False
+
+
+def test_oracle_builder_degradation_contract(monkeypatch):
+    """Lazy oracle builders (callable SQL slots): ENVIRONMENTAL
+    failures (OSError / RuntimeError — missing SF_DIR, over-budget
+    pure-Python artifact pass) degrade THAT entry to a rows-only check
+    and are recorded in DEGRADED_ORACLES for visible reporting; any
+    other exception is a coding bug and fails the registry build
+    loudly (round-8 advisor: a blanket except silently removed
+    value-hash verification)."""
+    import dump1090_postgis_spark.plans as plans
+    from dump1090_postgis_spark.plans import datapipe_queries
+
+    def _noop_query(spark, sf_dir):
+        raise AssertionError("never run in this test")
+
+    def _env_fail():
+        raise RuntimeError("artifact over budget")
+
+    reg = dict(datapipe_queries.REGISTRY)
+    reg["_probe_env_fail"] = (_noop_query, _env_fail)
+    monkeypatch.setattr(datapipe_queries, "REGISTRY", reg)
+
+    built = plans.full_registry()
+    assert built["_probe_env_fail"][1] is None
+    assert "RuntimeError" in plans.DEGRADED_ORACLES["_probe_env_fail"]
+    # untouched entries keep their oracles
+    assert isinstance(built["dedup_exact"][1], str)
+
+    def _bug():
+        raise TypeError("a coding bug in a builder")
+
+    reg2 = dict(datapipe_queries.REGISTRY)
+    reg2["_probe_bug"] = (_noop_query, _bug)
+    monkeypatch.setattr(datapipe_queries, "REGISTRY", reg2)
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        plans.full_registry()
+
+    # a rebuild without the probes clears the degraded record
+    monkeypatch.setattr(
+        datapipe_queries, "REGISTRY", dict(datapipe_queries.REGISTRY)
+    )

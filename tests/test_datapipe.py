@@ -325,9 +325,17 @@ def test_embedding_lsh_auto_gate(spark, monkeypatch):
     assert "FlatMapGroupsInPandas" not in plan(
         dd.embedding_near_dup_pairs(df, threshold=0.9, dim=8)
     )
-    monkeypatch.setattr(dd, "_EMB_VECTORIZE_MIN_ROWS", 10)
+    # shrink the rows×dim work budget so 40 rows × dim 8 exceeds it
+    monkeypatch.setattr(dd, "_EMB_JOIN_MAX_WORK", 10.0 * 8)
     assert "FlatMapGroupsInPandas" in plan(
         dd.embedding_near_dup_pairs(df, threshold=0.9, dim=8)
+    )
+    # an explicit corpus_rows hint makes the same decision with no probe
+    assert "FlatMapGroupsInPandas" in plan(
+        dd.embedding_near_dup_pairs(df, threshold=0.9, dim=8, corpus_rows=40)
+    )
+    assert "FlatMapGroupsInPandas" not in plan(
+        dd.embedding_near_dup_pairs(df, threshold=0.9, dim=8, corpus_rows=5)
     )
 
 

@@ -835,3 +835,203 @@ def test_pbcompat_gencode_roundtrip():
     req = sm.StateRequest(version=1)
     parsed = sm.StateRequest.FromString(req.SerializeToString())
     assert parsed.version == 1
+
+
+def test_resolve_stream_engine():
+    """engine dispatch: explicit values pass through, bad values raise,
+    'auto' resolves consistently with transport availability."""
+    from dump1090_postgis_spark.streaming.pipeline import resolve_stream_engine
+
+    assert resolve_stream_engine("tws") == "tws"
+    assert resolve_stream_engine("legacy") == "legacy"
+    with pytest.raises(ValueError):
+        resolve_stream_engine("rdd")
+    expected = "tws" if _has_protobuf() else "legacy"
+    assert resolve_stream_engine("auto") == expected
+    assert resolve_stream_engine() == expected
+
+
+def _write_tws_metadata(ckpt: str, state_names: list[str]) -> None:
+    """Synthesize the state/<op>/_metadata/v2/<batch> file Spark writes
+    for a TWS operator (shape copied from a real Spark-4 checkpoint)."""
+    import json
+
+    d = os.path.join(ckpt, "state", "0", "_metadata", "v2")
+    os.makedirs(d, exist_ok=True)
+    props = {
+        "timeMode": "ProcessingTime",
+        "outputMode": "Append",
+        "stateVariables": [
+            {"stateName": n, "stateVariableType": "ValueState", "ttlEnabled": False}
+            for n in state_names
+        ]
+        + [
+            {
+                "stateName": "$procTimers_keyToTimestamp",
+                "stateVariableType": "TimerState",
+                "ttlEnabled": False,
+            }
+        ],
+    }
+    meta = {
+        "operatorInfo": {
+            "operatorId": 0,
+            "operatorName": "transformWithStateInPandasExec",
+        },
+        "stateStoreInfo": [{"storeName": "default", "numPartitions": 4}],
+        "operatorPropertiesJson": json.dumps(props),
+    }
+    with open(os.path.join(d, "0"), "w") as fh:
+        fh.write("v2\n" + json.dumps(meta))
+
+
+def test_checkpoint_state_guard_unit(tmp_path):
+    """assert_checkpoint_state_compatible: raises on a renamed state
+    variable, passes on match / fresh / malformed checkpoints (Spark's
+    own validation owns malformed — the guard only closes the SILENT
+    rename hole)."""
+    from dump1090_postgis_spark.streaming.tws import (
+        assert_checkpoint_state_compatible,
+    )
+
+    # fresh checkpoint: no state dir at all
+    assert_checkpoint_state_compatible(str(tmp_path / "fresh"))
+
+    # matching name passes
+    ok = str(tmp_path / "ok")
+    _write_tws_metadata(ok, ["session_v2"])
+    assert_checkpoint_state_compatible(ok)
+
+    # old pre-rename name fails loudly, with migration guidance
+    old = str(tmp_path / "old")
+    _write_tws_metadata(old, ["session"])
+    with pytest.raises(RuntimeError, match="session_v2"):
+        assert_checkpoint_state_compatible(old)
+
+    # internal $procTimers_* variables alone (no user state recorded
+    # yet) pass — nothing user-visible to drop
+    onlyt = str(tmp_path / "onlyt")
+    _write_tws_metadata(onlyt, [])
+    assert_checkpoint_state_compatible(onlyt)
+
+    # malformed metadata: defer to Spark, no crash here
+    bad = str(tmp_path / "bad")
+    d = os.path.join(bad, "state", "0", "_metadata", "v2")
+    os.makedirs(d)
+    with open(os.path.join(d, "0"), "w") as fh:
+        fh.write("not json at all")
+    assert_checkpoint_state_compatible(bad)
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="needs the TWS transport to write a real legacy-named checkpoint",
+)
+def test_tws_restart_from_legacy_name_checkpoint_fails_loudly(spark, tmp_path):
+    """The session_v2 rename's actual contract (round-8 advisor
+    finding): Spark 4 permits add/remove of state variables on restart,
+    so a restart from a pre-rename checkpoint would SUCCEED and
+    silently drop in-flight sessions (measured on this build).  The
+    loud failure is the driver-side guard — write a REAL checkpoint
+    with the old 'session' state name, then assert both the guard and
+    the start_pipeline TWS path refuse it."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from dump1090_postgis_spark.streaming.pipeline import (
+        parsed_stream,
+        start_pipeline,
+    )
+    from dump1090_postgis_spark.streaming.state import (
+        EVENT_OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        advance_session,
+    )
+    from dump1090_postgis_spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        assert_checkpoint_state_compatible,
+    )
+
+    class LegacyNameProcessor(StatefulProcessor):
+        """Pre-lazy-timer shape: bare STATE_SCHEMA under 'session'."""
+
+        def init(self, handle):
+            self._sess = handle.getValueState("session", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            packed = self._sess.get()
+            prior = tuple(packed) if packed is not None else None
+
+            def _rows():
+                for pdf in rows:
+                    yield from pdf.sort_values("gen_date_time").itertuples(
+                        index=False
+                    )
+
+            admitted, new_state, out_rows = advance_session(
+                key[0], prior, _rows()
+            )
+            if admitted:
+                self._sess.update(tuple(new_state))
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            return
+            yield
+
+        def close(self):
+            pass
+
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop)
+    with open(os.path.join(drop, "a.txt"), "w") as f:
+        f.write(LINES[0] + "\n" + LINES[2])
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        q = (
+            parsed_stream(spark.readStream.text(drop))
+            .groupBy("hexident")
+            .transformWithStateInPandas(
+                LegacyNameProcessor(),
+                outputStructType=EVENT_OUTPUT_SCHEMA,
+                outputMode="append",
+                timeMode="ProcessingTime",
+            )
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("batchId", -1) >= 1:
+                break
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    with pytest.raises(RuntimeError, match="in-flight session"):
+        assert_checkpoint_state_compatible(ckpt)
+
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        start_pipeline(
+            spark.readStream.text(drop),
+            lambda bdf, eid: None,
+            ckpt,
+            engine="tws",
+        )
