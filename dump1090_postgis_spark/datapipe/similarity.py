@@ -800,33 +800,85 @@ def with_probed_centroids(
 
 def build_centroids(corpus: DataFrame, num_centroids: int = 16,
                     vec: str = "embedding", id_col: str = "vec_id",
-                    iterations: int = 0) -> DataFrame:
+                    iterations: int = 0, assign_engine: str = "auto",
+                    corpus_rows: int | None = None) -> DataFrame:
     """Deterministic IVF centroids: hash-assigned seed means, then
     `iterations` Lloyd (k-means) refinement steps — each step is one
-    projection-argmax assignment (no shuffle) plus one mean
-    aggregation, fully distributed and reproducible (no RNG).
+    assignment (no shuffle) plus one mean aggregation, fully
+    distributed and reproducible (no RNG).
 
-    Past the 20k-literal budget the refinement's
-    :func:`with_nearest_centroid` defaults to the EXACT vectorized
-    assignment (all-k Arrow matmul), so over-budget Lloyd steps stay
-    true Lloyd — one driver collect per iteration either way (the
-    centroid matrix broadcast; k rows, never the corpus).  Every
-    oracle-checked scale fits the literal budget and never leaves the
-    declarative path."""
+    The per-iteration REASSIGNMENT is FLOPs-budgeted exactly like the
+    IVF query path (round-9: the ×10000 recall run put the query wall
+    at 122 s and TRAINING at 632 s — the Lloyd loop was the last
+    literal-at-any-n assignment): ``assign_engine='auto'`` resolves
+    ONCE (n·k·dim vs :data:`_IVF_ASSIGN_LITERAL_MAX_FLOPS`, size
+    source hint → plan stats → bounded probe) — the literal
+    interpreted projection on every oracle-checked scale
+    (``kmeans_refine``'s DuckDB twin replays it bit-exactly), the
+    blocked BLAS matmul (:func:`_assign_nearest_vectorized`) past the
+    budget.  On the vectorized branch degenerate vectors (NULL /
+    wrong-length / NULL-element / NaN-component) are split out
+    Spark-side and assigned the min centroid id with their ORIGINAL
+    element values — the literal path's exact behavior — because the
+    Arrow round-trip would otherwise rewrite NULL elements to NaN (and
+    back), changing which elements the mean aggregation sees.  One
+    driver collect per iteration either way (the k-row centroid
+    matrix, never the corpus)."""
     assigned = corpus.select(
         (F.pmod(F.col(id_col), F.lit(num_centroids))).alias("centroid_id"),
         F.transform(F.col(vec), lambda x: x.cast("double")).alias("_v"),
     )
     centroids = _mean_centroids(assigned)
+    if iterations <= 0:
+        return centroids
+    from .costmodel import work_exceeds
+
+    if assign_engine not in ("auto", "literal", "vectorized"):
+        raise ValueError(
+            f"assign_engine must be auto|literal|vectorized, got "
+            f"{assign_engine!r}"
+        )
+    base = corpus.select(
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("_v")
+    )
     for _ in range(iterations):
-        reassigned = with_nearest_centroid(
-            corpus.select(
-                F.transform(F.col(vec), lambda x: x.cast("double")).alias("_v")
-            ),
-            centroids,
-            vec="_v",
-            out="centroid_id",
-        ).select("centroid_id", "_v")
+        cen_rows = _collect_centroids(centroids)
+        if assign_engine == "auto":
+            kdim = len(cen_rows) * (
+                len(cen_rows[0].centroid) if cen_rows else 0
+            )
+            assign_engine = (
+                "vectorized"
+                if work_exceeds(
+                    base, _IVF_ASSIGN_LITERAL_MAX_FLOPS, kdim,
+                    size_hint=corpus_rows,
+                )
+                else "literal"
+            )
+        if assign_engine == "vectorized" and cen_rows:
+            dim = len(cen_rows[0].centroid)
+            min_id = int(cen_rows[0].centroid_id)
+            deg = (
+                F.col("_v").isNull()
+                | (F.size("_v") != F.lit(dim))
+                | F.coalesce(
+                    F.exists("_v", lambda x: x.isNull() | F.isnan(x)),
+                    F.lit(False),
+                )
+            )
+            reassigned = _assign_nearest_vectorized(
+                base.filter(~deg), centroids, "_v", "centroid_id",
+                _cen_rows=cen_rows,
+            ).select("centroid_id", "_v").unionByName(
+                base.filter(deg).select(
+                    F.lit(min_id).cast("long").alias("centroid_id"), "_v"
+                )
+            )
+        else:
+            reassigned = with_nearest_centroid(
+                base, centroids, vec="_v", out="centroid_id",
+                _cen_lit=_centroid_literal(centroids, _rows=cen_rows),
+            ).select("centroid_id", "_v")
         centroids = _mean_centroids(reassigned)
     return centroids
 

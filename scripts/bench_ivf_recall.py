@@ -41,7 +41,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 IVF_SCALE = int(os.environ.get("SPARK_GRAFT_IVF_SCALE", "0"))
 K = 5
 NLISTS = (16, 32) if not IVF_SCALE else (16,)
-NPROBES_DECADE = (1, 4, 16)
+# Override decade probe points (comma-separated) — nprobe=nlist is the
+# full-scan sanity row and costs ~linear-in-probes on the scored join;
+# skip it when the run's question is the assignment wall, not recall.
+NPROBES_DECADE = tuple(
+    int(p)
+    for p in os.environ.get("SPARK_GRAFT_IVF_PROBES", "1,4,16").split(",")
+    if p
+)
 N_QUERIES = 100
 LLOYD_ITERS = 2
 PERTURB = 0.6  # decade-mode per-dim noise amplitude

@@ -1348,3 +1348,59 @@ def test_blocked_bf_mixed_length_and_all_null_queries(spark):
     jn = norm(sim.brute_force_topk(corpus, nullq, k=3, engine="join"))
     bn = norm(sim.brute_force_topk_blocked(corpus, nullq, k=3))
     assert bn == jn and len(bn) == 2 * 3
+
+
+def test_build_centroids_engine_equivalence(spark):
+    """Lloyd refinement must produce the same centroids on the literal
+    and vectorized assignment engines — including degenerate vectors
+    (NULL / wrong-length / NULL-element / NaN-component), which both
+    engines assign to the min centroid id with their ORIGINAL element
+    values feeding the mean (the Arrow round-trip would otherwise
+    rewrite NULL elements to NaN; round-9 Lloyd budget dispatch)."""
+    import math
+
+    rows = [
+        (i, [float((i * 7 + j) % 5) + 0.25 * j for j in range(6)])
+        for i in range(40)
+    ]
+    rows += [
+        (100, None),
+        (101, [1.0, 2.0, 3.0]),  # wrong length
+        (102, [1.0, None, 3.0, 4.0, 5.0, 6.0]),  # NULL element
+        (103, [float("nan"), 2.0, 3.0, 4.0, 5.0, 6.0]),  # NaN component
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(engine):
+        out = sim.build_centroids(
+            df, num_centroids=4, iterations=2, assign_engine=engine
+        ).collect()
+        return sorted(out, key=lambda r: r.centroid_id)
+
+    def assert_same(xs, ys, rel):
+        assert [r.centroid_id for r in xs] == [r.centroid_id for r in ys]
+        for a, b in zip(xs, ys):
+            assert len(a.centroid) == len(b.centroid)
+            for x, y in zip(a.centroid, b.centroid):
+                if x is None or y is None:
+                    assert x == y
+                elif math.isnan(x) or math.isnan(y):
+                    assert math.isnan(x) and math.isnan(y)
+                else:
+                    assert x == pytest.approx(y, rel=rel)
+
+    lit, vec = run("literal"), run("vectorized")
+    assert_same(lit, vec, rel=1e-9)
+
+    # auto resolves to literal at this size (work ≪ budget): bit-same
+    auto = run("auto")
+    assert_same(auto, lit, rel=0)
+
+    # and to vectorized when the hint says the corpus is huge
+    big = sorted(
+        sim.build_centroids(
+            df, num_centroids=4, iterations=2, corpus_rows=10**12
+        ).collect(),
+        key=lambda r: r.centroid_id,
+    )
+    assert [r.centroid_id for r in big] == [r.centroid_id for r in vec]
