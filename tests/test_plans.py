@@ -588,3 +588,41 @@ def test_every_registry_entry_is_driver_window_represented():
         f"window-orphaned registry entries (add to a window bundle or "
         f"rotate the window, then regenerate WINDOW.md): {orphans}"
     )
+
+
+def test_ivf_vectorized_assignment_stays_mapside(spark):
+    """Over-budget IVF corpus assignment (the round-9 FLOPs dispatch):
+    the vectorized engine must keep the corpus side a pure map — one
+    Arrow mapInPandas over the scan, zero Exchange / Join / Window
+    before the probe join; and the whole ivf_topk plan's only
+    exchange is the final per-query ranking over candidates."""
+    from dump1090_postgis_spark.datapipe.similarity import (
+        _assign_nearest_vectorized,
+        build_centroids,
+        ivf_topk,
+    )
+    from dump1090_postgis_spark.schemas import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    centroids = build_centroids(emb, num_centroids=4)
+
+    assigned = _assign_nearest_vectorized(
+        emb, centroids, "embedding", "list_id"
+    )
+    plan = plan_of(assigned)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+    # full query at forced-vectorized assignment: corpus side still has
+    # no exchange upstream of the broadcast probe join; the only hash
+    # exchange is the candidate ranking window
+    out = ivf_topk(
+        emb, emb.limit(2), centroids, k=3, probes=2,
+        assign_engine="vectorized",
+    )
+    qplan = plan_of(out)
+    assert "MapInPandas" in qplan
+    assert "BroadcastHashJoin" in qplan or "BroadcastNestedLoopJoin" in qplan
+    assert qplan.count("Exchange hashpartitioning") <= 1
