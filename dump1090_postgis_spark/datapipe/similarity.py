@@ -1460,6 +1460,7 @@ def semantic_dedup(
     collapse_exact: bool = True,
     pairwise: str = "auto",
     assignment_probes: int | None | str = "auto",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then inside each cluster drop every row whose
@@ -1561,9 +1562,16 @@ def semantic_dedup(
 
     if pairwise not in ("auto", "join", "vectorized"):
         raise ValueError(f"pairwise must be auto|join|vectorized, got {pairwise!r}")
-    n_rows: int | None = None
+    # ``corpus_rows`` is the no-job size hint (100 TB contract: a
+    # pipeline that already knows its corpus size passes it and the
+    # auto-k / engine decisions run zero jobs).  Unlike the boolean
+    # gates, auto-k needs the VALUE of n, so there is no bounded-probe
+    # fallback here — absent a hint, one count (the same scan the
+    # assignment is about to pay anyway, and it feeds k).
+    n_rows: int | None = int(corpus_rows) if corpus_rows is not None else None
     if num_centroids is None:
-        n_rows = corpus.count()
+        if n_rows is None:
+            n_rows = corpus.count()
         num_centroids = semantic_dedup_auto_k(n_rows, target_cluster_size)
         if pairwise == "auto":
             pairwise = (
@@ -1572,9 +1580,14 @@ def semantic_dedup(
                 else "join"
             )
     elif pairwise == "auto":
-        # explicit k = the oracle/test path; no count available and no
-        # scale signal — stay on the bit-exact join engine.
-        pairwise = "join"
+        # explicit k = the oracle/test path; without a scale signal,
+        # stay on the bit-exact join engine — but an explicit
+        # corpus_rows hint IS a scale signal and is honored.
+        pairwise = (
+            "vectorized"
+            if n_rows is not None and n_rows >= _SEM_VECTORIZE_MIN_ROWS
+            else "join"
+        )
     if assignment_probes == "auto":
         if pairwise == "vectorized":
             if n_rows is None:

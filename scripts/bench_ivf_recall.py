@@ -145,18 +145,39 @@ def main() -> int:
             dt = time.time() - t0
             recall = len(exact & approx) / len(exact)
             if IVF_SCALE:
-                rows.append(
-                    {
-                        "nlist": nlist,
-                        "nprobe": probes,
-                        "recall_at_k": round(recall, 4),
-                        "sec": round(dt, 2),
-                        "scan_fraction": round(probes / nlist, 3),
+                row = {
+                    "nlist": nlist,
+                    "nprobe": probes,
+                    "recall_at_k": round(recall, 4),
+                    "sec": round(dt, 2),
+                    "scan_fraction": round(probes / nlist, 3),
+                }
+                # PQ at decade scale (opt-in: SPARK_GRAFT_IVF_PQ=1) —
+                # same centroids/probes ⇒ identical candidate sets, so
+                # the recall delta isolates the residual-int8 cost at
+                # the scale where PQ actually matters (affordable only
+                # since the round-9 budgeted assignment).
+                if os.environ.get("SPARK_GRAFT_IVF_PQ") == "1":
+                    t0 = time.time()
+                    approx_pq = {
+                        (r.query_id, r.neighbor_id)
+                        for r in sim.ivf_pq_topk(
+                            emb, queries, centroids, k=K, probes=probes
+                        ).collect()
                     }
-                )
+                    row["sec_pq"] = round(time.time() - t0, 2)
+                    row["recall_at_k_pq"] = round(
+                        len(exact & approx_pq) / len(exact), 4
+                    )
+                rows.append(row)
                 print(
                     f"nlist={nlist:>2} nprobe={probes:>2}  "
-                    f"recall@{K}={recall:.4f}  {dt:.2f}s",
+                    f"recall@{K}={recall:.4f}  {dt:.2f}s"
+                    + (
+                        f"  pq={row['recall_at_k_pq']:.4f}/{row['sec_pq']}s"
+                        if "sec_pq" in row
+                        else ""
+                    ),
                     file=sys.stderr,
                 )
                 continue

@@ -1404,3 +1404,41 @@ def test_build_centroids_engine_equivalence(spark):
         key=lambda r: r.centroid_id,
     )
     assert [r.centroid_id for r in big] == [r.centroid_id for r in vec]
+
+
+def test_semantic_dedup_corpus_rows_hint(spark):
+    """corpus_rows is the no-job size hint: it feeds auto-k and the
+    engine dispatch without a count, it is honored as a scale signal
+    even with explicit k, and the hinted run's keep/drop output equals
+    the unhinted one (engines are equivalence-pinned elsewhere; here
+    we pin that the HINT changes jobs, not answers)."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.1 * j for j in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    base = {
+        (r.vec_id, r.keep)
+        for r in sim.semantic_dedup(emb, num_centroids=4, tau=0.3).collect()
+    }
+    hinted = {
+        (r.vec_id, r.keep)
+        for r in sim.semantic_dedup(
+            emb, num_centroids=4, tau=0.3, corpus_rows=60
+        ).collect()
+    }
+    assert hinted == base
+
+    # a huge hint with explicit k flips the pairwise engine to
+    # vectorized (the hint is a scale signal); output unchanged
+    big_hint = {
+        (r.vec_id, r.keep)
+        for r in sim.semantic_dedup(
+            emb, num_centroids=4, tau=0.3, corpus_rows=10**9
+        ).collect()
+    }
+    assert big_hint == base
+
+    # auto-k derives k from the hint without counting: hint ≫ rows
+    # still computes (k from hint, clusters from actual data)
+    out = sim.semantic_dedup(emb, num_centroids=None, tau=0.3, corpus_rows=60)
+    assert out.count() == 60
