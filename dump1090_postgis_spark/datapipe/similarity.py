@@ -892,8 +892,12 @@ def _resolve_ivf_assignment(
     _cen_rows: list | None = None,
 ):
     """Shared corpus-assignment dispatch for the IVF family: returns
-    ``(assigned_fn, cen_lit, cen_rows)`` where ``assigned_fn(df)``
-    attaches ``list_id`` to a ``_deg``-flagged corpus frame.
+    ``(assigned_fn, cen_lit, cen_rows, engine)`` where
+    ``assigned_fn(df)`` attaches ``list_id`` to a ``_deg``-flagged
+    corpus frame and ``engine`` is the RESOLVED engine name
+    (``'literal'``/``'vectorized'`` — callers key scale-only defaults
+    like :func:`ivf_pq_topk`'s ``rerank='auto'`` off it, so the
+    budget decision is made exactly once).
 
     ``assign_engine='auto'`` is FLOPs-budgeted
     (:data:`_IVF_ASSIGN_LITERAL_MAX_FLOPS` on n·k·dim; size source
@@ -938,7 +942,7 @@ def _resolve_ivf_assignment(
             return with_nearest_centroid(
                 df, centroids, vec, "list_id", _cen_lit=cen_lit
             )
-    return assigned_fn, cen_lit, cen_rows
+    return assigned_fn, cen_lit, cen_rows, assign_engine
 
 
 def ivf_topk(
@@ -985,7 +989,7 @@ def ivf_topk(
     unguarded, a NULL-element vector would rank FIRST and a true-NaN
     vector would silently fall to the NULL stratum whenever the
     vectorized engine ran."""
-    assigned_fn, cen_lit, _ = _resolve_ivf_assignment(
+    assigned_fn, cen_lit, _, _eng = _resolve_ivf_assignment(
         corpus, centroids, vec, assign_engine, corpus_rows
     )
     deg = F.col(vec).isNull() | F.coalesce(
@@ -1087,7 +1091,7 @@ def pq_encode_residual(
                 df, centroids, vec, "list_id", _cen_lit=cen_lit
             )
     else:
-        assigned_fn, cen_lit, _ = _resolve_ivf_assignment(
+        assigned_fn, cen_lit, _, _eng = _resolve_ivf_assignment(
             corpus, centroids, vec, assign_engine, corpus_rows,
             _cen_rows=_cen_rows,
         )
@@ -1138,6 +1142,14 @@ def pq_encode_residual(
     )
 
 
+#: ivf_pq_topk rerank leg: PQ candidates per query that get exact
+#: rescoring.  FAISS's two-stage refine convention (k_factor · k);
+#: 4096 recovered recall@5 from 0.91 to ≥0.99 at nprobe=1/×10000 (20M
+#: vectors, BASELINE.md) while the rerank work stays |queries|·m exact
+#: dots — independent of corpus size.
+_PQ_RERANK_M = 4096
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1148,6 +1160,8 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     assign_engine: str = "auto",
     corpus_rows: int | None = None,
+    rerank: bool | str = "auto",
+    rerank_m: int = _PQ_RERANK_M,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: the IVF probe structure of
     :func:`ivf_topk` scoring against residual-int8 RECONSTRUCTIONS
@@ -1171,12 +1185,48 @@ def ivf_pq_topk(
     :func:`ivf_topk` (``assign_engine``/``corpus_rows`` pass straight
     through to :func:`pq_encode_residual`); query probing stays on the
     literal projection — the query side is the small side.
+
+    ``rerank`` — the two-stage refine leg (FAISS IndexRefineFlat
+    convention): rank candidates by the cheap PQ reconstruction, keep
+    the top ``rerank_m`` per query, then EXACT-rescore that bounded
+    set against the float vectors fetched by id and emit the final
+    top-k from the exact scores.  The quantization's recall loss is
+    confined to whatever falls outside PQ's top-m — measured at
+    nprobe=1/×10000 (20M vectors): recall@5 0.91 → 1.00 with the
+    default m (BASELINE.md round 10).  ``'auto'`` (default) enables
+    the leg exactly when the BUDGET dispatch (``assign_engine='auto'``)
+    resolves the corpus assignment to ``'vectorized'`` — i.e. past the
+    n·k·dim FLOPs budget, where the corpus is big enough for
+    quantization loss to matter — so every DuckDB-oracle scale keeps
+    the pure-PQ plan and its committed result hashes, unchanged.  A
+    caller-FORCED ``assign_engine`` is a mechanism knob, not a scale
+    declaration: it never flips rerank (the literal↔vectorized
+    output-equivalence pin depends on that).
+
+    Rerank plan shape: the candidate list (|queries|·m id pairs, a
+    bounded driver-small frame by the family's query-side contract —
+    :func:`ivf_topk` already broadcasts the probed queries) is
+    BROADCAST against one fetch-by-id pass over the float corpus (no
+    rescoring scan: the join ships only matched vectors), then one
+    bounded exchange (|queries|·m rows) for the final ranking window.
+    The exact leg scores with :func:`ivf_topk`'s exact expressions —
+    including its degenerate strata (NULL-ish → cosine NULL ranked
+    last, NaN-component → cosine NaN ranked first; pure PQ folds NaN
+    into the NULL stratum, so a NaN corpus row that reaches the top-m
+    moves to rank 1 under rerank, converging on exact behavior by
+    design) — so ``rerank=True`` with ``rerank_m`` ≥ the candidate
+    count is row-for-row IDENTICAL to :func:`ivf_topk` (pytest-pinned).
     """
-    cen_rows = _collect_centroids(centroids)
-    cen_lit = _centroid_literal(centroids, _rows=cen_rows)
+    _, cen_lit, cen_rows, resolved_engine = _resolve_ivf_assignment(
+        corpus, centroids, vec, assign_engine, corpus_rows
+    )
+    if rerank not in ("auto", True, False):
+        raise ValueError(f"rerank must be auto|True|False, got {rerank!r}")
+    if rerank == "auto":
+        rerank = assign_engine == "auto" and resolved_engine == "vectorized"
     coded = pq_encode_residual(
         corpus, centroids, vec, id_col,
-        assign_engine=assign_engine, corpus_rows=corpus_rows,
+        assign_engine=resolved_engine, corpus_rows=corpus_rows,
         _cen_rows=cen_rows,
     )
     query_probes = with_probed_centroids(
@@ -1209,8 +1259,49 @@ def ivf_pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "rank", "neighbor_id", "cosine"
+        )
+
+    # Two-stage refine: PQ picks top-m candidate ids per query, the
+    # float vectors for exactly those ids are fetched back (broadcast
+    # hash join — the corpus side streams, only matches ship), and the
+    # final top-k comes from ivf_topk's EXACT scoring expressions.
+    m = max(int(rerank_m), k)
+    cand = ranked.filter(F.col("rank") <= m).select("query_id", "neighbor_id")
+    deg = F.col(vec).isNull() | F.coalesce(
+        F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
+    )
+    nan_flag = F.coalesce(F.exists(F.col(vec), F.isnan), F.lit(False))
+    fetched = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec).alias("_cv"),
+        deg.alias("_deg"),
+        nan_flag.alias("_nan"),
+    )
+    q_exact = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec).alias("_qv")
+    )
+    rescored = (
+        fetched.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q_exact), "query_id")
+        .withColumn(
+            "cosine",
+            F.when(F.col("_deg"), F.lit(None).cast("double"))
+            .when(F.col("_nan"), F.lit(float("nan")))
+            .otherwise(
+                F.round(embedding_cosine(F.col("_qv"), F.col("_cv")), 4)
+                + F.lit(0.0)
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )

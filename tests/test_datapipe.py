@@ -443,6 +443,128 @@ def test_ivf_pq_recall_matches_ivf_at_matched_probes(spark, emb):
     assert top1[100] == 101 and top1[101] == 100
 
 
+def test_ivf_pq_rerank_equals_exact_ivf(spark):
+    """The two-stage refine leg (round-10 verdict #1): with rerank_m ≥
+    the candidate count, exact-rescoring PQ's candidates must be
+    row-for-row IDENTICAL to ivf_topk — same candidates, same exact
+    scoring expressions, including the degenerate strata (NULL-ish →
+    cosine NULL last, NaN-component → cosine NaN first; pure PQ folds
+    NaN into the NULL stratum, rerank converges it back)."""
+    import math
+    import random
+
+    rnd = random.Random(77)
+    clean = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    corpus = spark.createDataFrame(
+        clean
+        + [
+            (300, [float("nan")] + [1.0] * 7),
+            (301, [None, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+            (302, None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    emb_clean = spark.createDataFrame(
+        clean, "vec_id long, embedding array<double>"
+    )
+    queries = emb_clean.filter(F.col("vec_id") < 4)
+    cent = sim.build_centroids(emb_clean, num_centroids=4)
+
+    def norm(df):
+        out = set()
+        for r in df.collect():
+            c = r.cosine
+            c = "nan" if (c is not None and math.isnan(c)) else c
+            out.add((r.query_id, r.rank, r.neighbor_id, c))
+        return out
+
+    for probes in (1, 2, 4):
+        ivf = norm(sim.ivf_topk(corpus, queries, cent, k=5, probes=probes))
+        rr = norm(
+            sim.ivf_pq_topk(
+                corpus, queries, cent, k=5, probes=probes,
+                rerank=True, rerank_m=10**6,
+            )
+        )
+        assert rr == ivf, f"probes={probes}"
+
+
+def test_ivf_pq_rerank_auto_gating(spark, monkeypatch):
+    """rerank='auto' keys on the BUDGET dispatch: below the FLOPs
+    budget the plan and rows are the pure-PQ path (oracle hashes
+    unchanged); past it (collapsed budget + corpus_rows hint, no probe
+    job) the refine leg turns on and the output equals rerank=True.  A
+    caller-forced assign_engine never flips rerank — the
+    literal↔vectorized equivalence pin depends on that."""
+    import random
+
+    rnd = random.Random(78)
+    corpus = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") < 3)
+    cent = sim.build_centroids(corpus, num_centroids=4)
+
+    def rows(df):
+        return {
+            (r.query_id, r.rank, r.neighbor_id, r.cosine)
+            for r in df.collect()
+        }
+
+    # below budget: auto == rerank=False (pure PQ), and the PLAN is the
+    # pure-PQ plan — exactly one ranking window; the refine leg adds
+    # exactly ONE more (the bounded |queries|·m rescoring window) and
+    # fetches by id through a BROADCAST join, never a corpus reshuffle
+    # (AQE exchange counts are unstable on tiny inputs — the window
+    # count is the stable signature of the two-stage shape)
+    def nwin(df):
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        return p.count("Window [")
+
+    auto_small = sim.ivf_pq_topk(corpus, queries, cent, k=5, probes=2)
+    off_small = sim.ivf_pq_topk(
+        corpus, queries, cent, k=5, probes=2, rerank=False
+    )
+    assert rows(auto_small) == rows(off_small)
+    assert nwin(auto_small) == nwin(off_small) == 1
+    on_small = sim.ivf_pq_topk(
+        corpus, queries, cent, k=5, probes=2, rerank=True
+    )
+    assert nwin(on_small) == 2
+    assert "ResolvedHint (strategy=broadcast)" in (
+        on_small._jdf.queryExecution().analyzed().toString()
+    )
+
+    # past the budget (hinted — no probe job): auto == rerank=True
+    monkeypatch.setattr(sim, "_IVF_ASSIGN_LITERAL_MAX_FLOPS", 1)
+    assert rows(
+        sim.ivf_pq_topk(
+            corpus, queries, cent, k=5, probes=2, corpus_rows=60
+        )
+    ) == rows(
+        sim.ivf_pq_topk(
+            corpus, queries, cent, k=5, probes=2, corpus_rows=60,
+            rerank=True,
+        )
+    )
+    # forced engine: no rerank flip (vectorized-forced output must
+    # still equal literal-forced output — both pure PQ)
+    monkeypatch.undo()
+    assert rows(
+        sim.ivf_pq_topk(
+            corpus, queries, cent, k=5, probes=2,
+            assign_engine="vectorized",
+        )
+    ) == rows(
+        sim.ivf_pq_topk(
+            corpus, queries, cent, k=5, probes=2, assign_engine="literal"
+        )
+    )
+    with pytest.raises(ValueError, match="rerank"):
+        sim.ivf_pq_topk(corpus, queries, cent, rerank="yes")
+
+
 def test_ivf_recall_floor_at_default_probes(spark):
     """The operating point that matters at scale is nprobe « nlist —
     not the degenerate full-probe point.  On the real sf0.1 embeddings
