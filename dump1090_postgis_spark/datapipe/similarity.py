@@ -1648,7 +1648,18 @@ def semantic_dedup(
     budget exists for, the two coincide, and on replication-heavy test
     corpora the flip is merely conservative (the tree on a tiny pool
     costs the same as exact).
+
+    ``corpus_rows`` accuracy caveat (round-9 advisor): the hint is
+    jobs-not-answers ONLY while the decisions it feeds stay below the
+    answer-affecting thresholds.  An OVER-stated hint that pushes
+    n·k·dim past :data:`_ASSIGN_EXACT_MAX_FLOPS` flips the vectorized
+    assignment to the APPROXIMATE two-level tree — keep/drop output
+    can change at coarse-cell boundaries, not just the plan.  Pass the
+    true size (or a slight under-estimate), or pin
+    ``assignment_probes=None`` alongside an uncertain hint to force
+    the exact search.
     """
+    from .costmodel import plan_rows
     from .dedup import spread_for_compute
 
     if pairwise not in ("auto", "join", "vectorized"):
@@ -1656,11 +1667,16 @@ def semantic_dedup(
     # ``corpus_rows`` is the no-job size hint (100 TB contract: a
     # pipeline that already knows its corpus size passes it and the
     # auto-k / engine decisions run zero jobs).  Unlike the boolean
-    # gates, auto-k needs the VALUE of n, so there is no bounded-probe
-    # fallback here — absent a hint, one count (the same scan the
-    # assignment is about to pay anyway, and it feeds k).
+    # gates, auto-k needs the VALUE of n, so the bounded-probe fallback
+    # doesn't apply — but Catalyst sometimes KNOWS n exactly with zero
+    # jobs (a LocalRelation, CBO table stats, an AQE-finalized stage:
+    # :func:`.costmodel.plan_rows`), so the order is hint → plan stats
+    # → one count (the same scan the assignment is about to pay anyway,
+    # and it feeds k).
     n_rows: int | None = int(corpus_rows) if corpus_rows is not None else None
     if num_centroids is None:
+        if n_rows is None:
+            n_rows = plan_rows(corpus)
         if n_rows is None:
             n_rows = corpus.count()
         num_centroids = semantic_dedup_auto_k(n_rows, target_cluster_size)
@@ -1681,6 +1697,8 @@ def semantic_dedup(
         )
     if assignment_probes == "auto":
         if pairwise == "vectorized":
+            if n_rows is None:
+                n_rows = plan_rows(corpus)
             if n_rows is None:
                 n_rows = corpus.count()
             dim_row = (

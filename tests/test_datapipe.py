@@ -1564,3 +1564,39 @@ def test_semantic_dedup_corpus_rows_hint(spark):
     # still computes (k from hint, clusters from actual data)
     out = sim.semantic_dedup(emb, num_centroids=None, tau=0.3, corpus_rows=60)
     assert out.count() == 60
+
+
+def test_semantic_dedup_auto_k_jobless_on_local_relation(spark, monkeypatch):
+    """Round-10 verdict #2: when Catalyst KNOWS n exactly with zero
+    jobs (a LocalRelation — pandas/Arrow-backed frames — defines
+    stats().rowCount), auto-k must take it from plan stats instead of
+    the eager corpus.count(); an explicit hint still wins.  Pinned by
+    making DataFrame.count raise for the duration of the call."""
+    import pandas as pd
+    from pyspark.sql import DataFrame
+
+    from dump1090_postgis_spark.datapipe.costmodel import plan_rows
+
+    rows = [[float(i % 7) + 0.1 * j for j in range(8)] for i in range(60)]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(60), "embedding": rows})
+    )
+    # precondition: this corpus IS the jobless case
+    assert plan_rows(emb) == 60
+
+    base = {
+        (r.vec_id, r.keep)
+        for r in sim.semantic_dedup(emb, num_centroids=None, tau=0.3).collect()
+    }
+
+    def _no_count(self):
+        raise AssertionError("auto-k ran an eager count despite plan stats")
+
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    stats_first = sim.semantic_dedup(emb, num_centroids=None, tau=0.3)
+    hinted = sim.semantic_dedup(
+        emb, num_centroids=None, tau=0.3, corpus_rows=60
+    )
+    monkeypatch.undo()
+    assert {(r.vec_id, r.keep) for r in stats_first.collect()} == base
+    assert {(r.vec_id, r.keep) for r in hinted.collect()} == base
