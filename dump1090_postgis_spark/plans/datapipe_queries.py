@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from ..schemas import load_table
+from ..schemas import load_table, table_rows
 from ..datapipe import dedup as dd
 from ..datapipe.costmodel import rows_at_least
 from ..datapipe import similarity as sim
@@ -249,7 +249,10 @@ def q_dedup_minhash_lsh_fast(spark, sf):
         cap_row["n_members_dropped"],
         cap_row["max_bucket_size_seen"],
     )
-    if rows_at_least(docs, _MINHASH_VECTORIZE_MIN_DOCS):
+    if rows_at_least(
+        docs, _MINHASH_VECTORIZE_MIN_DOCS,
+        size_hint=table_rows(sf, "documents"),  # footer: jobless gate
+    ):
         # scale engine (round 7): bucketed Python-set Jaccard straight
         # from the persisted banded frame — no 27M-pair distinct, no
         # shingle-carrying pair joins (×100: 121 → 42.8 s, identical
@@ -369,8 +372,10 @@ def q_dedup_clusters(spark, sf):
     from ..datapipe.cluster import contract_families, duplicate_clusters
 
     docs = load_table(spark, sf, "documents")
-    # shared bounded size probe — no unbounded count (costmodel)
-    if not rows_at_least(docs, _CONTRACT_MIN_DOCS):
+    # footer hint → jobless gate (falls back to the bounded probe)
+    if not rows_at_least(
+        docs, _CONTRACT_MIN_DOCS, size_hint=table_rows(sf, "documents")
+    ):
         cands = dd.lsh_candidate_pairs(docs, hash_family="md5")
         pairs = dd.jaccard_pairs(docs, cands, threshold=0.5)
         return duplicate_clusters(docs, pairs)
@@ -526,10 +531,19 @@ SELECT doc_id, lang, quality, rank FROM (
 
 def q_ann_topk_bruteforce(spark, sf):
     """Brute-force cosine top-5 for query vectors vec_id < 5 — the
-    exact baseline every ANN variant is checked against."""
+    exact baseline every ANN variant is checked against.
+
+    ``corpus_rows`` comes from the parquet footer (schemas.table_rows —
+    driver-side, zero jobs): the registry owns its testdata, so the
+    engine='auto' gate never schedules even a bounded probe job.  The
+    footer count is EXACT, so the dispatch decision — and therefore
+    the output — is identical to the probe's (round-10 verdict #3;
+    output-invariance pinned in tests)."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return sim.brute_force_topk(emb, queries, k=5)
+    return sim.brute_force_topk(
+        emb, queries, k=5, corpus_rows=table_rows(sf, "embeddings")
+    )
 
 
 SQL_ANN_TOPK = """
@@ -557,8 +571,9 @@ def q_ann_topk_ivf(spark, sf):
     CTEs."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    centroids = sim.build_centroids(emb, num_centroids=8)
-    return sim.ivf_topk(emb, queries, centroids, k=5, probes=3)
+    n = table_rows(sf, "embeddings")  # footer count: jobless auto gates
+    centroids = sim.build_centroids(emb, num_centroids=8, corpus_rows=n)
+    return sim.ivf_topk(emb, queries, centroids, k=5, probes=3, corpus_rows=n)
 
 
 _SQL_COS = (
@@ -619,8 +634,11 @@ def q_ann_topk_ivf_pq(spark, sf):
     CTEs."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    centroids = sim.build_centroids(emb, num_centroids=8)
-    return sim.ivf_pq_topk(emb, queries, centroids, k=5, probes=3)
+    n = table_rows(sf, "embeddings")  # footer count: jobless auto gates
+    centroids = sim.build_centroids(emb, num_centroids=8, corpus_rows=n)
+    return sim.ivf_pq_topk(
+        emb, queries, centroids, k=5, probes=3, corpus_rows=n
+    )
 
 
 SQL_ANN_IVF_PQ = f"""
@@ -693,7 +711,12 @@ def q_ann_topk_quantized(spark, sf):
     qz = sim.quantize_embeddings(emb).select(
         "vec_id", F.col("q_vec").alias("embedding")
     )
-    return sim.brute_force_topk(qz, qz.filter(F.col("vec_id") < 5), k=5)
+    # quantization is a row-preserving projection: the footer count of
+    # the source table IS the corpus size — jobless auto gate
+    return sim.brute_force_topk(
+        qz, qz.filter(F.col("vec_id") < 5), k=5,
+        corpus_rows=table_rows(sf, "embeddings"),
+    )
 
 
 SQL_ANN_QUANTIZED = f"""
@@ -730,7 +753,9 @@ def q_dedup_embedding_lsh(spark, sf):
     the sign dot products are order-identical left folds — bucket keys
     match bitwise across engines."""
     emb = load_table(spark, sf, "embeddings")
-    return dd.embedding_near_dup_pairs(emb, threshold=0.25)
+    return dd.embedding_near_dup_pairs(
+        emb, threshold=0.25, corpus_rows=table_rows(sf, "embeddings")
+    )
 
 
 def _sql_embedding_lsh() -> str:
@@ -1830,7 +1855,13 @@ def q_semdedup_prune(spark, sf):
     ×100 bench gets k=196 and linear growth instead of 25k-row
     clusters (measured 1,681 s → see BASELINE.md)."""
     emb = load_table(spark, sf, "embeddings")
-    return sim.semantic_dedup(emb, num_centroids=None, tau=0.3)
+    # footer count: auto-k + engine dispatch with ZERO plan-build jobs
+    # (kills the one eager count() this entry used to pay — the 100 TB
+    # calling convention by example)
+    return sim.semantic_dedup(
+        emb, num_centroids=None, tau=0.3,
+        corpus_rows=table_rows(sf, "embeddings"),
+    )
 
 
 SQL_SEMDEDUP = f"""
@@ -1987,7 +2018,10 @@ def q_kmeans_refine(spark, sf):
     the same two Lloyd rounds restated as CTEs — hash-checks every
     coordinate."""
     emb = load_table(spark, sf, "embeddings")
-    cent = sim.build_centroids(emb, num_centroids=4, iterations=2)
+    cent = sim.build_centroids(
+        emb, num_centroids=4, iterations=2,
+        corpus_rows=table_rows(sf, "embeddings"),
+    )
     return (
         cent.select(
             F.col("centroid_id").cast("int").alias("centroid_id"),

@@ -221,6 +221,45 @@ TESTDATA_TABLES = [
 _NANOS_TS_COLS = {"events": ["ts"]}
 
 
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of one testdata parquet table from its FOOTER
+    metadata — a driver-side read of a few KiB, zero Spark jobs.
+
+    This is the registry-side source for the ``corpus_rows`` hints the
+    ``engine='auto'`` operators accept (round-10 verdict #3): the
+    pipeline that owns the data KNOWS its size, so the cost-model gates
+    should never have to schedule even a bounded probe job.  The same
+    calling convention scales to 100 TB — a production catalog serves
+    the count; here the parquet footer is that catalog.  Returns None
+    when the footer can't be read (caller falls back to the operator's
+    own hint→stats→probe chain).
+    """
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    if path in _TABLE_ROWS_CACHE:
+        return _TABLE_ROWS_CACHE[path]
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):  # directory-of-parts layout
+            n = sum(
+                int(pq.read_metadata(os.path.join(path, f)).num_rows)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            n = int(pq.read_metadata(path).num_rows)
+    except Exception:
+        n = None
+    _TABLE_ROWS_CACHE[path] = n
+    return n
+
+
+#: table_rows footer cache — testdata files are immutable per run.
+_TABLE_ROWS_CACHE: dict[str, int | None] = {}
+
+
 def load_table(spark, sf_dir: str, name: str, ts_range=None):
     """Read one driver-generated parquet table (predicate/column pushdown
     comes free from the parquet scan).

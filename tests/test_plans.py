@@ -626,3 +626,43 @@ def test_ivf_vectorized_assignment_stays_mapside(spark):
     assert "MapInPandas" in qplan
     assert "BroadcastHashJoin" in qplan or "BroadcastNestedLoopJoin" in qplan
     assert qplan.count("Exchange hashpartitioning") <= 1
+
+
+def test_table_rows_footer_hint_exact_and_output_invariant(spark, tmp_path):
+    """Round-10 verdict #3: the registry threads parquet-footer row
+    counts as corpus_rows hints into every engine='auto' call site.
+    The hint is jobs-not-answers ONLY because it is EXACT — pin that
+    (a) table_rows == the Spark count for every testdata table, single
+    file and Spark directory-of-parts layouts both; (b) a hinted
+    flagship entry's rows equal the unhinted operator's."""
+    from dump1090_postgis_spark.datapipe.similarity import semantic_dedup
+    from dump1090_postgis_spark.plans.datapipe_queries import q_semdedup_prune
+    from dump1090_postgis_spark.schemas import (
+        TESTDATA_TABLES,
+        load_table,
+        table_rows,
+    )
+
+    for t in TESTDATA_TABLES:
+        n = table_rows(SF, t)
+        assert n is not None and n == load_table(spark, SF, t).count(), t
+
+    # Spark-written directory layout (the decade-bench .bench_sf1_x{N}
+    # shape): footer sum over part files, _SUCCESS ignored
+    emb = load_table(spark, SF, "embeddings")
+    emb.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    assert table_rows(str(tmp_path), "embeddings") == emb.count()
+
+    # missing table degrades to None (caller falls back to probe)
+    assert table_rows(str(tmp_path), "nope") is None
+
+    hinted = {
+        (r.vec_id, r.keep) for r in q_semdedup_prune(spark, SF).collect()
+    }
+    unhinted = {
+        (r.vec_id, r.keep)
+        for r in semantic_dedup(emb, num_centroids=None, tau=0.3).collect()
+    }
+    assert hinted == unhinted
