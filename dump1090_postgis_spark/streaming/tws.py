@@ -89,6 +89,92 @@ TWS_STATE_SCHEMA = STATE_SCHEMA + ", deadline_ms long, timer_armed boolean"
 TWS_STATE_NAME = "session_v2"
 
 
+def _latest_tws_metadata(checkpoint_dir: str, operator_id: int) -> str | None:
+    """Content of the NEWEST ``state/<op>/_metadata/v2/<batch>`` file,
+    or None for a fresh/absent checkpoint.
+
+    Resolution order (round-9 advisor: the guard must also cover the
+    at-scale deployments it exists for): the Hadoop FileSystem API of
+    the ACTIVE SparkSession — which handles ``hdfs://`` / ``s3a://`` /
+    ``file:`` checkpoints, exactly the set the streaming query itself
+    can write to — then plain ``os`` for local paths when no session
+    is up.  A directory that EXISTS but cannot be inspected logs a
+    loud warning instead of silently disarming the guard."""
+    import logging
+    import os
+    import posixpath
+
+    from pyspark.sql import SparkSession
+
+    meta_dir = posixpath.join(
+        checkpoint_dir, "state", str(operator_id), "_metadata", "v2"
+    )
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(meta_dir)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(jpath):
+                return None  # fresh checkpoint
+            batches = sorted(
+                int(st.getPath().getName())
+                for st in fs.listStatus(jpath)
+                if st.getPath().getName().isdigit()
+            )
+            if not batches:
+                return None
+            stream = fs.open(
+                jvm.org.apache.hadoop.fs.Path(
+                    posixpath.join(meta_dir, str(batches[-1]))
+                )
+            )
+            try:
+                return jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+        except Exception as exc:  # py4j/FS failure: fall through to os
+            logging.getLogger(__name__).warning(
+                "could not inspect TWS checkpoint metadata %r via the "
+                "Hadoop FileSystem API (%s); falling back to local-path "
+                "inspection", meta_dir, exc,
+            )
+    try:
+        batches = sorted(int(f) for f in os.listdir(meta_dir) if f.isdigit())
+        if not batches:
+            return None
+        with open(os.path.join(meta_dir, str(batches[-1]))) as fh:
+            return fh.read()
+    except FileNotFoundError as exc:
+        if "://" not in checkpoint_dir and not checkpoint_dir.startswith(
+            "file:"
+        ):
+            return None  # genuinely fresh LOCAL checkpoint
+        # a URI the local fallback cannot reach is NOT evidence of a
+        # fresh checkpoint — fall through to the loud disarm warning
+        _warn_unguarded(meta_dir, exc)
+        return None
+    except OSError as exc:
+        _warn_unguarded(meta_dir, exc)
+        return None
+
+
+def _warn_unguarded(meta_dir: str, exc: Exception) -> None:
+    """The directory exists (or is a URI the local fallback cannot
+    reach) but can't be read: the guard is DISARMED for this restart —
+    say so loudly rather than silently passing, since an old-name
+    checkpoint would silently drop in-flight sessions."""
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "TWS checkpoint state-name guard could not inspect %r (%s): "
+        "proceeding UNGUARDED — a renamed state variable would "
+        "silently drop in-flight sessions", meta_dir, exc,
+    )
+
+
 def assert_checkpoint_state_compatible(
     checkpoint_dir: str,
     expected_state_name: str = TWS_STATE_NAME,
@@ -104,39 +190,36 @@ def assert_checkpoint_state_compatible(
     here would silently drop every in-flight session — so this guard
     turns the rename into the loud failure the version suffix was
     meant to provide.  A fresh/absent checkpoint passes; internal
-    ``$procTimers_*`` variables are ignored; unreadable metadata is
-    ignored (Spark's own validation owns malformed checkpoints).
+    ``$procTimers_*`` variables are ignored; unreadable metadata CONTENT
+    is ignored (Spark's own validation owns malformed checkpoints),
+    while an UNINSPECTABLE directory logs a loud warning
+    (:func:`_latest_tws_metadata` — checked through the Hadoop
+    FileSystem API, so remote ``hdfs://``/``s3a://`` checkpoints are
+    covered too).
 
-    Migration from a pre-``session_v2`` checkpoint: drain the old
-    query with the old handler (stop the feed, let every session
-    evict and emit), then start the upgraded handler on a FRESH
-    checkpoint directory.
+    Migration from a pre-``session_v2`` checkpoint: either drain the
+    old query with the old handler (stop the feed, let every session
+    evict and emit) and start the upgraded handler on a FRESH
+    checkpoint directory, or carry the in-flight sessions across with
+    :func:`legacy_session_initial_state` + ``event_stream_tws(...,
+    initial_state=...)`` (reads the old ``session`` column family via
+    the state-store reader and replays it into the new checkpoint's
+    ``session_v2`` on the first batch).
     """
     import json
-    import os
 
-    meta_dir = os.path.join(
-        checkpoint_dir, "state", str(operator_id), "_metadata", "v2"
-    )
-    try:
-        batches = sorted(
-            int(f) for f in os.listdir(meta_dir) if f.isdigit()
-        )
-    except OSError:
-        return  # fresh checkpoint (or non-local FS) — nothing to check
-    if not batches:
+    content = _latest_tws_metadata(checkpoint_dir, operator_id)
+    if content is None:
         return
     try:
-        with open(os.path.join(meta_dir, str(batches[-1]))) as fh:
-            lines = fh.read().splitlines()
-        meta = json.loads(lines[1])
+        meta = json.loads(content.splitlines()[1])
         props = json.loads(meta["operatorPropertiesJson"])
         names = {
             v["stateName"]
             for v in props.get("stateVariables", [])
             if not v["stateName"].startswith("$")
         }
-    except (OSError, ValueError, KeyError, IndexError):
+    except (ValueError, KeyError, IndexError):
         return  # malformed metadata: defer to Spark's own validation
     if names and names != {expected_state_name}:
         raise RuntimeError(
@@ -144,9 +227,85 @@ def assert_checkpoint_state_compatible(
             f"variables {sorted(names)}, but this handler uses "
             f"{expected_state_name!r}. Spark would restart cleanly and "
             "silently DROP every in-flight session stored under the old "
-            "name. Drain the old query with its original handler, then "
-            "start the upgraded handler on a fresh checkpoint directory."
+            "name. Either drain the old query with its original handler "
+            "and restart on a fresh checkpoint directory, or migrate the "
+            "in-flight sessions with legacy_session_initial_state(...) + "
+            "event_stream_tws(..., initial_state=...)."
         )
+
+
+#: STATE_SCHEMA (name, type) pairs, in declaration order — the column
+#: contract between the state-store reader output and
+#: handleInitialState.
+_STATE_FIELDS = [
+    (s.strip().split()[0], s.strip().split()[1])
+    for s in STATE_SCHEMA.split(",")
+]
+_STATE_FIELD_NAMES = [f for f, _t in _STATE_FIELDS]
+
+
+def _py_scalar(v, typ: str):
+    """Plain-Python scalar for a state tuple slot: the initial-state
+    frame arrives as a pandas row (numpy dtypes, NaN/NaT for NULL —
+    nullable longs surface as float64), but ValueState.update pickles
+    the tuple for the JVM state server, which accepts only exact
+    Python scalars of the declared type."""
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if typ == "long":
+        return int(v)
+    if typ == "double":
+        return float(v)
+    if typ == "boolean":
+        return bool(v)
+    return str(v)
+
+
+def legacy_session_initial_state(
+    spark,
+    checkpoint_dir: str,
+    state_name: str = "session",
+    operator_id: int = 0,
+) -> DataFrame:
+    """The in-flight sessions of a pre-``session_v2`` checkpoint as an
+    initial-state frame for :func:`event_stream_tws` — the MIGRATION
+    path the state-name guard points at (round-10 verdict #4).
+
+    Reads the legacy ``session`` column family offline through Spark's
+    state-store reader (``spark.read.format("statestore")`` with
+    ``stateVarName`` — the transformWithState flavor of the reader),
+    and reshapes it to (hexident, <STATE_SCHEMA fields>).  Start the
+    UPGRADED handler on a FRESH checkpoint with
+    ``event_stream_tws(parsed, initial_state=<this frame>)``:
+    ``handleInitialState`` replays each row into ``session_v2`` on the
+    first batch — field accumulation (first_seen, n_messages,
+    callsign, onground edge state) carries across, so no in-flight
+    session is dropped and no summary is lost.  The eviction clock
+    restarts at migration time (+SESSION_TIMEOUT_MS from the first
+    batch — the legacy deadline was processing-time anyway, so any
+    stop-the-query migration window already shifted it).
+
+    Scale: the reader is a parallel scan of the state store's
+    partitions (no driver collect); the initial-state frame shuffles
+    once on the grouping key, same as any first batch.
+    """
+    df = (
+        spark.read.format("statestore")
+        .option("stateVarName", state_name)
+        .option("operatorId", operator_id)
+        .load(checkpoint_dir)
+    )
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("key.hexident").alias("hexident"),
+        *[F.col(f"value.{f}").alias(f) for f in _STATE_FIELD_NAMES],
+    )
 
 
 class SessionProcessor(StatefulProcessor):
@@ -156,6 +315,26 @@ class SessionProcessor(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
         self._sess = handle.getValueState(TWS_STATE_NAME, TWS_STATE_SCHEMA)
+
+    def handleInitialState(
+        self, key, initialState, timerValues: TimerValues
+    ) -> None:
+        """Seed ``session_v2`` from a migrated legacy session row
+        (:func:`legacy_session_initial_state`): the shared
+        STATE_SCHEMA tuple rides in by field name, the lazy-timer
+        fields are re-based to now + SESSION_TIMEOUT_MS, and the one
+        physical timer per session lifetime is armed."""
+        row = (
+            initialState.iloc[0]
+            if hasattr(initialState, "iloc")
+            else initialState
+        )
+        legacy = tuple(_py_scalar(row[f], t) for f, t in _STATE_FIELDS)
+        deadline = (
+            timerValues.getCurrentProcessingTimeInMs() + SESSION_TIMEOUT_MS
+        )
+        self._sess.update(legacy + (deadline, True))
+        self._handle.registerTimer(deadline)
 
     def handleInputRows(
         self, key, rows, timerValues: TimerValues
@@ -212,13 +391,23 @@ class SessionProcessor(StatefulProcessor):
         pass
 
 
-def event_stream_tws(parsed: DataFrame) -> DataFrame:
+def event_stream_tws(
+    parsed: DataFrame, initial_state: DataFrame | None = None
+) -> DataFrame:
     """``transformWithStateInPandas`` pipeline stage — drop-in twin of
     ``pipeline.event_stream``.  Start the query with the RocksDB
-    provider (see ``ROCKSDB_PROVIDER``)."""
+    provider (see ``ROCKSDB_PROVIDER``).
+
+    ``initial_state``: a (hexident, <STATE_SCHEMA fields>) frame —
+    normally :func:`legacy_session_initial_state` — replayed into
+    ``session_v2`` on the first batch of a FRESH checkpoint (the
+    pre-rename migration path)."""
     return parsed.groupBy("hexident").transformWithStateInPandas(
         SessionProcessor(),
         outputStructType=EVENT_OUTPUT_SCHEMA,
         outputMode="append",
         timeMode="ProcessingTime",
+        initialState=(
+            None if initial_state is None else initial_state.groupBy("hexident")
+        ),
     )

@@ -885,14 +885,114 @@ def _write_tws_metadata(ckpt: str, state_names: list[str]) -> None:
         fh.write("v2\n" + json.dumps(meta))
 
 
-def test_checkpoint_state_guard_unit(tmp_path):
+def _legacy_name_processor_cls():
+    """Pre-lazy-timer TWS processor shape: bare STATE_SCHEMA under the
+    old 'session' state name — the checkpoint writer for the rename
+    guard and migration tests."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from dump1090_postgis_spark.streaming.state import (
+        STATE_SCHEMA,
+        advance_session,
+    )
+
+    class LegacyNameProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._sess = handle.getValueState("session", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            packed = self._sess.get()
+            prior = tuple(packed) if packed is not None else None
+
+            def _rows():
+                for pdf in rows:
+                    yield from pdf.sort_values("gen_date_time").itertuples(
+                        index=False
+                    )
+
+            admitted, new_state, out_rows = advance_session(
+                key[0], prior, _rows()
+            )
+            if admitted:
+                self._sess.update(tuple(new_state))
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            return
+            yield
+
+        def close(self):
+            pass
+
+    return LegacyNameProcessor
+
+
+def _run_legacy_name_checkpoint(spark, drop: str, ckpt: str) -> None:
+    """Run the legacy-named processor over the text drop dir until at
+    least two batches commit, writing a REAL pre-rename checkpoint."""
+    from dump1090_postgis_spark.streaming.pipeline import parsed_stream
+    from dump1090_postgis_spark.streaming.state import EVENT_OUTPUT_SCHEMA
+    from dump1090_postgis_spark.streaming.tws import ROCKSDB_PROVIDER
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        q = (
+            parsed_stream(spark.readStream.text(drop))
+            .groupBy("hexident")
+            .transformWithStateInPandas(
+                _legacy_name_processor_cls()(),
+                outputStructType=EVENT_OUTPUT_SCHEMA,
+                outputMode="append",
+                timeMode="ProcessingTime",
+            )
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("batchId", -1) >= 1:
+                break
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+def test_checkpoint_state_guard_unit(tmp_path, caplog):
     """assert_checkpoint_state_compatible: raises on a renamed state
     variable, passes on match / fresh / malformed checkpoints (Spark's
     own validation owns malformed — the guard only closes the SILENT
-    rename hole)."""
+    rename hole), and is LOUD — not silent — when a checkpoint URI
+    cannot be inspected at all (round-9 advisor: the silent return
+    disarmed the guard exactly for remote at-scale checkpoints)."""
+    import logging
+
     from dump1090_postgis_spark.streaming.tws import (
         assert_checkpoint_state_compatible,
     )
+
+    # an uninspectable remote URI must not silently pass as "fresh"
+    with caplog.at_level(logging.WARNING, logger="dump1090_postgis_spark"):
+        assert_checkpoint_state_compatible("s3a://no-such-bucket/ckpt")
+    assert any(
+        "could not inspect" in r.message or "UNGUARDED" in r.message
+        for r in caplog.records
+    ), caplog.records
 
     # fresh checkpoint: no state dir at all
     assert_checkpoint_state_compatible(str(tmp_path / "fresh"))
@@ -935,53 +1035,10 @@ def test_tws_restart_from_legacy_name_checkpoint_fails_loudly(spark, tmp_path):
     loud failure is the driver-side guard — write a REAL checkpoint
     with the old 'session' state name, then assert both the guard and
     the start_pipeline TWS path refuse it."""
-    import pandas as pd
-    from pyspark.sql.streaming import StatefulProcessor
-
-    from dump1090_postgis_spark.streaming.pipeline import (
-        parsed_stream,
-        start_pipeline,
-    )
-    from dump1090_postgis_spark.streaming.state import (
-        EVENT_OUTPUT_SCHEMA,
-        STATE_SCHEMA,
-        advance_session,
-    )
+    from dump1090_postgis_spark.streaming.pipeline import start_pipeline
     from dump1090_postgis_spark.streaming.tws import (
-        ROCKSDB_PROVIDER,
         assert_checkpoint_state_compatible,
     )
-
-    class LegacyNameProcessor(StatefulProcessor):
-        """Pre-lazy-timer shape: bare STATE_SCHEMA under 'session'."""
-
-        def init(self, handle):
-            self._sess = handle.getValueState("session", STATE_SCHEMA)
-
-        def handleInputRows(self, key, rows, timerValues):
-            packed = self._sess.get()
-            prior = tuple(packed) if packed is not None else None
-
-            def _rows():
-                for pdf in rows:
-                    yield from pdf.sort_values("gen_date_time").itertuples(
-                        index=False
-                    )
-
-            admitted, new_state, out_rows = advance_session(
-                key[0], prior, _rows()
-            )
-            if admitted:
-                self._sess.update(tuple(new_state))
-            if out_rows:
-                yield pd.DataFrame(out_rows)
-
-        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            return
-            yield
-
-        def close(self):
-            pass
 
     drop = str(tmp_path / "drop")
     ckpt = str(tmp_path / "ckpt")
@@ -989,30 +1046,82 @@ def test_tws_restart_from_legacy_name_checkpoint_fails_loudly(spark, tmp_path):
     with open(os.path.join(drop, "a.txt"), "w") as f:
         f.write(LINES[0] + "\n" + LINES[2])
 
+    _run_legacy_name_checkpoint(spark, drop, ckpt)
+
+    with pytest.raises(RuntimeError, match="in-flight session"):
+        assert_checkpoint_state_compatible(ckpt)
+
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        start_pipeline(
+            spark.readStream.text(drop),
+            lambda bdf, eid: None,
+            ckpt,
+            engine="tws",
+        )
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="needs the TWS transport to write a real legacy-named checkpoint",
+)
+def test_tws_legacy_checkpoint_migration_preserves_sessions(spark, tmp_path):
+    """Round-10 verdict #4 — the migration the guard points at: read
+    the old 'session' column family via the state-store reader
+    (legacy_session_initial_state), start the UPGRADED handler on a
+    FRESH checkpoint with initial_state=, and prove the in-flight
+    session carried over: the landing detected by the NEW query counts
+    the OLD messages (n_messages = 3 migrated + 1 new), keeps the OLD
+    first_seen and accumulated callsign, and sees the migrated
+    onground=False so the edge fires at all."""
+    from dump1090_postgis_spark.streaming.pipeline import parsed_stream
+    from dump1090_postgis_spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        event_stream_tws,
+        legacy_session_initial_state,
+    )
+
+    drop_old = str(tmp_path / "drop_old")
+    ckpt_old = str(tmp_path / "ckpt_old")
+    os.makedirs(drop_old)
+    # airborne positions + callsign: an IN-FLIGHT session, no events
+    with open(os.path.join(drop_old, "a.txt"), "w") as f:
+        f.write("\n".join([LINES[0], LINES[1], LINES[2]]))
+    _run_legacy_name_checkpoint(spark, drop_old, ckpt_old)
+
+    init = legacy_session_initial_state(spark, ckpt_old)
+    rows = init.collect()
+    assert len(rows) == 1
+    assert rows[0].hexident == "AAA111"
+    assert rows[0].n_messages == 3
+    assert rows[0].onground is False
+    assert rows[0].callsign == "TST100"
+
+    drop_new = str(tmp_path / "drop_new")
+    ckpt_new = str(tmp_path / "ckpt_new")
+    os.makedirs(drop_new)
+    with open(os.path.join(drop_new, "b.txt"), "w") as f:
+        f.write(LINES[3])  # onground flip → landing edge
+
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
     )
     try:
         q = (
-            parsed_stream(spark.readStream.text(drop))
-            .groupBy("hexident")
-            .transformWithStateInPandas(
-                LegacyNameProcessor(),
-                outputStructType=EVENT_OUTPUT_SCHEMA,
-                outputMode="append",
-                timeMode="ProcessingTime",
+            event_stream_tws(
+                parsed_stream(spark.readStream.text(drop_new)),
+                initial_state=init,
             )
             .writeStream.outputMode("append")
-            .format("noop")
-            .option("checkpointLocation", ckpt)
+            .format("memory")
+            .queryName("tws_migrated")
+            .option("checkpointLocation", ckpt_new)
             .trigger(processingTime="1 second")
             .start()
         )
         deadline = time.time() + 90
         while time.time() < deadline:
-            p = q.lastProgress
-            if p and p.get("batchId", -1) >= 1:
+            if spark.sql("select * from tws_migrated").count() >= 1:
                 break
             time.sleep(1)
         q.stop()
@@ -1025,13 +1134,10 @@ def test_tws_restart_from_legacy_name_checkpoint_fails_loudly(spark, tmp_path):
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
 
-    with pytest.raises(RuntimeError, match="in-flight session"):
-        assert_checkpoint_state_compatible(ckpt)
-
-    with pytest.raises(RuntimeError, match="fresh checkpoint"):
-        start_pipeline(
-            spark.readStream.text(drop),
-            lambda bdf, eid: None,
-            ckpt,
-            engine="tws",
-        )
+    out = spark.sql("select * from tws_migrated").collect()
+    assert len(out) == 1, out
+    ev = out[0]
+    assert ev.kind == "landing"
+    assert ev.n_messages == 4          # 3 migrated + 1 new
+    assert str(ev.first_seen).startswith("2024-05-01 10:00:00")
+    assert ev.callsign == "TST100"
