@@ -80,11 +80,12 @@ DRIVER_WINDOW: list[str] = [
 ]
 
 
-# Oracle builders that failed ENVIRONMENTALLY during the most recent
-# full_registry() build, name -> "ExcType: message".  Consumers
-# (scripts/check_oracle.py) report these as a distinct "degraded"
-# status so silent oracle loss is visible, not folded into the
-# by-design rows-only entries.
+# Legacy view of the degraded-oracle map: a snapshot of the MOST
+# RECENT full_registry() build, kept for callers that still read the
+# module global.  It is rebuilt wholesale per build, so interleaved
+# builds swap it — consumers that need a consistent record must use
+# full_registry_with_degraded(), which returns THIS build's map as a
+# value (round-9 advisor finding).
 DEGRADED_ORACLES: dict[str, str] = {}
 
 
@@ -93,6 +94,19 @@ def full_registry():
 
     Ordered: the 50-name driver window first (full-surface coverage,
     see module docstring), then every remaining individual query.
+    """
+    return full_registry_with_degraded()[0]
+
+
+def full_registry_with_degraded():
+    """``(registry, degraded)`` — the registry plus the map of oracle
+    builders that failed ENVIRONMENTALLY during THIS build
+    (name -> "ExcType: message").  Consumers (scripts/check_oracle.py)
+    report degraded entries as a distinct status so silent oracle loss
+    is visible, not folded into the by-design rows-only entries.  The
+    degraded map is returned as a value bound to this build — not
+    shared state a concurrent rebuild can swap out from under the
+    caller's loop.
     """
     from . import bundles, datapipe_queries, meta_queries, testdata_queries
 
@@ -125,9 +139,9 @@ def full_registry():
     # introduced into a builder — propagates and fails the registry
     # build loudly rather than silently removing value-hash
     # verification for that query (round-8 advisor finding).  Degraded
-    # entries are recorded in DEGRADED_ORACLES so check_oracle can
-    # report them as a distinct status instead of plain "no oracle".
-    DEGRADED_ORACLES.clear()
+    # entries are recorded in the per-build map returned to the caller
+    # (DEGRADED_ORACLES keeps a legacy copy of the latest build).
+    degraded: dict[str, str] = {}
 
     def _resolve(name, sql):
         if not callable(sql):
@@ -143,7 +157,10 @@ def full_registry():
                 name,
                 exc,
             )
-            DEGRADED_ORACLES[name] = f"{type(exc).__name__}: {exc}"
+            degraded[name] = f"{type(exc).__name__}: {exc}"
             return None
 
-    return {n: (fn, _resolve(n, sql)) for n, (fn, sql) in reg.items()}
+    resolved = {n: (fn, _resolve(n, sql)) for n, (fn, sql) in reg.items()}
+    DEGRADED_ORACLES.clear()
+    DEGRADED_ORACLES.update(degraded)
+    return resolved, degraded

@@ -44,10 +44,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(argv: list[str]) -> int:
-    import __spark_entry__ as entrymod
+    # One registry build, one consistent snapshot: queries, oracles,
+    # and THIS build's degraded-oracle map all come from the same
+    # full_registry_with_degraded() call (round-9 advisor: the old
+    # module-global read inside the loop could be swapped by any
+    # interleaved rebuild).  __spark_entry__.queries()/oracle_sql()
+    # remain the driver's contract and delegate to the same builder.
+    from dump1090_postgis_spark.plans import full_registry_with_degraded
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    registry, degraded = full_registry_with_degraded()
+    qs = {n: fn for n, (fn, _sql) in registry.items()}
+    oracles = {n: sql for n, (_fn, sql) in registry.items() if sql is not None}
     names = argv or list(qs)
 
     from dump1090_postgis_spark.session import get_spark
@@ -78,10 +85,8 @@ def main(argv: list[str]) -> int:
             # ever registered) from an entry whose oracle BUILDER failed
             # environmentally during this registry build — silent oracle
             # loss must be visible, and a degraded entry counts as FAIL.
-            from dump1090_postgis_spark.plans import DEGRADED_ORACLES
-
-            if name in DEGRADED_ORACLES:
-                why = DEGRADED_ORACLES[name]
+            if name in degraded:
+                why = degraded[name]
                 print(f"FAIL  {name}: oracle DEGRADED ({why}) rows={len(sdf)}")
                 n_fail += 1
                 results[name] = {

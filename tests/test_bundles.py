@@ -147,15 +147,26 @@ def test_oracle_builder_degradation_contract(monkeypatch):
     def _env_fail():
         raise RuntimeError("artifact over budget")
 
-    reg = dict(datapipe_queries.REGISTRY)
+    orig_registry = dict(datapipe_queries.REGISTRY)
+    reg = dict(orig_registry)
     reg["_probe_env_fail"] = (_noop_query, _env_fail)
     monkeypatch.setattr(datapipe_queries, "REGISTRY", reg)
 
-    built = plans.full_registry()
+    built, degraded = plans.full_registry_with_degraded()
     assert built["_probe_env_fail"][1] is None
+    assert "RuntimeError" in degraded["_probe_env_fail"]
+    # legacy module-global view still mirrors the latest build
     assert "RuntimeError" in plans.DEGRADED_ORACLES["_probe_env_fail"]
     # untouched entries keep their oracles
     assert isinstance(built["dedup_exact"][1], str)
+
+    # the returned map is a per-build VALUE (round-9 advisor): an
+    # interleaved rebuild must not swap the record under the caller
+    snapshot = dict(degraded)
+    monkeypatch.setattr(datapipe_queries, "REGISTRY", dict(orig_registry))
+    plans.full_registry()  # rebuild without the probe entry
+    assert degraded == snapshot and "_probe_env_fail" in degraded
+    assert "_probe_env_fail" not in plans.DEGRADED_ORACLES
 
     def _bug():
         raise TypeError("a coding bug in a builder")
