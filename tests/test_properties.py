@@ -286,3 +286,104 @@ def test_parser_matches_reference_semantics_twin(spark, lines):
     assert got == want
     # the lenient engine extension only ever ADDS rows
     assert parse_sbs1_lines(df, validate=False).count() >= len(want)
+
+
+# ---------------------------------------------------------------------------
+# Cost-model dispatch boundary (round-10 verdict #5)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    budget=st.integers(1, 10**12),
+    units=st.integers(1, 10**6),
+    delta=st.integers(-2, 2),
+)
+def test_work_rows_threshold_boundary_is_exact(budget, units, delta):
+    """The pure dispatch rule: deterministic, and for every n around
+    the edge, `n >= threshold` ⟺ `n · units > budget` — the classic
+    off-by-one place where engine='auto' could flip between runs of
+    slightly different inputs.  (Integer budgets/units in these ranges
+    keep the float floor exact: n·units ≤ budget+units « 2^53.)"""
+    from dump1090_postgis_spark.datapipe.costmodel import (
+        work_rows_threshold,
+    )
+
+    thr = work_rows_threshold(budget, units)
+    assert thr == work_rows_threshold(budget, units)  # deterministic
+    n = max(0, thr + delta)
+    assert (n * units > budget) == (n >= thr), (budget, units, n, thr)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_auto_dispatch_flip_point_engines_value_match(spark):
+    """AT the budget edge (hint = threshold vs threshold−1 on the SAME
+    physical data) every engine='auto' gate must (a) actually flip —
+    plan-marker asserted — and (b) produce identical values, so an
+    input that straddles the edge between runs cannot change answers:
+    brute-force ANN, embedding-LSH near-dup, IVF corpus assignment,
+    and SemDeDup's pairwise gate."""
+    import random
+
+    from dump1090_postgis_spark.datapipe import similarity as sim
+    from dump1090_postgis_spark.datapipe.costmodel import (
+        work_rows_threshold,
+    )
+
+    rnd = random.Random(91)
+    dim = 8
+    emb = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    queries = emb.filter("vec_id < 4")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # brute force: units = nq·dim
+    edge = work_rows_threshold(sim._BF_JOIN_MAX_FLOPS, 4 * dim)
+    above = sim.brute_force_topk(emb, queries, k=5, corpus_rows=edge)
+    below = sim.brute_force_topk(emb, queries, k=5, corpus_rows=edge - 1)
+    assert "MapInPandas" in _plan(above)
+    assert "MapInPandas" not in _plan(below)
+    assert rows(above) == rows(below)
+
+    # embedding-LSH near-dup: units = dim
+    edge = work_rows_threshold(dd._EMB_JOIN_MAX_WORK, dim)
+    above = dd.embedding_near_dup_pairs(
+        emb, threshold=0.2, dim=dim, corpus_rows=edge
+    )
+    below = dd.embedding_near_dup_pairs(
+        emb, threshold=0.2, dim=dim, corpus_rows=edge - 1
+    )
+    assert "FlatMapGroupsInPandas" in _plan(above)
+    assert "FlatMapGroupsInPandas" not in _plan(below)
+    assert rows(above) == rows(below)
+
+    # IVF corpus assignment: units = k·dim
+    cent = sim.build_centroids(emb, num_centroids=4)
+    edge = work_rows_threshold(sim._IVF_ASSIGN_LITERAL_MAX_FLOPS, 4 * dim)
+    above = sim.ivf_topk(emb, queries, cent, k=5, probes=2, corpus_rows=edge)
+    below = sim.ivf_topk(
+        emb, queries, cent, k=5, probes=2, corpus_rows=edge - 1
+    )
+    assert "MapInPandas" in _plan(above)
+    assert "MapInPandas" not in _plan(below)
+    assert rows(above) == rows(below)
+
+    # SemDeDup pairwise gate: direct n >= _SEM_VECTORIZE_MIN_ROWS
+    edge = sim._SEM_VECTORIZE_MIN_ROWS
+    above = sim.semantic_dedup(
+        emb, num_centroids=4, tau=0.3, corpus_rows=edge
+    )
+    below = sim.semantic_dedup(
+        emb, num_centroids=4, tau=0.3, corpus_rows=edge - 1
+    )
+    assert "FlatMapGroupsInPandas" in _plan(above)
+    assert "FlatMapGroupsInPandas" not in _plan(below)
+    assert rows(above) == rows(below)
+    emb.unpersist()
