@@ -193,8 +193,20 @@ def main() -> int:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # SPARK_GRAFT_BENCH_QUERIES=a,b,c — solo/subset mode for the
+    # closing-protocol rows (BASELINE.md "Solo heavy-query rows" +
+    # the round-10 agg1_histogram_hour_utc attribution row).  A subset
+    # run never overwrites BENCH_FULL.json (that file is the full-set
+    # driver artifact).
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    names = (
+        [n for n in subset.split(",") if n] if subset else BENCH_QUERIES
+    )
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        raise SystemExit(f"unknown bench queries: {unknown}")
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         fn, _sql = registry[name]
         best = None
         for _ in range(runs):
@@ -225,8 +237,9 @@ def main() -> int:
 
     full_line, stdout_line = format_bench_output(timings, sf)
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as f:
-        f.write(full_line + "\n")
+    if not subset:
+        with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as f:
+            f.write(full_line + "\n")
     print(stdout_line)
     return 0
 
