@@ -31,12 +31,36 @@ import math
 from pyspark.sql import DataFrame
 
 
+#: Optimized-plan ROOT nodes whose stats().rowCount is exact BY
+#: CONSTRUCTION: the relation holds its rows (LocalRelation — the
+#: optimizer even folds Filter/Project into it, keeping the count
+#: exact) or computes them in closed form (Range, OneRowRelation).
+#: Anything else with a defined rowCount is a CBO/AQE ESTIMATE —
+#: measured on this build: `spark.sql.cbo.enabled=true` makes
+#: `range(1000).filter(id>10)` report 990 (truth: 989) via
+#: FilterEstimation — and estimates must never feed answer-affecting
+#: sizes (semantic_dedup's auto-k, the assignment-probes tree flip),
+#: so :func:`plan_rows` rejects them and callers fall through to the
+#: bounded probe / eager count.
+_EXACT_STATS_ROOTS = frozenset(
+    {"LocalRelation", "Range", "OneRowRelation", "CommandResult"}
+)
+
+
 def plan_rows(df: DataFrame) -> int | None:
-    """Catalyst's row-count estimate for ``df``, when the optimizer
-    derived one (CBO statistics, a LocalRelation, an AQE-finalized
-    stage) — ``None`` otherwise.  Never runs a job."""
+    """Catalyst's row count for ``df`` when the optimizer knows it
+    EXACTLY with zero jobs (a LocalRelation — pandas/Arrow-backed
+    frames, including with folded filters — or a Range) — ``None``
+    otherwise.  CBO rowCount ESTIMATES (FilterEstimation, stale
+    ANALYZE stats) are deliberately rejected: this value feeds
+    answer-affecting decisions (auto-k, the approximate-tree flip),
+    not just engine dispatch, so inexact is worse than absent.  Never
+    runs a job."""
     try:
-        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.nodeName() not in _EXACT_STATS_ROOTS:
+            return None
+        rc = plan.stats().rowCount()
         if rc.isDefined():
             # Scala BigInt → via string, safe at any magnitude
             return int(str(rc.get()))

@@ -945,6 +945,50 @@ def _resolve_ivf_assignment(
     return assigned_fn, cen_lit, cen_rows, assign_engine
 
 
+def _exact_score_flags(vec: str):
+    """The (degenerate, NaN-component) flag Columns of the exact
+    scoring contract shared by :func:`ivf_topk` and the
+    :func:`ivf_pq_topk` rerank leg — ONE definition, so the pinned
+    row-for-row rerank ≡ ivf_topk identity can't drift through an
+    edit to a stray copy.  NULL-ish (NULL vector or NULL element) →
+    cosine NULL, ranked last; NaN component → cosine NaN, ranked first
+    under nanSafeCompare."""
+    deg = F.col(vec).isNull() | F.coalesce(
+        F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
+    )
+    nan_flag = F.coalesce(F.exists(F.col(vec), F.isnan), F.lit(False))
+    return deg, nan_flag
+
+
+def _exact_cosine_over_flags():
+    """Exact cosine Column over staged ``_qv``/``_cv`` vectors and the
+    ``_deg``/``_nan`` strata flags (see :func:`_exact_score_flags`).
+    The ``round(..., 4) + 0.0`` tail is part of the contract: it
+    normalizes -0.0 so DuckDB hash parity holds."""
+    return (
+        F.when(F.col("_deg"), F.lit(None).cast("double"))
+        .when(F.col("_nan"), F.lit(float("nan")))
+        .otherwise(
+            F.round(embedding_cosine(F.col("_qv"), F.col("_cv")), 4)
+            + F.lit(0.0)
+        )
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Final per-query ranking shared by the ANN family: one bounded
+    exchange on query_id (candidates only, never the corpus), ties
+    broken by neighbor_id for determinism."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -992,10 +1036,7 @@ def ivf_topk(
     assigned_fn, cen_lit, _, _eng = _resolve_ivf_assignment(
         corpus, centroids, vec, assign_engine, corpus_rows
     )
-    deg = F.col(vec).isNull() | F.coalesce(
-        F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
-    )
-    nan_flag = F.coalesce(F.exists(F.col(vec), F.isnan), F.lit(False))
+    deg, nan_flag = _exact_score_flags(vec)
     corpus_assigned = assigned_fn(
         corpus.withColumn("_deg", deg).withColumn("_nan", nan_flag)
     )
@@ -1013,22 +1054,9 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.when(F.col("_deg"), F.lit(None).cast("double"))
-            .when(F.col("_nan"), F.lit(float("nan")))
-            .otherwise(
-                F.round(embedding_cosine(F.col("_qv"), F.col("_cv")), 4)
-                + F.lit(0.0)
-            ),
-        )
+        .withColumn("cosine", _exact_cosine_over_flags())
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _rank_topk(scored, k)
 
 
 def pq_encode_residual(
@@ -1217,11 +1245,15 @@ def ivf_pq_topk(
     design) — so ``rerank=True`` with ``rerank_m`` ≥ the candidate
     count is row-for-row IDENTICAL to :func:`ivf_topk` (pytest-pinned).
     """
+    # validate BEFORE the assignment resolve: an invalid value must
+    # not pay the centroid collect / bounded probe job first (and the
+    # isinstance guard rejects 1/1.0, which `in ("auto", True, False)`
+    # would accept via Python's 1 == True).
+    if not (rerank is True or rerank is False or rerank == "auto"):
+        raise ValueError(f"rerank must be auto|True|False, got {rerank!r}")
     _, cen_lit, cen_rows, resolved_engine = _resolve_ivf_assignment(
         corpus, centroids, vec, assign_engine, corpus_rows
     )
-    if rerank not in ("auto", True, False):
-        raise ValueError(f"rerank must be auto|True|False, got {rerank!r}")
     if rerank == "auto":
         rerank = assign_engine == "auto" and resolved_engine == "vectorized"
     coded = pq_encode_residual(
@@ -1271,10 +1303,7 @@ def ivf_pq_topk(
     # final top-k comes from ivf_topk's EXACT scoring expressions.
     m = max(int(rerank_m), k)
     cand = ranked.filter(F.col("rank") <= m).select("query_id", "neighbor_id")
-    deg = F.col(vec).isNull() | F.coalesce(
-        F.exists(F.col(vec), lambda x: x.isNull()), F.lit(False)
-    )
-    nan_flag = F.coalesce(F.exists(F.col(vec), F.isnan), F.lit(False))
+    deg, nan_flag = _exact_score_flags(vec)
     fetched = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec).alias("_cv"),
@@ -1287,24 +1316,9 @@ def ivf_pq_topk(
     rescored = (
         fetched.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(q_exact), "query_id")
-        .withColumn(
-            "cosine",
-            F.when(F.col("_deg"), F.lit(None).cast("double"))
-            .when(F.col("_nan"), F.lit(float("nan")))
-            .otherwise(
-                F.round(embedding_cosine(F.col("_qv"), F.col("_cv")), 4)
-                + F.lit(0.0)
-            ),
-        )
+        .withColumn("cosine", _exact_cosine_over_flags())
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _rank_topk(rescored, k)
 
 
 def label_outliers(
@@ -1669,10 +1683,11 @@ def semantic_dedup(
     # auto-k / engine decisions run zero jobs).  Unlike the boolean
     # gates, auto-k needs the VALUE of n, so the bounded-probe fallback
     # doesn't apply — but Catalyst sometimes KNOWS n exactly with zero
-    # jobs (a LocalRelation, CBO table stats, an AQE-finalized stage:
-    # :func:`.costmodel.plan_rows`), so the order is hint → plan stats
-    # → one count (the same scan the assignment is about to pay anyway,
-    # and it feeds k).
+    # jobs (a LocalRelation / Range root: :func:`.costmodel.plan_rows`,
+    # which REJECTS CBO estimates precisely because n here is
+    # answer-affecting), so the order is hint → exact plan stats → one
+    # count (the same scan the assignment is about to pay anyway, and
+    # it feeds k).
     n_rows: int | None = int(corpus_rows) if corpus_rows is not None else None
     if num_centroids is None:
         if n_rows is None:

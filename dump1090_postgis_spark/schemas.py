@@ -242,11 +242,23 @@ def table_rows(sf_dir: str, name: str) -> int | None:
     try:
         import pyarrow.parquet as pq
 
-        if os.path.isdir(path):  # directory-of-parts layout
-            n = sum(
-                int(pq.read_metadata(os.path.join(path, f)).num_rows)
-                for f in os.listdir(path)
+        if os.path.isdir(path):
+            # directory-of-parts, including Hive-partitioned
+            # (date=.../part-*.parquet) layouts: walk RECURSIVELY, and
+            # a directory with no part files at any depth is None
+            # (unknown), NOT 0 — a cached 0 would feed auto-k n=0 at
+            # every hinted call site, which is exactly the wrong-hint
+            # failure the contract forbids.
+            parts = [
+                os.path.join(root, f)
+                for root, _dirs, files in os.walk(path)
+                for f in files
                 if f.endswith(".parquet")
+            ]
+            n = (
+                sum(int(pq.read_metadata(p).num_rows) for p in parts)
+                if parts
+                else None
             )
         else:
             n = int(pq.read_metadata(path).num_rows)

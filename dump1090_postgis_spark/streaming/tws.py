@@ -324,11 +324,22 @@ class SessionProcessor(StatefulProcessor):
         STATE_SCHEMA tuple rides in by field name, the lazy-timer
         fields are re-based to now + SESSION_TIMEOUT_MS, and the one
         physical timer per session lifetime is armed."""
-        row = (
-            initialState.iloc[0]
-            if hasattr(initialState, "iloc")
-            else initialState
-        )
+        if hasattr(initialState, "iloc"):
+            if len(initialState) > 1:
+                # One session state per key, by definition — silently
+                # taking the first row would drop the other's
+                # n_messages/first_seen/callsign with no error, the
+                # exact silent-loss mode this module guards against
+                # (e.g. a union of two legacy checkpoints).
+                raise ValueError(
+                    f"initial state for key {key!r} has "
+                    f"{len(initialState)} rows; sessions are one row "
+                    "per hexident — dedupe (or merge) the frame before "
+                    "migration"
+                )
+            row = initialState.iloc[0]
+        else:
+            row = initialState
         legacy = tuple(_py_scalar(row[f], t) for f, t in _STATE_FIELDS)
         deadline = (
             timerValues.getCurrentProcessingTimeInMs() + SESSION_TIMEOUT_MS

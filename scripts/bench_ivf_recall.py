@@ -159,11 +159,11 @@ def main() -> int:
                 # since the round-9 budgeted assignment).
                 if os.environ.get("SPARK_GRAFT_IVF_PQ") == "1":
                     # rerank=False isolates the residual-int8 cost
-                    # (the round-9 number); the second run is the
-                    # PRODUCTION default (rerank='auto' → on past the
-                    # assignment budget, which every decade scale is)
-                    # — the two-stage refine leg whose recall recovery
-                    # and wall cost round 10 puts on record.
+                    # (the round-9 number); the second run forces the
+                    # refine leg on — which matches the production
+                    # default at decade scale (rerank='auto' → on past
+                    # the assignment budget) while staying honest if
+                    # this script ever runs below it.
                     t0 = time.time()
                     approx_pq = {
                         (r.query_id, r.neighbor_id)
@@ -176,11 +176,16 @@ def main() -> int:
                     row["recall_at_k_pq"] = round(
                         len(exact & approx_pq) / len(exact), 4
                     )
+                    # rerank=True EXPLICITLY: at sub-decade scales the
+                    # 'auto' gate resolves off, and this leg would
+                    # silently re-measure pure PQ — recording a
+                    # misleading "rerank recovers nothing" row.
                     t0 = time.time()
                     approx_rr = {
                         (r.query_id, r.neighbor_id)
                         for r in sim.ivf_pq_topk(
-                            emb, queries, centroids, k=K, probes=probes
+                            emb, queries, centroids, k=K, probes=probes,
+                            rerank=True,
                         ).collect()
                     }
                     row["sec_pq_rerank"] = round(time.time() - t0, 2)

@@ -1600,3 +1600,38 @@ def test_semantic_dedup_auto_k_jobless_on_local_relation(spark, monkeypatch):
     monkeypatch.undo()
     assert {(r.vec_id, r.keep) for r in stats_first.collect()} == base
     assert {(r.vec_id, r.keep) for r in hinted.collect()} == base
+
+
+def test_plan_rows_rejects_cbo_estimates(spark):
+    """plan_rows feeds ANSWER-affecting sizes (auto-k, the
+    approximate-tree flip), so it must return only counts that are
+    exact by construction — a Range root is (closed form), but with
+    CBO enabled FilterEstimation defines a rowCount that is an
+    ESTIMATE (990 for range(1000).filter(id>10); truth is 989) and
+    plan_rows must reject it rather than hand auto-k a wrong n."""
+    from dump1090_postgis_spark.datapipe.costmodel import plan_rows
+
+    assert plan_rows(spark.range(1000)) == 1000
+    old = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        est = spark.range(1000).filter("id > 10")
+        assert plan_rows(est) is None
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
+
+
+def test_ivf_pq_rerank_validation_runs_before_any_spark_work(monkeypatch):
+    """An invalid ``rerank`` must raise BEFORE the assignment resolve
+    (which collects centroids and may schedule a bounded probe job) —
+    and the check must reject 1/1.0, which ``in (True, False)`` would
+    accept via Python's 1 == True."""
+    import pytest as _pytest
+
+    def _resolve_ran(*_a, **_k):
+        raise AssertionError("_resolve_ivf_assignment ran before validation")
+
+    monkeypatch.setattr(sim, "_resolve_ivf_assignment", _resolve_ran)
+    for bad in ("yes", 1, 1.0, 0, None):
+        with _pytest.raises(ValueError, match="rerank"):
+            sim.ivf_pq_topk(None, None, None, rerank=bad)

@@ -658,6 +658,19 @@ def test_table_rows_footer_hint_exact_and_output_invariant(spark, tmp_path):
     # missing table degrades to None (caller falls back to probe)
     assert table_rows(str(tmp_path), "nope") is None
 
+    # Hive-partitioned layout (part files in key=value SUBDIRS): the
+    # footer walk must recurse — a top-level-only sum returned 0 here
+    # and the cached 0 fed auto-k n=0 at every hinted call site
+    emb.withColumn("p", F.col("vec_id") % 2).write.partitionBy(
+        "p"
+    ).mode("overwrite").parquet(str(tmp_path / "emb_hive.parquet"))
+    assert table_rows(str(tmp_path), "emb_hive") == emb.count()
+
+    # a directory with no part files at ANY depth is UNKNOWN (None,
+    # caller falls back to its probe chain), never 0
+    (tmp_path / "hollow.parquet").mkdir()
+    assert table_rows(str(tmp_path), "hollow") is None
+
     hinted = {
         (r.vec_id, r.keep) for r in q_semdedup_prune(spark, SF).collect()
     }

@@ -1141,3 +1141,23 @@ def test_tws_legacy_checkpoint_migration_preserves_sessions(spark, tmp_path):
     assert ev.n_messages == 4          # 3 migrated + 1 new
     assert str(ev.first_seen).startswith("2024-05-01 10:00:00")
     assert ev.callsign == "TST100"
+
+
+def test_tws_initial_state_rejects_duplicate_key_rows():
+    """handleInitialState must REJECT a multi-row initial-state frame
+    for one key instead of silently seeding from the first row — a
+    union of two legacy checkpoints (or a manual seed on top of a
+    migration) would otherwise lose the second row's
+    n_messages/first_seen/callsign with no error, the exact silent
+    drop the state-name guard exists to prevent."""
+    import pandas as pd
+    import pytest
+
+    from dump1090_postgis_spark.streaming.tws import SessionProcessor
+
+    proc = SessionProcessor()
+    dup = pd.DataFrame(
+        {"first_seen": [1_700_000_000_000, 1_700_000_100_000]}
+    )
+    with pytest.raises(ValueError, match="one row"):
+        proc.handleInitialState(("AAA111",), dup, None)
