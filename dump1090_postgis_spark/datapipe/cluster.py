@@ -105,6 +105,8 @@ def connected_components(
     driver GC — the checkpoint footprint stays at one label frame
     (plus the symmetric edge list) regardless of round count.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sc = edges.sparkSession.sparkContext
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -113,6 +115,7 @@ def connected_components(
     )
     n_parts = sc.defaultParallelism
     sym = sym.repartition(n_parts, "b").localCheckpoint(eager=True)
+    sym_ids = {_checkpointed_rdd_id(sym)} - {None}
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -120,6 +123,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_ids = {_checkpointed_rdd_id(labels)} - {None}
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -149,6 +153,28 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    # the returned labels frame keeps ITS checkpoint blocks (the
+    # caller reads them); the symmetric edge list — 2× the pair list,
+    # the largest scratch frame here — is dead the moment the loop
+    # exits, so free it now instead of at driver GC (the same
+    # accumulation hazard _unpersist_blocks documents, but per CALL:
+    # a per-day clustering pipeline would otherwise leak one edge-list
+    # checkpoint per invocation).
+    _unpersist_blocks(sc, sym_ids)
+    if changed:
+        # min-label propagation moves one hop per round: a duplicate
+        # CHAIN longer than max_iter (successive revisions each
+        # similar only to their neighbors) is still merging when the
+        # loop exhausts.  Returning here would hand the caller
+        # SILENTLY SPLIT components — duplicate_clusters would then
+        # mark several docs of one true family canonical and the
+        # duplicates would survive dedup unnoticed.
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter="
+            f"{max_iter} rounds ({changed} labels still moving): the "
+            "duplicate graph has a chain longer than max_iter hops — "
+            "raise max_iter (cost is one join+groupBy round each)"
+        )
     return labels.select("node", F.col("lbl").alias("component"))
 
 
@@ -263,15 +289,32 @@ def duplicate_clusters(
             )
         )
     comp = connected_components(pairs, src, dst, max_iter)
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    labeled = comp.join(sizes, "component")
+    # canonical = the min DOC id in the component, NOT the component
+    # label itself: a pair endpoint that is not in docs (pairs
+    # computed against a wider corpus than this batch) can be the
+    # component min, and `component == node` would then mark NO doc
+    # in that cluster canonical — filter("is_canonical") would drop
+    # every one of its docs from the deduplicated corpus.  Membership
+    # and cluster_size count DOC members only, matching the contract
+    # path (whose rep joins drop foreign edges outright).  For pairs
+    # fully inside docs — every pipeline in this package — min doc ==
+    # component and the output is unchanged.  Cost: docs ids are
+    # scanned twice (column-pruned), and comp / member / canon are all
+    # duplicate-cluster-sized, so both attach joins broadcast.
+    doc_nodes = docs.select(F.col(id_col).alias("node"))
+    member = doc_nodes.join(comp, "node")
+    canon = member.groupBy("component").agg(
+        F.min("node").alias("_canon"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    labeled = member.join(canon, "component")
     return (
-        docs.select(F.col(id_col).alias("node"))
+        doc_nodes
         .join(labeled, "node", "left")
         .select(
             F.col("node").alias(id_col),
             F.coalesce("component", "node").alias("component"),
             F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias("cluster_size"),
-            (F.coalesce("component", "node") == F.col("node")).alias("is_canonical"),
+            (F.col("node") == F.coalesce("_canon", "node")).alias("is_canonical"),
         )
     )

@@ -219,17 +219,32 @@ def minhash_banded(
     """(_id, band, key) banded MinHash rows — the input both to
     :func:`_bucket_pairs` (candidates) and :func:`oversize_buckets`
     (hot-bucket audit)."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands:
+        # bands > num_hashes would make rows_per_band 0: every doc's
+        # band key becomes the empty slice ("") and ALL docs collapse
+        # into one bucket per band — under the default cap that bucket
+        # is dropped and LSH silently reports ZERO candidates; without
+        # a cap it is the O(n²) explosion.  Non-divisible bands
+        # silently discard the trailing hashes.  Both are config
+        # errors, not data conditions — fail loudly.
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(1 <= bands <= num_hashes)"
+        )
     rows_per_band = num_hashes // bands
     # Parquet splits by bytes, not CPU cost: a small file of long texts
     # arrives as ONE partition, serializing the md5-heavy signature
-    # stage.  Spread rows across the cluster before hashing, and put an
-    # exchange AFTER the signature so the 16-hash computation happens
-    # exactly once per doc — without the barrier, the per-band explode
-    # downstream would re-evaluate the whole signature expression 4×.
+    # stage.  Spread rows across the cluster before hashing
+    # (spread_for_compute — a no-op when the scan already carries
+    # enough partitions, so at real scale no exchange is added), and
+    # put an exchange AFTER the signature so the 16-hash computation
+    # happens exactly once per doc — without the barrier, the per-band
+    # explode downstream would re-evaluate the whole signature
+    # expression 4×.
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     sig = (
         with_shingles(
-            docs.select(F.col(id_col).alias("_id"), text).repartition(n_parts),
+            spread_for_compute(docs.select(F.col(id_col).alias("_id"), text)),
             text,
         )
         .withColumn(
@@ -322,6 +337,59 @@ def _bucket_pairs(
     )
 
 
+def _attach_pair_shingles(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text: str,
+    id_col: str,
+    k: int,
+    restrict_to_candidates: bool,
+) -> DataFrame:
+    """Shared pair-measure scaffolding for :func:`jaccard_pairs` and
+    :func:`containment_pairs`: shingle the corpus ONCE behind one
+    id-keyed exchange that BOTH pair-side joins reuse, attach
+    ``sh_a``/``sh_b`` to each candidate pair, return the joined frame.
+
+    merge hints: the pairs side is OUTPUT-sized (dup-family growth
+    makes it quadratic in replication factor) and the shingle side is
+    corpus-sized — neither may ever be broadcast.  Without the hint,
+    AQE's runtime broadcast conversion can pick one up on a
+    mis-estimate and collect ~1 GiB of rows to the driver (observed at
+    ×100 on the embedding twin: maxResultSize abort).
+
+    ``restrict_to_candidates`` carries the contract documented on both
+    callers: only enable against a MATERIALIZED pair frame."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(F.col(id_col).alias("_id"), text)
+    if restrict_to_candidates:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias("_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        base = base.join(cand_ids, "_id", "leftsemi")
+    sh = (
+        with_shingles(spread_for_compute(base), text, k=k)
+        .withColumnRenamed("_shingles", "_sh")
+        .select("_id", "_sh")
+        .repartition(n_parts, "_id")
+    )
+    return (
+        pairs.join(
+            sh.withColumnRenamed("_id", "id_a")
+            .withColumnRenamed("_sh", "sh_a")
+            .hint("merge"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("_id", "id_b")
+            .withColumnRenamed("_sh", "sh_b")
+            .hint("merge"),
+            "id_b",
+        )
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,
@@ -344,39 +412,8 @@ def jaccard_pairs(
     generator — measured 2-3× slower than just shingling the corpus.
     The default keeps one-pass lazy composition correct and fast.
     """
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    base = docs.select(F.col(id_col).alias("_id"), text)
-    if restrict_to_candidates:
-        cand_ids = (
-            pairs.select(F.col("id_a").alias("_id"))
-            .unionByName(pairs.select(F.col("id_b").alias("_id")))
-            .distinct()
-        )
-        base = base.join(cand_ids, "_id", "leftsemi")
-    # Shingle once, then hash-partition by id: BOTH pair-side joins
-    # shuffle on the same key, so Catalyst reuses one exchange — the
-    # shingling runs once, not once per join side.
-    sh = (
-        with_shingles(base.repartition(n_parts), text, k=k)
-        .withColumnRenamed("_shingles", "_sh")
-        .select("_id", "_sh")
-        .repartition(n_parts, "_id")
-    )
-    # merge hints: the pairs side is OUTPUT-sized (dup-family growth
-    # makes it quadratic in replication factor) and the shingle side is
-    # corpus-sized — neither may ever be broadcast.  Without the hint,
-    # AQE's runtime broadcast conversion can pick one up on a
-    # mis-estimate and collect ~1 GiB of rows to the driver (observed
-    # at ×100 on the embedding twin: maxResultSize abort).
-    joined = (
-        pairs.join(
-            sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a").hint("merge"),
-            "id_a",
-        )
-        .join(
-            sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b").hint("merge"),
-            "id_b",
-        )
+    joined = _attach_pair_shingles(
+        docs, pairs, text, id_col, k, restrict_to_candidates
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
@@ -449,8 +486,15 @@ def bucketed_jaccard_pairs(
     """
     import pandas as pd
 
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     cap = max_bucket_size
+    # id type travels from the input: the join engine is id-type
+    # agnostic (Column < orders strings lexicographically), so the
+    # bucketed engine must be too — a UUID-keyed corpus that passes at
+    # oracle scale on the join engine must not crash (or re-orient
+    # pairs) when the auto dispatch flips it here at scale.  Values
+    # are kept as their native pandas objects (no int() coercion);
+    # Python's sort over one concrete id type matches the Column sort.
+    id_dt = banded.schema["_id"].dataType.simpleString()
     # live-bucket pushdown: restrict membership FIRST (id-only rows),
     # then compute+ship shingles only for docs that sit in at least
     # one live bucket — see _live_bucket_members.
@@ -458,9 +502,10 @@ def bucketed_jaccard_pairs(
     member_ids = banded_live.select("_id").distinct()
     sh = (
         with_shingles(
-            docs.select(F.col(id_col).alias("_id"), text)
-            .join(member_ids, "_id")
-            .repartition(n_parts),
+            spread_for_compute(
+                docs.select(F.col(id_col).alias("_id"), text)
+                .join(member_ids, "_id")
+            ),
             text,
             k=k,
         )
@@ -472,8 +517,8 @@ def bucketed_jaccard_pairs(
     def _empty():
         return pd.DataFrame(
             {
-                "id_a": pd.Series([], dtype="int64"),
-                "id_b": pd.Series([], dtype="int64"),
+                "id_a": pd.Series([], dtype="object"),
+                "id_b": pd.Series([], dtype="object"),
                 "jaccard": pd.Series([], dtype="float64"),
             }
         )
@@ -484,7 +529,7 @@ def bucketed_jaccard_pairs(
             return _empty()
         rows = sorted(
             (
-                (int(i), set(s))
+                (i, set(s))
                 for i, s in zip(pdf["_id"], pdf["_sh"])
                 if s is not None
             ),
@@ -505,8 +550,8 @@ def bucketed_jaccard_pairs(
                     out_j.append(ja)
         return pd.DataFrame(
             {
-                "id_a": pd.Series(out_a, dtype="int64"),
-                "id_b": pd.Series(out_b, dtype="int64"),
+                "id_a": pd.Series(out_a, dtype="object"),
+                "id_b": pd.Series(out_b, dtype="object"),
                 "jaccard": pd.Series(out_j, dtype="float64"),
             }
         )
@@ -514,10 +559,31 @@ def bucketed_jaccard_pairs(
     return (
         bucketed.groupBy("band", "key")
         .applyInPandas(
-            _verify, schema="id_a bigint, id_b bigint, jaccard double"
+            _verify, schema=f"id_a {id_dt}, id_b {id_dt}, jaccard double"
         )
         .distinct()
     )
+
+
+def _simhash_bit(hashes: Column, j: int) -> Column:
+    """Bit j of the 16-bit SimHash over a per-word md5 array: each
+    word contributes +1 when hex digit j's high bit is set (digit in
+    8..f), −1 otherwise; the bit is 1<<j when the sum is non-negative.
+    ONE definition shared by :func:`simhash16` (inline-expression
+    form) and :func:`simhash16_df` (staged form) — the two are
+    documented as producing identical signatures, so the sign
+    convention must never drift between them."""
+    contrib = F.transform(
+        hashes,
+        lambda h: F.when(
+            F.substring(h, j + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            1,
+        ).otherwise(-1),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+    return F.when(total >= 0, F.lit(1 << j)).otherwise(F.lit(0))
 
 
 def simhash16(text_col: Column) -> Column:
@@ -529,22 +595,9 @@ def simhash16(text_col: Column) -> Column:
     # staged (hashes-materialized) pipeline form.
     words = F.array_distinct(F.split(normalize_text(text_col), " "))
     hashes = F.transform(words, lambda w: F.md5(w))
-
-    def _bit_contrib(j: int):
-        # single-param lambda factory: see _seeded_md5 note
-        return lambda h: F.when(
-            F.substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-            1,
-        ).otherwise(-1)
-
-    bits = []
-    for j in range(16):
-        contrib = F.transform(hashes, _bit_contrib(j))
-        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
-        bits.append(F.when(total >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+    out = _simhash_bit(hashes, 0)
+    for j in range(1, 16):
+        out = out + _simhash_bit(hashes, j)
     return out
 
 
@@ -563,22 +616,9 @@ def simhash16_df(
         ).alias("_hs"),
     )
 
-    def _bit(j: int) -> Column:
-        contrib = F.transform(
-            F.col("_hs"),
-            lambda h: F.when(
-                F.substring(h, j + 1, 1).isin(
-                    "8", "9", "a", "b", "c", "d", "e", "f"
-                ),
-                1,
-            ).otherwise(-1),
-        )
-        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
-        return F.when(total >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-
-    sig = _bit(0)
+    sig = _simhash_bit(F.col("_hs"), 0)
     for j in range(1, 16):
-        sig = sig + _bit(j)
+        sig = sig + _simhash_bit(F.col("_hs"), j)
     return hashed.select(id_col, sig.alias(out))
 
 
@@ -665,12 +705,17 @@ def _bucket_verify_vectorized(
     import pandas as pd
 
     cap = max_bucket_size if max_bucket_size is not None else None
+    # id type travels from the input (same contract as the Jaccard
+    # bucketed verify): the join engine orders ids with Column <, so
+    # string-keyed corpora must verify here too, not crash on an
+    # int64 coercion when the auto dispatch flips engines at scale.
+    id_dt = bucketed.schema["_id"].dataType.simpleString()
 
     def _empty():
         return pd.DataFrame(
             {
-                "id_a": pd.Series([], dtype="int64"),
-                "id_b": pd.Series([], dtype="int64"),
+                "id_a": pd.Series([], dtype="object"),
+                "id_b": pd.Series([], dtype="object"),
                 "cosine": pd.Series([], dtype="float64"),
             }
         )
@@ -687,7 +732,7 @@ def _bucket_verify_vectorized(
             b = len(pdf)
             if b < 2:
                 return _empty()
-        ids = pdf["_id"].to_numpy(dtype="int64")
+        ids = pdf["_id"].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         vecs = pdf["_vd"].to_numpy()[order]
@@ -709,7 +754,9 @@ def _bucket_verify_vectorized(
 
     return (
         bucketed.groupBy("band", "key")
-        .applyInPandas(_verify, schema="id_a bigint, id_b bigint, cosine double")
+        .applyInPandas(
+            _verify, schema=f"id_a {id_dt}, id_b {id_dt}, cosine double"
+        )
         # the Arrow return path renders pandas NaN as NULL; _verify
         # never emits a true null, so every NULL here IS a NaN cosine
         # — restore it to match the join engine's NaN output.
@@ -964,6 +1011,11 @@ def incremental_lsh_pairs(
     pass is cheap against a signature store; against raw text it
     re-derives signatures, one more reason to persist them.
     """
+    if corpus is None and corpus_banded is None:
+        raise ValueError(
+            "incremental_lsh_pairs needs corpus (raw text) or "
+            "corpus_banded (persisted signature store)"
+        )
     cb = (
         corpus_banded
         if corpus_banded is not None
@@ -1014,37 +1066,8 @@ def containment_pairs(
     MATERIALIZED pair frame (a lazy candidate plan would re-run its
     whole generator through the extra reference).
     """
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    base = docs.select(F.col(id_col).alias("_id"), text)
-    if restrict_to_candidates:
-        cand_ids = (
-            pairs.select(F.col("id_a").alias("_id"))
-            .unionByName(pairs.select(F.col("id_b").alias("_id")))
-            .distinct()
-        )
-        base = base.join(cand_ids, "_id", "leftsemi")
-    sh = (
-        with_shingles(base.repartition(n_parts), text, k=k)
-        .withColumnRenamed("_shingles", "_sh")
-        .select("_id", "_sh")
-        .repartition(n_parts, "_id")
-    )
-    # merge hints: same AQE runtime-broadcast hazard as jaccard_pairs
-    # (see that operator) — the pairs side is output-sized and the
-    # shingle side is corpus-sized; neither may ever be broadcast.
-    joined = (
-        pairs.join(
-            sh.withColumnRenamed("_id", "id_a")
-            .withColumnRenamed("_sh", "sh_a")
-            .hint("merge"),
-            "id_a",
-        )
-        .join(
-            sh.withColumnRenamed("_id", "id_b")
-            .withColumnRenamed("_sh", "sh_b")
-            .hint("merge"),
-            "id_b",
-        )
+    joined = _attach_pair_shingles(
+        docs, pairs, text, id_col, k, restrict_to_candidates
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     return joined.select(
@@ -1079,15 +1102,23 @@ def bucket_cap_stats(
         if max_bucket_size is not None
         else F.lit(False)
     )
+    # coalesce: sum/max over ZERO rows (empty corpus, or a cap audit
+    # on an empty banded frame) return NULL while count returns 0 — a
+    # NULL here breaks the %d-formatted audit log line and makes the
+    # one-row report ambiguous; every statistic of an empty frame is
+    # genuinely 0.
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(((F.col("n") >= 2) & ~over).cast("long")).alias(
-            "n_buckets_live"
+        F.coalesce(
+            F.sum(((F.col("n") >= 2) & ~over).cast("long")), F.lit(0)
+        ).alias("n_buckets_live"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias(
+            "n_buckets_dropped"
         ),
-        F.sum(over.cast("long")).alias("n_buckets_dropped"),
-        F.sum(F.when(over, F.col("n")).otherwise(0)).cast("long").alias(
-            "n_members_dropped"
-        ),
-        F.max("n").alias("max_bucket_size_seen"),
+        F.coalesce(
+            F.sum(F.when(over, F.col("n")).otherwise(0)).cast("long"),
+            F.lit(0),
+        ).alias("n_members_dropped"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_size_seen"),
         F.lit(max_bucket_size).cast("long").alias("cap"),
     )

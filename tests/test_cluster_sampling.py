@@ -458,3 +458,36 @@ def test_contraction_restores_cap_dropped_megafamily(spark):
     }
     assert all(clusters[i] == (0, 30, i == 0) for i in range(30))
     assert clusters[100] == (100, 2, True) and clusters[101] == (100, 2, False)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain longer than max_iter hops is still merging when the
+    round budget runs out; returning the split labels would let
+    duplicates survive dedup silently, so the loop must raise."""
+    chain = _edges(spark, [(i, i + 1) for i in range(6)])  # diameter 6
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2).collect()
+    out = {
+        (r.node, r.component)
+        for r in connected_components(chain, max_iter=10).collect()
+    }
+    assert out == {(i, 0) for i in range(7)}
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(chain, max_iter=0)
+
+
+def test_duplicate_clusters_foreign_pair_endpoint_keeps_docs(spark):
+    """A pair endpoint that is NOT in docs (pairs computed against a
+    wider corpus than this batch) must never steal the canonical slot:
+    component==node semantics would mark NO doc of that cluster
+    canonical and filter('is_canonical') would drop the doc outright."""
+    docs = spark.createDataFrame([(7,), (9,)], "doc_id long")
+    pairs = _edges(spark, [(5, 7)])  # node 5 exists only in the pairs
+    out = {r.doc_id: r for r in duplicate_clusters(docs, pairs).collect()}
+    assert set(out) == {7, 9}
+    assert out[7].is_canonical is True      # min DOC in its component
+    assert out[7].cluster_size == 1         # doc members only
+    assert out[9].is_canonical is True      # untouched singleton
+    kept = {r.doc_id for r in duplicate_clusters(docs, pairs)
+            .filter("is_canonical").collect()}
+    assert kept == {7, 9}                   # no data loss

@@ -1635,3 +1635,100 @@ def test_ivf_pq_rerank_validation_runs_before_any_spark_work(monkeypatch):
     for bad in ("yes", 1, 1.0, 0, None):
         with _pytest.raises(ValueError, match="rerank"):
             sim.ivf_pq_topk(None, None, None, rerank=bad)
+
+
+def test_minhash_banded_validates_band_config(spark, docs):
+    """bands > num_hashes makes rows_per_band 0 — every doc's band key
+    is the empty slice, all docs share one bucket per band, and under
+    the default cap LSH silently reports ZERO candidates.  A config
+    error, not a data condition: fail loudly.  Non-divisible bands
+    (silently discarded trailing hashes) too."""
+    import pytest as _pytest
+
+    for bad_hashes, bad_bands in ((16, 32), (16, 3), (16, 0)):
+        with _pytest.raises(ValueError, match="bands"):
+            dd.minhash_banded(
+                docs, num_hashes=bad_hashes, bands=bad_bands
+            )
+
+
+def test_bucketed_engines_handle_string_ids(spark):
+    """The join engine orders ids with Column < (lexicographic for
+    strings); the bucketed Arrow engines must accept the same id
+    types instead of crashing on an int64 coercion when the auto
+    dispatch flips engines at scale — and must orient (id_a, id_b)
+    identically ("10" < "9" lexicographically)."""
+    rows = [
+        ("doc-10", "the quick brown fox jumps over the lazy dog"),
+        ("doc-9", "the quick brown fox jumps over the lazy dog"),
+        ("uuid-c", "completely different text about spark engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    banded = dd.minhash_banded(docs, hash_family="xxhash64")
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.bucketed_jaccard_pairs(docs, banded, threshold=0.5).collect()
+    }
+    joinp = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.jaccard_pairs(
+            docs, dd.lsh_candidate_pairs(docs, hash_family="xxhash64"),
+            threshold=0.5,
+        ).collect()
+    }
+    assert fast == joinp and fast  # same pairs, same orientation
+    assert all(a < b for a, b, _ in fast)  # lexicographic: "doc-10" < "doc-9"
+
+    emb_rows = [
+        ("v-10", [1.0, 0.0, 0.0, 0.0]),
+        ("v-9", [0.999, 0.01, 0.0, 0.0]),
+        ("v-x", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(emb_rows, "vec_id string, embedding array<double>")
+    vec_pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_near_dup_pairs(
+            emb, dim=4, threshold=0.9, engine="vectorized"
+        ).collect()
+    }
+    join_pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_near_dup_pairs(
+            emb, dim=4, threshold=0.9, engine="join"
+        ).collect()
+    }
+    assert vec_pairs == join_pairs == {("v-10", "v-9")}
+
+
+def test_bucket_cap_stats_empty_frame_is_zeroes(spark, docs):
+    """sum/max over zero rows are NULL in Spark; the one-row audit must
+    report 0s (the %d-formatted audit log line chokes on None)."""
+    banded = dd.minhash_banded(docs).filter(F.lit(False))
+    row = dd.bucket_cap_stats(banded).collect()[0]
+    assert (
+        row.n_buckets, row.n_buckets_live, row.n_buckets_dropped,
+        row.n_members_dropped, row.max_bucket_size_seen,
+    ) == (0, 0, 0, 0, 0)
+
+
+def test_incremental_lsh_pairs_requires_a_corpus_side(spark, docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corpus"):
+        dd.incremental_lsh_pairs(None, docs)
+
+
+def test_simhash_inline_and_staged_forms_agree(spark, docs):
+    """simhash16 (inline expression) and simhash16_df (staged) are
+    documented as identical — pinned now that they share one per-bit
+    builder."""
+    inline = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", dd.simhash16(F.col("text")).alias("s")
+        ).collect()
+    }
+    staged = {
+        r.doc_id: r.simhash for r in dd.simhash16_df(docs).collect()
+    }
+    assert inline == staged
