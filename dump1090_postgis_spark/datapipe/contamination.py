@@ -57,8 +57,15 @@ def ngram_contamination(
     from .dedup import explode_computed, spread_for_compute
 
     docs = spread_for_compute(docs, id_col)
+    # coalesce the predicate: a NULL bench_pred (e.g. source = 'bench'
+    # over a NULL source) is not-benchmark, so the doc must land on
+    # the CHECKED side — with the raw predicate, filter(pred) and
+    # filter(~pred) BOTH reject NULL and a contaminated NULL-predicate
+    # doc silently passes decontamination.
     staged = with_shingles(docs, text=text, k=k).select(
-        id_col, bench_pred.alias("_is_bench"), "_shingles"
+        id_col,
+        F.coalesce(bench_pred, F.lit(False)).alias("_is_bench"),
+        "_shingles",
     )
     grams = explode_computed(
         staged, F.col("_shingles"), "g", keep=[id_col, "_is_bench"]
@@ -172,6 +179,7 @@ def ngram_contamination_bloom(
     k: int = DEFAULT_NGRAM,
     n_bits: int = DEFAULT_BLOOM_BITS,
     n_hashes: int = DEFAULT_BLOOM_HASHES,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """:func:`ngram_contamination` with a bloom prefilter — IDENTICAL
     output (bloom has no false negatives; the exact verify join removes
@@ -187,16 +195,36 @@ def ngram_contamination_bloom(
     probe's memory footprint and the exact join's input by ~the true
     contamination rate + bloom FPR.
     """
+    from pyspark import StorageLevel
+
     from .dedup import explode_computed, spread_for_compute
 
     docs = spread_for_compute(docs, id_col)
+    # NULL bench_pred → checked side: same coalesce rationale as
+    # ngram_contamination (a raw predicate drops NULL rows from BOTH
+    # sides and contamination leaks through).
     staged = with_shingles(docs, text=text, k=k).select(
-        id_col, bench_pred.alias("_is_bench"), "_shingles"
+        id_col,
+        F.coalesce(bench_pred, F.lit(False)).alias("_is_bench"),
+        "_shingles",
     )
     grams = explode_computed(
         staged, F.col("_shingles"), "g", keep=[id_col, "_is_bench"]
     )
-    bench = grams.filter(F.col("_is_bench")).select("g").distinct()
+    # persisted: the gram set feeds BOTH the bitmap build and the
+    # exact verify join — without the pin each reference re-runs the
+    # benchmark scan + shingle + distinct, doubling the very cost the
+    # bloom path exists to cut.  The frame is benchmark-gram-sized
+    # (small by construction); append to ``caches`` to release it via
+    # operators.ids.release_caches once the output is materialized.
+    bench = (
+        grams.filter(F.col("_is_bench"))
+        .select("g")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if caches is not None:
+        caches.append(bench)
     bitmap = bloom_bitmap(bench, "g", n_bits, n_hashes)
     survivors = (
         grams.filter(~F.col("_is_bench"))

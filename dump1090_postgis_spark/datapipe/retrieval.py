@@ -33,6 +33,35 @@ from pyspark.sql import DataFrame, functions as F
 from .dedup import explode_computed, normalize_text, spread_for_compute
 
 
+#: integral Spark SQL types that bigint-normalize losslessly
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _id_expr(df: DataFrame, id_col: str):
+    """The id column, bigint-normalized when the input type is
+    integral (keeps the historical output schema for numeric corpora);
+    passed through UNTOUCHED otherwise — ``cast('doc-17' as bigint)``
+    is NULL (or an ANSI-mode runtime error), which silently corrupts
+    every returned key of a string-id corpus."""
+    dt = df.schema[id_col].dataType.simpleString()
+    c = F.col(id_col)
+    return c.cast("bigint") if dt in _INTEGRAL_TYPES else c
+
+
+def _norm_query_tokens(tokens: list[str]) -> list[str]:
+    """Driver-side twin of :func:`.dedup.normalize_text` for query
+    literals (lowercase, collapse whitespace), deduplicated
+    order-preserving: the corpus side matches on NORMALIZED words, so
+    an unnormalized query term ('Spark') would silently contribute
+    zero to every document."""
+    out: list[str] = []
+    for t in tokens:
+        n = " ".join(str(t).lower().split())
+        if n and n not in out:
+            out.append(n)
+    return out
+
+
 def _tokens(df: DataFrame, text: str, id_col: str) -> DataFrame:
     """(id_col, token) rows, empty tokens dropped; the computed split
     array is staged behind explode_computed so Catalyst cannot
@@ -60,14 +89,15 @@ def inverted_postings(
     top-n cut is a sort-limit Spark executes as TakeOrderedAndProject
     (per-partition heaps, no global sort).
     """
+    idx = _id_expr(df, id_col)
     tf = _tokens(df, text, id_col).groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
     stats = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("df_docs"),
         F.sum("tf").cast("bigint").alias("cf"),
-        F.min(id_col).cast("bigint").alias("min_doc"),
-        F.max(id_col).cast("bigint").alias("max_doc"),
+        F.min(idx).alias("min_doc"),
+        F.max(idx).alias("max_doc"),
     )
     return stats.orderBy(F.col("df_docs").desc(), F.col("token")).limit(top_n)
 
@@ -102,11 +132,12 @@ def bm25_topk(
     by a window ABOVE the limit, whose input is bounded by ``top_n``
     by construction (not the global-window anti-pattern).
     """
+    # normalize + dedupe, order-preserving: the corpus side matches on
+    # normalize_text'd words, and a repeated term must not double its
+    # contribution (the SQL formulation's (doc, token) GROUP BY dedups)
+    query_tokens = _norm_query_tokens(query_tokens)
     if not query_tokens:
         raise ValueError("bm25_topk needs at least one query token")
-    # dedupe, order-preserving: a repeated term must not double its
-    # contribution (the SQL formulation's (doc, token) GROUP BY dedups)
-    query_tokens = list(dict.fromkeys(query_tokens))
 
     words = F.split(normalize_text(F.col(text)), " ")
     staged = spread_for_compute(df, id_col).select(
@@ -175,7 +206,7 @@ def bm25_topk(
 
     w = Window.orderBy(F.col("score_micros").desc(), F.col(id_col))
     return top.select(
-        F.col(id_col).cast("bigint").alias(id_col),
+        _id_expr(top, id_col).alias(id_col),
         "score_micros",
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
@@ -209,7 +240,7 @@ def rerank_topk(
     texts); coverage is an array_contains projection; both windows are
     bounded by ``k_retrieve`` rows by construction.
     """
-    query_tokens = list(dict.fromkeys(query_tokens))
+    query_tokens = _norm_query_tokens(query_tokens)
     cands = bm25_topk(
         df, query_tokens, text=text, id_col=id_col, top_n=k_retrieve
     ).select(id_col, F.col("score_micros").alias("bm25_micros"))
@@ -223,7 +254,7 @@ def rerank_topk(
             F.lit(0),
         )
         scored = with_text.select(
-            F.col(id_col).cast("bigint").alias(id_col),
+            _id_expr(with_text, id_col).alias(id_col),
             coverage.alias("n_query_terms"),
             "bm25_micros",
         )
@@ -235,7 +266,7 @@ def rerank_topk(
         # (micro-rounded bigint) instead of overloading n_query_terms
         score_udf = pandas_udf(model, "double")
         scored = with_text.select(
-            F.col(id_col).cast("bigint").alias(id_col),
+            _id_expr(with_text, id_col).alias(id_col),
             F.round(score_udf(F.col(text)) * 1e6)
             .cast("bigint")
             .alias("rerank_micros"),

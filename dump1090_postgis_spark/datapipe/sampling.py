@@ -112,8 +112,15 @@ def rank_quantile_threshold(
     cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
         "_n", F.sum("_c").over(Window.partitionBy(*keys))
     )
+    # round before ceil: the double product q·n can land an ulp above
+    # an integral value (0.07 × 100 = 7.000000000000001) and ceil then
+    # overshoots the documented exact rank by one; 9 decimals is far
+    # beyond any realistic group count while leaving true fractions
+    # untouched.  The DuckDB oracle SQL applies the same round.
     return (
-        cum.filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
+        cum.filter(
+            F.col("_cum") >= F.ceil(F.round(F.lit(q) * F.col("_n"), 9))
+        )
         .groupBy(*keys)
         .agg(F.min(value).alias("threshold"))
     )
@@ -135,11 +142,24 @@ def quantile_filter(
     """
     keys = keys or []
     thr = rank_quantile_threshold(df, value, q, keys)
-    joined = (
-        df.join(F.broadcast(thr), keys)
-        if keys
-        else df.crossJoin(F.broadcast(thr))
-    )
+    if keys:
+        # null-safe key join (same discipline as stratified_exact_split):
+        # a NULL group key is a real group — the histogram computed its
+        # threshold — and a plain equi-join would silently remove every
+        # NULL-key row wholesale instead of gating it against its own
+        # group's quantile.
+        thr = thr.select(
+            *[F.col(s).alias(f"_th_{s}") for s in keys], "threshold"
+        )
+        cond = None
+        for s in keys:
+            c = F.col(s).eqNullSafe(F.col(f"_th_{s}"))
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(thr), cond).drop(
+            *[f"_th_{s}" for s in keys]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(thr))
     return joined.filter(F.col(value) >= F.col("threshold"))
 
 
@@ -220,13 +240,21 @@ def percentile_normalize(
     cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
         "_n", F.sum("_c").over(wn)
     )
+    # null-safe join back on (keys, value): NULL group keys and NULL
+    # values are real histogram rows (groupBy keeps them, and the
+    # DuckDB-oracle cume_dist keeps them), so a plain equi-join would
+    # silently drop every such row from the calibrated output.
     pct_tbl = cum.select(
-        *keys,
-        value,
+        *[F.col(s).alias(f"_pn_{s}") for s in [*keys, value]],
         F.round(F.col("_cum").cast("double") / F.col("_n"), 6).alias(out),
     )
-    join_keys = [*keys, value]
-    return df.join(F.broadcast(pct_tbl), join_keys)
+    cond = None
+    for s in [*keys, value]:
+        c = F.col(s).eqNullSafe(F.col(f"_pn_{s}"))
+        cond = c if cond is None else (cond & c)
+    return df.join(F.broadcast(pct_tbl), cond).drop(
+        *[f"_pn_{s}" for s in [*keys, value]]
+    )
 
 
 def sample_exact_n(
@@ -293,7 +321,12 @@ def stratified_exact_split(
     for s in strata:
         c = F.col(s).eqNullSafe(F.col(f"_st_{s}"))
         cond = c if cond is None else (cond & c)
-    take = F.ceil(F.col("_n") * F.lit(float(frac))).cast("bigint")
+    # round-before-ceil: see rank_quantile_threshold — frac·n an ulp
+    # above an integer must not overshoot the "exactly ceil(frac·n)"
+    # contract by one row.
+    take = F.ceil(F.round(F.col("_n") * F.lit(float(frac)), 9)).cast(
+        "bigint"
+    )
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .join(F.broadcast(counts), cond)

@@ -103,8 +103,19 @@ def quality_features(text: Column, words: Column | None = None) -> dict[str, Col
     return {
         "n_chars": n_chars.cast("bigint"),
         "n_words": n_words.cast("bigint"),
+        # numerator = sum of NORMALIZED word lengths, not raw n_chars
+        # minus separators: the old (n_chars − (n_words−1)) identity
+        # only holds for single-space-separated text — '  a   b  '
+        # counted its extra whitespace as word characters and
+        # overstated the average.
         "avg_word_len": F.round(
-            (n_chars - (n_words - 1)).cast("double") / n_words, 4
+            F.aggregate(
+                F.transform(words, F.length),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / n_words,
+            4,
         ),
         "stopword_ratio": F.round(stop_hits.cast("double") / n_words, 4),
         "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 4),
@@ -199,9 +210,20 @@ def repetition_features(
         .groupBy(id_col, "_nw", "k")
         .agg(F.max("c").alias("mc"))
     )
+    # least(·, 1.0): overlapping occurrences each count k words, so
+    # 'a a a a' has mc=3 for the 2-gram 'a a' and the raw ratio is
+    # 1.5 — the column is documented as a FRACTION of words covered,
+    # so cap it (Gopher-style thresholds are unaffected; consumers
+    # treating it as [0,1] for calibration/blending are protected).
     fracs = [
         F.round(
-            F.max(F.when(F.col("k") == k, F.col("mc") * k / F.col("_nw"))), 4
+            F.max(
+                F.when(
+                    F.col("k") == k,
+                    F.least(F.col("mc") * k / F.col("_nw"), F.lit(1.0)),
+                )
+            ),
+            4,
         ).alias(f"top{k}_frac")
         for k in ks
     ]
@@ -432,6 +454,14 @@ def vocab_rank_table(df, text: str = "text", min_count: int = 1, caches=None):
     total and deterministic, each partition numbers its own rows, and
     the only driver-side data is the per-partition count array.
     A 10⁶-token vocabulary ranks without any single-task sort.
+
+    ``caches``: with_dense_ids pins a DISK_ONLY vocabulary-layout
+    frame for CORRECTNESS (its partition boundaries must be identical
+    across its two passes).  PASS A LIST and release it with
+    ``operators.ids.release_caches`` once the output is materialized —
+    with the default ``caches=None`` the pin has no reachable handle
+    and stays on executor disk for the session lifetime (bounded by
+    vocabulary size, but it accumulates across repeated calls).
     """
     from ..operators.ids import with_dense_ids
     from .dedup import explode_computed, spread_for_compute
@@ -537,6 +567,11 @@ def zipf_stats(df, text: str = "text", caches=None):
     over the vocabulary-sized frame; ``regr_slope`` is a built-in
     running-sums aggregate (sum x, sum y, sum xy, sum x²) so the
     regression never materializes points anywhere.
+
+    ``caches``: pass a list and ``release_caches`` it after collecting
+    the one-row result — the ranked vocabulary's internal DISK_ONLY
+    layout pin (see :func:`vocab_rank_table`) otherwise lives until
+    the session ends.
     """
     ranked = vocab_rank_table(df, text=text, min_count=1, caches=caches)
     n = F.col("n").cast("double")

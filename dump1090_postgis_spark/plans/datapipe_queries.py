@@ -861,7 +861,10 @@ WITH prep AS (
   SELECT doc_id,
          n_chars::BIGINT AS n_chars,
          len(words)::BIGINT AS n_words,
-         round((n_chars - (len(words) - 1))::DOUBLE / len(words), 4) AS avg_word_len,
+         -- sum of normalized word lengths (mirrors quality_features:
+         -- raw n_chars counts irregular whitespace as word chars)
+         round(list_sum(list_transform(words, w -> length(w)))::DOUBLE
+               / len(words), 4) AS avg_word_len,
          round(len(list_filter(words, w -> list_contains([{_STOP_LIST}], w)))::DOUBLE
                / len(words), 4) AS stopword_ratio,
          round(len(regexp_extract_all(norm, '[^\\w\\s]'))::DOUBLE
@@ -936,8 +939,10 @@ WITH prep AS (
   SELECT doc_id, nw, k, max(c) AS mc FROM cnt GROUP BY ALL
 )
 SELECT doc_id,
-       round(max(CASE WHEN k = 2 THEN mc * 2.0 / nw END), 4) AS top2_frac,
-       round(max(CASE WHEN k = 3 THEN mc * 3.0 / nw END), 4) AS top3_frac
+       -- least(1.0): overlapping occurrences each count k words; the
+       -- column is a FRACTION of words covered (mirrors text.py)
+       round(max(CASE WHEN k = 2 THEN least(mc * 2.0 / nw, 1.0) END), 4) AS top2_frac,
+       round(max(CASE WHEN k = 3 THEN least(mc * 3.0 / nw, 1.0) END), 4) AS top3_frac
 FROM mx GROUP BY doc_id
 """
 
@@ -1153,11 +1158,14 @@ WITH prep AS (
          sum(c) OVER (PARTITION BY lang) AS n
   FROM hist
 ), thr AS (
+  -- round-before-ceil + null-safe join: mirrors the Spark operator
+  -- (quantile_filter) — q*n an ulp above an integer must not
+  -- overshoot the rank, and a NULL lang group keeps its own threshold
   SELECT lang, min(quality) AS threshold
-  FROM cum WHERE cum >= ceil(0.5 * n) GROUP BY lang
+  FROM cum WHERE cum >= ceil(round(0.5 * n, 9)) GROUP BY lang
 )
 SELECT s.doc_id, s.lang, s.quality, t.threshold
-FROM scored s JOIN thr t USING (lang)
+FROM scored s JOIN thr t ON s.lang IS NOT DISTINCT FROM t.lang
 WHERE s.quality >= t.threshold
 """
 
@@ -2399,7 +2407,9 @@ WITH ranked AS (
   FROM documents
 )
 SELECT doc_id, source, lang,
-       CASE WHEN rk <= ceil(n * CAST(0.1 AS DOUBLE)) THEN 'eval'
+       -- round-before-ceil mirrors stratified_exact_split: frac*n an
+       -- ulp above an integer must not overshoot the quota by one
+       CASE WHEN rk <= ceil(round(n * CAST(0.1 AS DOUBLE), 9)) THEN 'eval'
             ELSE 'train' END AS split
 FROM ranked
 """

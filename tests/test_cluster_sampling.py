@@ -491,3 +491,98 @@ def test_duplicate_clusters_foreign_pair_endpoint_keeps_docs(spark):
     kept = {r.doc_id for r in duplicate_clusters(docs, pairs)
             .filter("is_canonical").collect()}
     assert kept == {7, 9}                   # no data loss
+
+
+def test_quantile_and_percentile_keep_null_groups(spark):
+    """A NULL group key is a real group (the histogram computes its
+    threshold / percentile); the join back must be null-safe instead
+    of silently removing every NULL-key row from the output."""
+    from dump1090_postgis_spark.datapipe.sampling import (
+        percentile_normalize,
+        quantile_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", 0.1), (2, "en", 0.9), (3, None, 0.2), (4, None, 0.8)],
+        "doc_id long, lang string, quality double",
+    )
+    # q=0.75 over 2-row groups: rank ceil(1.5)=2 → the larger value is
+    # each group's threshold; NULL group gated by ITS threshold, not
+    # dropped wholesale
+    kept = {r.doc_id for r in quantile_filter(df, "quality", 0.75, ["lang"]).collect()}
+    assert kept == {2, 4}
+    pct = {r.doc_id: r.pct for r in
+           percentile_normalize(df, "quality", ["lang"], out="pct").collect()}
+    assert set(pct) == {1, 2, 3, 4}          # NULL-lang rows retained
+    assert pct[3] == 0.5 and pct[4] == 1.0   # their own group's cume_dist
+
+
+def test_quota_ceil_does_not_overshoot_on_integral_products(spark):
+    """frac·n an ulp above an integer (0.07 × 100 = 7.000000000000001)
+    must not ceil to 8: the contract is EXACTLY ceil(frac·n) = 7."""
+    from dump1090_postgis_spark.datapipe.sampling import (
+        rank_quantile_threshold,
+        stratified_exact_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(100)], "doc_id long, src string"
+    )
+    split = stratified_exact_split(df, ["src"], frac=0.07)
+    assert split.filter("split = 'eval'").count() == 7
+    # rank pick: the 7th value (0-indexed 6) of 0..99, not the 8th
+    vals = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "v double"
+    )
+    thr = rank_quantile_threshold(vals, "v", q=0.07, keys=[]).collect()[0]
+    assert thr.threshold == 6.0
+
+
+def test_ngram_contamination_null_predicate_is_checked_side(spark):
+    """A NULL bench predicate (source = 'bench' over NULL source) must
+    land the doc on the CHECKED side — the raw predicate excluded it
+    from both sides and contamination leaked through decontaminate."""
+    from dump1090_postgis_spark.datapipe.contamination import (
+        decontaminate,
+        ngram_contamination,
+        ngram_contamination_bloom,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, "bench", shared), (2, None, shared),
+         (3, "web", "totally unrelated words in this row here yes")],
+        "doc_id long, source string, text string",
+    )
+    pred = F.col("source") == "bench"
+    hits = {r.doc_id for r in ngram_contamination(df, pred, k=8).collect()}
+    assert hits == {2}
+    bloom_hits = {
+        r.doc_id for r in ngram_contamination_bloom(df, pred, k=8).collect()
+    }
+    assert bloom_hits == {2}
+    clean = {r.doc_id for r in decontaminate(df, pred, k=8).collect()}
+    assert 2 not in clean and 3 in clean
+
+
+def test_quality_avg_word_len_ignores_irregular_whitespace(spark):
+    """avg_word_len must average NORMALIZED word lengths — the old
+    n_chars-(n_words-1) numerator counted extra whitespace as word
+    characters ('  hello   world  ' → 8.0 instead of 5.0)."""
+    from dump1090_postgis_spark.datapipe.text import quality_features
+
+    df = spark.createDataFrame([("  hello   world  ",)], "text string")
+    feats = quality_features(F.col("text"))
+    row = df.select(feats["avg_word_len"].alias("awl")).collect()[0]
+    assert row.awl == 5.0
+
+
+def test_repetition_top_frac_capped_at_one(spark):
+    """Overlapping occurrences each count k words ('a a a a': mc=3 for
+    the 2-gram 'a a' → raw ratio 1.5); the column is a FRACTION of
+    words covered, so it is capped at 1.0."""
+    from dump1090_postgis_spark.datapipe.text import repetition_features
+
+    df = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    row = repetition_features(df).collect()[0]
+    assert row.top2_frac == 1.0 and row.top2_frac <= 1.0

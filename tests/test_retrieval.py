@@ -125,3 +125,44 @@ def test_bm25_duplicate_query_tokens_dedupe(spark):
     once = {r.doc_id: r.score_micros for r in bm25_topk(df, ["x"]).collect()}
     twice = {r.doc_id: r.score_micros for r in bm25_topk(df, ["x", "x"]).collect()}
     assert once == twice
+
+
+def test_bm25_normalizes_query_tokens(spark):
+    """The corpus side matches normalize_text'd (lowercased) words —
+    an uppercase query term previously contributed zero silently."""
+    from dump1090_postgis_spark.datapipe.retrieval import bm25_topk
+
+    df = _docs(
+        spark,
+        [(1, "Spark joins data"), (2, "spark streams"), (3, "other prose")],
+    )
+    lower = bm25_topk(df, ["spark"], top_n=5).collect()
+    upper = bm25_topk(df, ["  Spark "], top_n=5).collect()
+    assert [tuple(r) for r in lower] == [tuple(r) for r in upper]
+    assert lower  # the term does occur in the fixture corpus
+
+
+def test_retrieval_supports_string_doc_ids(spark):
+    """inverted_postings / bm25_topk / rerank_topk on a string-keyed
+    corpus: ids must pass through untouched instead of being cast to
+    bigint (NULL keys under ANSI-off, a runtime error under ANSI)."""
+    from dump1090_postgis_spark.datapipe.retrieval import (
+        bm25_topk,
+        inverted_postings,
+        rerank_topk,
+    )
+
+    df = spark.createDataFrame(
+        [("doc-a", "spark joins data fast"),
+         ("doc-b", "spark shuffles data across executors"),
+         ("doc-c", "completely unrelated prose")],
+        "doc_id string, text string",
+    )
+    posts = {r.token: (r.min_doc, r.max_doc)
+             for r in inverted_postings(df, top_n=50).collect()}
+    assert posts["spark"] == ("doc-a", "doc-b")
+    top = bm25_topk(df, ["spark"], top_n=3).collect()
+    assert {r.doc_id for r in top} == {"doc-a", "doc-b"}
+    assert all(r.doc_id is not None for r in top)
+    rr = rerank_topk(df, ["spark", "data"], k_retrieve=3, k_final=2).collect()
+    assert all(r.doc_id in {"doc-a", "doc-b"} for r in rr)
