@@ -30,6 +30,14 @@ DECODE_SCHEMA = (
 )
 
 
+def _id_schema(df: DataFrame, id_col: str) -> str:
+    """``"<id_col> <its actual type>"`` for the mapInPandas output
+    schemas: hard-coding ``doc_id bigint`` crashed string-keyed
+    corpora in the Python worker (astype int64) and silently RENAMED
+    any other id column to doc_id, breaking downstream joins."""
+    return f"{id_col} {df.schema[id_col].dataType.simpleString()}"
+
+
 #: BMP header layout (public format spec): 'BM' magic, then biWidth /
 #: biHeight as little-endian SIGNED int32 at byte offsets 18 / 22 —
 #: so any payload of ≥26 bytes carries a parseable header.  The
@@ -91,7 +99,13 @@ def _decode_image_bytes(payload: bytes) -> dict[str, Any]:
     if payload[:2] == b"BM" and len(payload) >= BMP_MIN_HEADER:
         w = int.from_bytes(payload[18:22], "little", signed=True)
         h = int.from_bytes(payload[22:26], "little", signed=True)
-        return {"format": "bmp", "width": w, "height": h, "ok": True}
+        # biHeight < 0 is a LEGAL top-down BMP (the magnitude is the
+        # height); a non-positive width or zero height is not a
+        # parseable image — fall through to the raw path instead of
+        # poisoning downstream geometry (resize_meta's scale would go
+        # negative, and width 0 divides by zero under ANSI).
+        if w > 0 and h != 0:
+            return {"format": "bmp", "width": w, "height": abs(h), "ok": True}
     if (
         payload[:8] == PNG_MAGIC
         and len(payload) >= PNG_MIN_HEADER
@@ -208,7 +222,13 @@ def decode_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id",
             if payload[:2] == b"BM" and len(payload) >= 26:
                 w = int.from_bytes(payload[18:22], "little", signed=True)
                 h = int.from_bytes(payload[22:26], "little", signed=True)
-                return {"format": "bmp", "width": w, "height": h, "ok": True}
+                # top-down BMP: |h|; non-positive dims → raw path
+                # (keep in sync with _decode_image_bytes)
+                if w > 0 and h != 0:
+                    return {
+                        "format": "bmp", "width": w, "height": abs(h),
+                        "ok": True,
+                    }
             if (
                 payload[:8] == b"\x89PNG\r\n\x1a\n"
                 and len(payload) >= 24
@@ -247,7 +267,10 @@ def decode_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id",
             metas = [decode(p) for p in pdf["payload"]]
             out = _pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    # id values AND name pass through untouched: an
+                    # int64 astype here crashed string ids, and the
+                    # fixed "doc_id" name silently renamed custom ids
+                    id_col: pdf[id_col],
                     "byte_len": [len(p) if p is not None else 0 for p in pdf["payload"]],
                     "format": [m["format"] for m in metas],
                     "width": [m["width"] for m in metas],
@@ -257,7 +280,11 @@ def decode_metadata(docs_with_payload: DataFrame, id_col: str = "doc_id",
             )
             yield out
 
-    return cols.mapInPandas(decode_batches, DECODE_SCHEMA)
+    schema = (
+        f"{_id_schema(docs_with_payload, id_col)}, byte_len bigint, "
+        "format string, width int, height int, ok boolean"
+    )
+    return cols.mapInPandas(decode_batches, schema)
 
 
 def frame_sample_plan(video_meta: DataFrame, every_n: int = 30) -> DataFrame:
@@ -333,13 +360,15 @@ def byte_histogram_features(
                 counts = _np.bincount(arr // width, minlength=bins)[:bins]
                 norm = _np.sqrt(float((counts.astype(_np.int64) ** 2).sum()))
                 v = counts / norm
-                ids.extend([int(i)] * bins)
+                # native id values (no int() coercion — string ids)
+                ids.extend([i] * bins)
                 out_bins.extend(range(bins))
                 vals.extend(float(x) for x in v)
             yield _pd.DataFrame(
-                {"doc_id": _pd.Series(ids, dtype="int64"),
+                {id_col: _pd.Series(ids, dtype="object"),
                  "bin": _pd.Series(out_bins, dtype="int32"),
                  "value": _pd.Series(vals, dtype="float64")}
             )
 
-    return cols.mapInPandas(extract, FEATURE_SCHEMA)
+    schema = f"{_id_schema(docs_with_payload, id_col)}, bin int, value double"
+    return cols.mapInPandas(extract, schema)

@@ -31,19 +31,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .sampling import hash_bucket
+from .sampling import _h32, hash_bucket
 
 
 def uniform_hash(id_col: Column, salt: str = "") -> Column:
     """Deterministic uniform double in [0,1): first 32 bits of
-    md5(id || salt) / 2^32.  Engine-portable (md5 + hex arithmetic
-    only — the DuckDB oracle reproduces it bit-for-bit)."""
-    h32 = F.conv(
-        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8),
-        16,
-        10,
-    )
-    return h32.cast("bigint").cast("double") / F.lit(4294967296.0)
+    md5(id || salt) / 2^32.  Engine-portable via the shared
+    :func:`.sampling._h32` core (one place the md5-hex contract
+    lives)."""
+    h32 = _h32(F.concat(id_col.cast("string"), F.lit(salt)))
+    return h32.cast("double") / F.lit(4294967296.0)
 
 
 def pack_sequences(
@@ -94,7 +91,15 @@ def pack_sequences(
         (F.col("end_tok") - F.col("n_tokens")).alias("begin_tok"),
         "end_tok",
         F.floor((F.col("end_tok") - F.col("n_tokens")) / seq_len).alias("seq_first"),
-        F.floor((F.col("end_tok") - 1) / seq_len).alias("seq_last"),
+        # greatest(seq_first, ·): a ZERO-token doc has end_tok ==
+        # begin_tok, and floor((end−1)/L) then lands one sequence (or,
+        # at stream start, index −1) BEFORE seq_first — an inverted
+        # [seq_first, seq_last] range that crashes range-expanding
+        # consumers.  Clamp to the empty doc's position sequence.
+        F.greatest(
+            F.floor((F.col("end_tok") - F.col("n_tokens")) / seq_len),
+            F.floor((F.col("end_tok") - 1) / seq_len),
+        ).alias("seq_last"),
     )
 
 
@@ -242,9 +247,24 @@ def temperature_weights(
             "n_docs",
             "total_tokens",
             F.round(p, 6).alias("weight"),
-            F.round(p * b / F.col("total_tokens"), 6).alias("epochs"),
+            # try_divide: a source whose caller-supplied token counts
+            # sum to 0 must yield NULL epochs/keep_rate, not an ANSI
+            # DIVIDE_BY_ZERO abort (same guard as packing_efficiency)
+            F.round(F.try_divide(p * b, F.col("total_tokens")), 6).alias(
+                "epochs"
+            ),
+            # the when() guard (not just try_divide) matters: least()
+            # IGNORES the NULL and would return 1.0 for a zero-token
+            # source — keep_rate is NULL there, like epochs
             F.round(
-                F.least(F.lit(1.0), p * b / F.col("total_tokens")), 6
+                F.when(
+                    F.col("total_tokens") > 0,
+                    F.least(
+                        F.lit(1.0),
+                        F.try_divide(p * b, F.col("total_tokens")),
+                    ),
+                ),
+                6,
             ).alias("keep_rate"),
         )
     )
@@ -311,7 +331,14 @@ def length_bucket_batches(
         n_eff.alias("_n_eff"),
         pow2_bucket(tokens.cast("bigint"), min_bucket, seq_len).alias("bucket"),
     )
-    capacity = F.greatest(F.lit(1).cast("bigint"), F.lit(seq_len) / F.col("bucket"))
+    # floor division: true division gives a FRACTIONAL capacity when
+    # seq_len is not a multiple of the bucket (seq_len=768, bucket=512
+    # → 1.5), and floor(rn/1.5) then packs 2×512 padded tokens into a
+    # 768-token batch — past the documented constant token budget.
+    capacity = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(F.lit(seq_len) / F.col("bucket")).cast("bigint"),
+    )
     w = Window.partitionBy("shard", "bucket").orderBy(id_col)
     return out.select(
         id_col,

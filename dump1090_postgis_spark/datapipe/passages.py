@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text, spread_for_compute
+from .dedup import explode_computed, normalize_text, spread_for_compute
 
 #: Word-shingle width.  Real pipelines mine 10–50-gram passages; the
 #: synthetic corpus' short docs make 3 the interesting width.
@@ -88,6 +88,25 @@ def _positional_grams(k: int) -> Column:
     )
 
 
+def _distinct_grams(
+    docs: DataFrame, text: str, id_col: str, k: int
+) -> DataFrame:
+    """(id_col, g) — one row per DISTINCT k-gram per document: the
+    staged words projection + ``array_distinct`` over the positional
+    grams, exploded through :func:`.dedup.explode_computed` (the
+    InferFiltersFromGenerate-safe explode).  ONE definition shared by
+    :func:`passage_doc_freq` and :func:`gram_novelty`, so "the same
+    k-gram" can never drift between the doc-frequency and novelty
+    sides."""
+    staged = _with_words(spread_for_compute(docs, id_col), text)
+    return explode_computed(
+        staged,
+        F.array_distinct(F.transform(_positional_grams(k), lambda x: x["g"])),
+        "g",
+        keep=[id_col],
+    )
+
+
 def passage_doc_freq(
     docs: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = DEFAULT_K
 ) -> DataFrame:
@@ -97,14 +116,11 @@ def passage_doc_freq(
     the single shuffle (groupBy gram) counts documents, not
     occurrences, without a count-distinct expansion.
     """
-    staged = _with_words(spread_for_compute(docs, id_col), text)
-    grams = staged.withColumn(
-        "_pg", F.array_distinct(F.transform(_positional_grams(k), lambda x: x["g"]))
+    return (
+        _distinct_grams(docs, text, id_col, k)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    exploded = grams.select(id_col, F.explode_outer("_pg").alias("g")).filter(
-        F.col("g").isNotNull()
-    )
-    return exploded.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 def frequent_passages(
@@ -127,12 +143,12 @@ def _covered_starts(
     """(id_col, n_tokens, _starts): start positions of frequent grams
     per document — broadcast-hash probe, then a partial-count rollup
     keyed on the doc id (only matching rows reach the shuffle)."""
-    staged = _with_words(spread_for_compute(docs, id_col), text)
-    pos = staged.select(
-        id_col,
-        F.col("_pn").alias("n_tokens"),
-        F.explode_outer(_positional_grams(k)).alias("_pg"),
-    ).filter(F.col("_pg").isNotNull())
+    staged = _with_words(spread_for_compute(docs, id_col), text).withColumn(
+        "n_tokens", F.col("_pn")
+    )
+    pos = explode_computed(
+        staged, _positional_grams(k), "_pg", keep=[id_col, "n_tokens"]
+    )
     return (
         pos.join(F.broadcast(freq.select("g")), pos["_pg"]["g"] == F.col("g"))
         .groupBy(id_col)
@@ -248,13 +264,7 @@ def gram_novelty(
     partial-agg groupBy.  No windows, nothing corpus-wide on the
     driver.
     """
-    staged = _with_words(spread_for_compute(docs, id_col), text)
-    grams = staged.withColumn(
-        "_pg", F.array_distinct(F.transform(_positional_grams(k), lambda x: x["g"]))
-    )
-    exploded = grams.select(id_col, F.explode_outer("_pg").alias("g")).filter(
-        F.col("g").isNotNull()
-    )
+    exploded = _distinct_grams(docs, text, id_col, k)
     first = exploded.groupBy("g").agg(F.min(id_col).alias("_first"))
     return (
         exploded.join(first, "g")

@@ -23,12 +23,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _h32(c: Column) -> Column:
+    """First 32 bits of md5(c) as a bigint — the ONE engine-portable
+    hash core (md5 + hex arithmetic only; the DuckDB oracle restates
+    it bit-for-bit).  Shared by :func:`hash_bucket` and
+    ``packing.uniform_hash`` so the portability contract lives in one
+    expression that cannot drift."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
 def hash_bucket(id_col: Column, buckets: int = 100) -> Column:
     """Deterministic bucket in [0, buckets): first 32 hash bits of
     md5(id as string), mod buckets.  Engine-portable (md5 + hex
     arithmetic only)."""
-    h32 = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
-    return F.pmod(h32.cast("bigint"), F.lit(buckets))
+    return F.pmod(_h32(id_col.cast("string")), F.lit(buckets))
 
 
 def hash_split(

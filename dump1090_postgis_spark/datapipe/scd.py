@@ -47,10 +47,15 @@ def scd2_intervals(
     if your snapshot labels are not consecutive.
     """
     w = Window.partitionBy(id_col).orderBy(snap_col)
+    # null-safe hash comparison: a NULL hash (md5 of a NULL text) must
+    # BREAK the run like any other content change — plain != evaluates
+    # to SQL NULL there, the OR stays NULL, sum() skips it, and the
+    # NULL-hash snapshot silently merges into the previous run,
+    # emitting OVERLAPPING validity intervals for the same doc.
     flagged = snapshots.select(id_col, snap_col, hash_col).withColumn(
         "_new_run",
         (
-            (F.lag(hash_col).over(w) != F.col(hash_col))
+            (~F.lag(hash_col).over(w).eqNullSafe(F.col(hash_col)))
             | (F.lag(snap_col).over(w) != F.col(snap_col) - 1)
             | F.lag(snap_col).over(w).isNull()
         ).cast("int"),

@@ -24,8 +24,19 @@ from .dedup import normalize_text
 ADDED, REMOVED, CHANGED, UNCHANGED = "added", "removed", "changed", "unchanged"
 
 
-def _hashed(df: DataFrame, id_col: str, text: str, out: str) -> DataFrame:
-    return df.select(id_col, F.md5(normalize_text(F.col(text))).alias(out))
+def _hashed(
+    df: DataFrame, id_col: str, text: str, out: str, flag: str
+) -> DataFrame:
+    # the literal-true presence flag travels with each side: md5 of a
+    # NULL text is NULL, so hash nullness is NOT an existence test —
+    # using it as one misclassifies a NULL-text doc present on both
+    # sides as added/removed (and changed_set then drops or re-runs
+    # the wrong documents).
+    return df.select(
+        id_col,
+        F.md5(normalize_text(F.col(text))).alias(out),
+        F.lit(True).alias(flag),
+    )
 
 
 def corpus_diff(
@@ -34,13 +45,17 @@ def corpus_diff(
     id_col: str = "doc_id",
     text: str = "text",
 ) -> DataFrame:
-    """(id_col, status) for every id present in either version."""
-    o = _hashed(old, id_col, text, "_ho")
-    n = _hashed(new, id_col, text, "_hn")
+    """(id_col, status) for every id present in either version.
+
+    Presence is tested on per-side flags (not hash nullness) and the
+    hash comparison is null-safe, so NULL-text documents diff
+    correctly: NULL→NULL is unchanged, NULL→'x' is changed."""
+    o = _hashed(old, id_col, text, "_ho", "_po")
+    n = _hashed(new, id_col, text, "_hn", "_pn")
     status = (
-        F.when(F.col("_ho").isNull(), F.lit(ADDED))
-        .when(F.col("_hn").isNull(), F.lit(REMOVED))
-        .when(F.col("_ho") != F.col("_hn"), F.lit(CHANGED))
+        F.when(F.col("_po").isNull(), F.lit(ADDED))
+        .when(F.col("_pn").isNull(), F.lit(REMOVED))
+        .when(~F.col("_ho").eqNullSafe(F.col("_hn")), F.lit(CHANGED))
         .otherwise(F.lit(UNCHANGED))
     )
     return o.join(n, id_col, "full_outer").select(id_col, status.alias("status"))

@@ -1267,7 +1267,10 @@ SELECT doc_id, shard, n_tokens,
        end_tok - n_tokens AS begin_tok,
        end_tok,
        floor((end_tok - n_tokens) / 512.0)::BIGINT AS seq_first,
-       floor((end_tok - 1) / 512.0)::BIGINT AS seq_last
+       -- greatest(seq_first, .): zero-token docs must not emit an
+       -- inverted [seq_first, seq_last] range (mirrors pack_sequences)
+       greatest(floor((end_tok - n_tokens) / 512.0),
+                floor((end_tok - 1) / 512.0))::BIGINT AS seq_last
 FROM c
 """
 
@@ -1446,7 +1449,10 @@ WITH prep AS (
 SELECT doc_id, split, shard, n_tokens,
        end_tok - n_tokens AS begin_tok, end_tok,
        floor((end_tok - n_tokens) / 512.0)::BIGINT AS seq_first,
-       floor((end_tok - 1) / 512.0)::BIGINT AS seq_last
+       -- greatest(seq_first, .): zero-token docs must not emit an
+       -- inverted [seq_first, seq_last] range (mirrors pack_sequences)
+       greatest(floor((end_tok - n_tokens) / 512.0),
+                floor((end_tok - 1) / 512.0))::BIGINT AS seq_last
 FROM c
 """
 
@@ -1719,7 +1725,9 @@ def q_corpus_diff_status(spark, sf):
 
 SQL_CORPUS_DIFF = f"""
 WITH old AS (
-  SELECT doc_id, md5({_ONORM}) AS ho FROM documents
+  -- TRUE presence flag + IS DISTINCT FROM mirror corpus_diff: md5 of
+  -- a NULL text is NULL, so hash nullness is not an existence test
+  SELECT doc_id, md5({_ONORM}) AS ho, TRUE AS po FROM documents
 ), v2src AS (
   SELECT doc_id,
          CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
@@ -1727,12 +1735,12 @@ WITH old AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
 ), new AS (
-  SELECT doc_id, md5({_ONORM}) AS hn FROM v2src
+  SELECT doc_id, md5({_ONORM}) AS hn, TRUE AS pn FROM v2src
 )
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-       CASE WHEN o.ho IS NULL THEN 'added'
-            WHEN n.hn IS NULL THEN 'removed'
-            WHEN o.ho <> n.hn THEN 'changed'
+       CASE WHEN o.po IS NULL THEN 'added'
+            WHEN n.pn IS NULL THEN 'removed'
+            WHEN o.ho IS DISTINCT FROM n.hn THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM old o FULL OUTER JOIN new n USING (doc_id)
 """
@@ -2545,8 +2553,9 @@ WITH snaps AS (
   SELECT 3, doc_id, md5({_scd_onorm(_SCD_V3)})
   FROM documents WHERE doc_id % 11 <> 0 OR doc_id % 22 = 0
 ), flagged AS (
+  -- IS DISTINCT FROM mirrors scd2_intervals' null-safe run break
   SELECT *, CASE WHEN lag(snapshot_id) OVER w IS NULL
-                   OR lag(text_hash) OVER w <> text_hash
+                   OR lag(text_hash) OVER w IS DISTINCT FROM text_hash
                    OR lag(snapshot_id) OVER w <> snapshot_id - 1
                  THEN 1 ELSE 0 END AS new_run
   FROM snaps

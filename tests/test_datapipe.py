@@ -703,9 +703,11 @@ def test_multimodal_decode_plumbing(spark):
     rows = [(1, bmp), (2, b"plain bytes"), (3, b""), (4, b"BMshort")]
     docs = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r.doc_id: r for r in decode_metadata(docs).collect()}
-    # real header parse: planted LE int32s recovered, sign preserved
+    # real header parse: planted LE int32s recovered; biHeight < 0 is
+    # a legal top-down BMP whose MAGNITUDE is the height (a negative
+    # height would poison resize_meta's scale)
     assert out[1].format == "bmp" and out[1].ok
-    assert out[1].width == 640 and out[1].height == -480
+    assert out[1].width == 640 and out[1].height == 480
     assert out[2].format == "raw"
     assert out[3].ok is False and out[3].width is None
     assert out[2].byte_len == len(b"plain bytes")
@@ -729,7 +731,9 @@ def test_synth_bmp_payload_roundtrip(spark):
     out = {r.doc_id: r for r in decode_metadata(payloads).collect()}
     assert out[1].width == 640 and out[1].height == 480
     assert out[2].width == 70000  # > 1 byte LE
-    assert out[3].width == 0 and out[3].format == "bmp"
+    # 0×0 is not a parseable image: falls through to the raw fake
+    # (w = 1 + 26 % 64 = 27) instead of claiming a degenerate bmp
+    assert out[3].format == "raw" and out[3].width == 27
     assert all(r.byte_len == 26 for r in out.values())
 
 
@@ -1732,3 +1736,50 @@ def test_simhash_inline_and_staged_forms_agree(spark, docs):
         r.doc_id: r.simhash for r in dd.simhash16_df(docs).collect()
     }
     assert inline == staged
+
+
+def test_bmp_topdown_and_degenerate_dims(spark):
+    """biHeight < 0 is a legal top-down BMP (magnitude = height);
+    width 0 / height 0 is not a parseable image and falls through to
+    the raw path instead of poisoning resize geometry."""
+    import struct
+
+    from dump1090_postgis_spark.datapipe.multimodal import (
+        decode_metadata,
+        resize_meta,
+    )
+
+    def bmp(w, h):
+        return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h)
+
+    df = spark.createDataFrame(
+        [(1, bmp(640, -480)), (2, bmp(0, 0)), (3, bmp(100, 200))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in decode_metadata(df).collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("bmp", 640, 480)
+    assert out[2].format == "raw"  # unparseable dims -> deterministic fake
+    assert (out[3].width, out[3].height) == (100, 200)
+    rs = {r.doc_id: r for r in resize_meta(decode_metadata(df)).collect()}
+    assert rs[1].out_w >= 1 and rs[1].out_h >= 1  # no negative-scale plan
+
+
+def test_multimodal_supports_custom_and_string_ids(spark):
+    """decode_metadata / byte_histogram_features must carry the id
+    column's NAME and TYPE through the Arrow seam — the fixed
+    'doc_id bigint' schema crashed string ids and renamed custom
+    ids, breaking downstream joins."""
+    from dump1090_postgis_spark.datapipe.multimodal import (
+        byte_histogram_features,
+        decode_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [("img-001", b"hello bytes"), ("img-002", b"more payload")],
+        "image_id string, payload binary",
+    )
+    meta = decode_metadata(df, id_col="image_id")
+    assert "image_id" in meta.columns and "doc_id" not in meta.columns
+    assert {r.image_id for r in meta.collect()} == {"img-001", "img-002"}
+    feats = byte_histogram_features(df, id_col="image_id", bins=4)
+    assert {r.image_id for r in feats.collect()} == {"img-001", "img-002"}

@@ -280,3 +280,55 @@ def test_length_bucket_batches_invariants(spark):
         # every batch except the last is exactly full
         for b in range(max(idxs)):
             assert counts[b] == cap
+
+
+def test_pack_zero_token_doc_has_ordered_seq_range(spark):
+    """A zero-token doc must not emit seq_last < seq_first (including
+    seq_last = -1 at stream start): range-expanding consumers crash or
+    invert on it."""
+    from dump1090_postgis_spark.datapipe.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 512), (3, 0)], "doc_id long, n int"
+    )
+    out = {r.doc_id: r for r in
+           pack_sequences(df, F.col("n"), seq_len=512, n_shards=1).collect()}
+    for r in out.values():
+        assert r.seq_last >= r.seq_first, r
+    assert out[1].seq_first == out[1].seq_last  # empty doc: its position seq
+
+
+def test_length_bucket_capacity_is_floor_of_budget(spark):
+    """seq_len=768 with a 512-token bucket holds ONE doc per batch
+    (768//512), not floor(rn/1.5) = two 512-padded docs = 1024 tokens
+    in a 768-token budget."""
+    from dump1090_postgis_spark.datapipe.packing import length_bucket_batches
+
+    df = spark.createDataFrame(
+        [(i, 400) for i in range(6)], "doc_id long, n int"
+    )
+    out = length_bucket_batches(
+        df, F.col("n"), seq_len=768, n_shards=1, min_bucket=16
+    ).collect()
+    assert all(r.bucket == 512 for r in out)
+    per_batch = {}
+    for r in out:
+        per_batch.setdefault(r.batch_idx, 0)
+        per_batch[r.batch_idx] += 1
+    assert set(per_batch.values()) == {1}  # one 512-bucket doc per 768 budget
+
+
+def test_temperature_weights_zero_token_source_survives_ansi(spark):
+    """A source whose token counts sum to 0 must yield NULL
+    epochs/keep_rate, not an ANSI DIVIDE_BY_ZERO abort."""
+    from dump1090_postgis_spark.datapipe.packing import temperature_weights
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 0), ("b", 0)], "source string, n int"
+    )
+    rows = {r.source: r for r in
+            temperature_weights(
+                df, tokens=F.col("n"), budget_tokens=100
+            ).collect()}
+    assert rows["b"].epochs is None and rows["b"].keep_rate is None
+    assert rows["a"].epochs is not None
