@@ -69,11 +69,15 @@ def funnel_steps(
             for i, t in enumerate(t_cols)
         ]
     )
-    stack_args = ", ".join(
-        f"{i + 1}, '{s}', _n{i}" for i, s in enumerate(steps)
-    )
+    # Column-API stack: step names are caller data ("add'l step")
+    # — no SQL-string quoting/injection seam
+    stack_args: list = []
+    for i, s in enumerate(steps):
+        stack_args += [F.lit(i + 1), F.lit(s), F.col(f"_n{i}")]
     return counts.select(
-        F.expr(f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)")
+        F.stack(F.lit(len(steps)), *stack_args).alias(
+            "step_idx", "step", "n_users"
+        )
     ).select(F.col("step_idx").cast("int"), "step", "n_users")
 
 

@@ -84,12 +84,22 @@ def classify_intention(flights: DataFrame) -> DataFrame:
     """STATE-9 (models.py:37-49 docstring, never implemented in the
     reference — extension): departure if first seen on ground, arrival
     if it ends on ground / descending, else enroute; unknown when the
-    signals are absent."""
+    signals are absent OR the session never left the ground (a
+    taxi-only / ground-test session both starts AND ends on ground —
+    calling that 'enroute', the one class it certainly is not, was the
+    fall-through before)."""
+    first = F.coalesce(F.col("first_onground"), F.lit(False))
+    last = F.coalesce(F.col("last_onground"), F.lit(False))
     return flights.withColumn(
         "intention",
-        F.when(F.col("first_onground") & ~F.coalesce(F.col("last_onground"), F.lit(False)), "departure")
-        .when(F.coalesce(F.col("last_onground"), F.lit(False)) & ~F.coalesce(F.col("first_onground"), F.lit(False)), "arrival")
-        .when(F.col("first_onground").isNull() & F.col("last_onground").isNull(), "unknown")
+        F.when(first & ~last, "departure")
+        .when(last & ~first, "arrival")
+        .when(first & last, "unknown")
+        .when(
+            F.col("first_onground").isNull()
+            & F.col("last_onground").isNull(),
+            "unknown",
+        )
         .otherwise("enroute"),
     )
 

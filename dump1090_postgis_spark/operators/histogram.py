@@ -27,18 +27,21 @@ from ..functions.timeutil import bin_interval, to_local, validate_bin
 
 
 def time_axis_df(
-    spark: SparkSession, starts, ends, bin_: str, axis_col: str = "interval"
+    spark: SparkSession, starts, ends, bin_: str, axis_col: str = "interval",
+    tz: str | None = None,
 ) -> DataFrame:
     """JOIN-3 zero-fill axis: generate_series(date_trunc(bin, starts),
-    date_trunc(bin, ends), '1 bin') as a one-column DataFrame."""
+    date_trunc(bin, ends), '1 bin') as a one-column DataFrame.
+    ``tz`` localizes the bounds first (FLT-6 wall-clock binning) — the
+    ONE axis definition every tz and non-tz histogram shares."""
     b = validate_bin(bin_)
+    lo = F.lit(starts).cast("timestamp_ntz")
+    hi = F.lit(ends).cast("timestamp_ntz")
+    if tz:
+        lo, hi = to_local(lo, tz), to_local(hi, tz)
     return spark.range(1).select(
         F.explode(
-            F.sequence(
-                F.date_trunc(b, F.lit(starts).cast("timestamp_ntz")),
-                F.date_trunc(b, F.lit(ends).cast("timestamp_ntz")),
-                bin_interval(b),
-            )
+            F.sequence(F.date_trunc(b, lo), F.date_trunc(b, hi), bin_interval(b))
         ).alias(axis_col)
     )
 
@@ -94,27 +97,20 @@ def events_histogram(
         .agg(*aggs)
     )
 
-    axis = (
-        time_axis_df(spark, starts, ends, b)
-        if tz is None
-        else spark.range(1).select(
-            F.explode(
-                F.sequence(
-                    F.date_trunc(b, to_local(F.lit(starts).cast("timestamp_ntz"), tz)),
-                    F.date_trunc(b, to_local(F.lit(ends).cast("timestamp_ntz"), tz)),
-                    bin_interval(b),
-                )
-            ).alias("interval")
-        )
-    )
+    axis = time_axis_df(spark, starts, ends, b, tz=tz)
 
     out_cols = [
         F.col("interval"),
         F.coalesce(F.col("events"), F.lit(0)).cast("long").alias("events"),
     ]
     if include_ids:
+        # the empty-bin fallback array takes the COLLECTED list's own
+        # element type — a hardcoded array<bigint> fails coalesce's
+        # common-type resolution for string/other id columns at
+        # analysis time (id_col is an advertised parameter)
+        ids_type = binned.schema["ids"].dataType.simpleString()
         out_cols.append(
-            F.coalesce(F.col("ids"), F.array().cast("array<bigint>")).alias("ids")
+            F.coalesce(F.col("ids"), F.array().cast(ids_type)).alias("ids")
         )
     return (
         axis.join(binned, "interval", "left")

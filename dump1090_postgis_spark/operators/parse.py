@@ -26,9 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.conversions import FT_TO_M, feet2m
 from ..schemas import N_SBS1_FIELDS, SBS1_FIELDS
-
-FT_TO_M = 0.3048  # shared.py:5-7
 GND_ALTITUDE_M = 0.0  # models.py:32-34: MSG2 carries no altitude → ground level
 
 # models.py:161-167 — fields updated per transmission type.
@@ -165,8 +164,11 @@ def parse_sbs1_lines(
 
 
 def feet_to_meters(c: Column) -> Column:
-    """PRJ-5 (shared.py:5-7)."""
-    return c * F.lit(FT_TO_M)
+    """PRJ-5 (shared.py:5-7) — delegates to the one shared
+    implementation in functions.conversions (the constant and the
+    conversion must never drift between the parse path and the dim
+    loaders)."""
+    return feet2m(c)
 
 
 def with_altitude_m(df: DataFrame) -> DataFrame:

@@ -107,10 +107,17 @@ def sliding_hour_counts(
     # [e, e+window]; targets in bucket+j exist iff e mod gran >= j*gran
     # - window — replicate e forward as a contributor only, never
     # emitted
+    # pmod, not %: the inequality assumes the NON-NEGATIVE remainder
+    # eus − bucket·gran (bucket floors toward −inf), but Spark's % is
+    # sign-of-dividend — for pre-1970 (negative-epoch) timestamps the
+    # negative remainder falsely fails the spill test and
+    # boundary-crossing contributors are dropped (undercounted
+    # trailing windows).  Out of ADS-B domain, but the operator is
+    # generic over any events frame.
     spill = (
         events.withColumn("_j", F.explode(F.sequence(F.lit(1), F.lit(k))))
         .filter(
-            eus % F.lit(gran_us)
+            F.pmod(eus, F.lit(gran_us))
             >= F.col("_j").cast("long") * F.lit(gran_us) - F.lit(win_us)
         )
         .withColumn("_bucket", F.floor(eus / gran_us) + F.col("_j"))

@@ -42,12 +42,19 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"__distinct_{c}"))
     one_row = df.agg(*aggs)
 
-    stack_args = ", ".join(
-        f"'{c}', __nulls_{c}, __distinct_{c}" for c in cols
-    )
+    # Column-API stack (no SQL-string interpolation): a column named
+    # with spaces/quotes would break — or inject into — the parsed
+    # stack() expression; F.lit/F.col need no quoting rules.
+    stack_args: list = []
+    for c in cols:
+        # df[name] (not F.col) — exact-name resolution, so a source
+        # column containing a dot can't be read as a struct path
+        stack_args += [
+            F.lit(c), one_row[f"__nulls_{c}"], one_row[f"__distinct_{c}"]
+        ]
     return one_row.select(
         F.col("n_rows"),
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
+        F.stack(F.lit(len(cols)), *stack_args).alias(
+            "col_name", "n_nulls", "n_distinct"
         ),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")

@@ -73,13 +73,16 @@ def check_constraints(
             for i, (_n, pred) in enumerate(row_rules)
         ]
         one = df.agg(*aggs)
-        stack = ", ".join(
-            f"'{name}', _v{i}" for i, (name, _p) in enumerate(row_rules)
-        )
+        # Column-API stack: rule names are caller data (often derived
+        # from column names) — interpolating them into a parsed SQL
+        # string breaks on quotes/spaces and is an injection seam
+        stack_args: list = []
+        for i, (name, _p) in enumerate(row_rules):
+            stack_args += [F.lit(name), F.col(f"_v{i}")]
         frames.append(
             one.select(
-                F.expr(
-                    f"stack({len(row_rules)}, {stack}) AS (rule, n_violations)"
+                F.stack(F.lit(len(row_rules)), *stack_args).alias(
+                    "rule", "n_violations"
                 )
             )
         )

@@ -79,12 +79,17 @@ def asof_join(
     """
     lt = _secs(left, left_ts)
     payload = [F.col(c).alias(f"_r_{c}") for c in right_cols]
+    # drop NULL-timestamp right rows: they sort NULLS FIRST, and
+    # last(ignorenulls) would carry their payload as the "as-of" match
+    # for left rows with NO real earlier right row — a fabricated
+    # match on the default no-tolerance path (match_t stays NULL, so
+    # only the tolerance branch would mask it).
     r_tag = right.select(
         F.col(on).alias("_k"),
         _secs(right, right_ts).alias("_t"),
         F.lit(0).alias("_side"),
         *payload,
-    )
+    ).filter(F.col("_t").isNotNull())
     l_tag = left.select(
         F.col(on).alias("_k"),
         lt.alias("_t"),
@@ -154,6 +159,17 @@ def interval_join(
     BroadcastNestedLoopJoin — every event probed against every
     interval.
     """
+    overlap = sorted(set(intervals.columns) & set(events.columns))
+    if overlap:
+        # both sides are selected with '*': a shared name would yield
+        # ambiguous duplicate output columns that blow up on FIRST USE
+        # downstream (AMBIGUOUS_REFERENCE) — fail here with the fix.
+        # The streaming twin (pipeline.interval_join_streams) prefixes
+        # l_/r_ instead; batch callers control their projections.
+        raise ValueError(
+            f"interval_join: columns {overlap} exist on both sides — "
+            "rename or drop them on one side before joining"
+        )
     b = float(bucket_s)
     st, en = _secs(intervals, start), _secs(intervals, end)
     ivl = intervals.select(

@@ -1551,8 +1551,16 @@ SELECT row_number() OVER (ORDER BY first_seen, hexident, session_id) AS id,
        hexident,
        strftime(first_seen, '%Y-%m-%d %H:%M:%S') AS first_seen,
        strftime(last_seen, '%Y-%m-%d %H:%M:%S') AS last_seen,
-       CASE WHEN first_onground AND NOT last_onground THEN 'departure'
-            WHEN last_onground AND NOT first_onground THEN 'arrival'
+       -- mirrors classify_intention exactly (coalesce + the
+       -- ground-only and signals-absent 'unknown' branches)
+       CASE WHEN coalesce(first_onground, false)
+                 AND NOT coalesce(last_onground, false) THEN 'departure'
+            WHEN coalesce(last_onground, false)
+                 AND NOT coalesce(first_onground, false) THEN 'arrival'
+            WHEN coalesce(first_onground, false)
+                 AND coalesce(last_onground, false) THEN 'unknown'
+            WHEN first_onground IS NULL AND last_onground IS NULL
+                 THEN 'unknown'
             ELSE 'enroute' END AS intention,
        n_messages::BIGINT AS n_messages
 FROM summ

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.conversions import FT_TO_M  # one shared constant
 from ..schemas import (
     AIRLINE_SCHEMA,
     AIRPORT_SCHEMA,
@@ -110,7 +111,6 @@ OURAIRPORTS_AIRPORTS_SCHEMA = T.StructType(
     ]
 )
 
-FT_TO_M = 0.3048
 _M_PER_DEG_LAT = 110574.0
 _M_PER_DEG_LON_EQ = 111320.0
 

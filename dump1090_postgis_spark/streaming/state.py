@@ -109,6 +109,15 @@ def advance_session(
     out_rows: list[dict] = []
 
     for row in rows:
+        # PRJ-3 NULL-on-fail timestamps: a row whose gen_date_time
+        # failed to parse (pd.NaT here) cannot be ordered or clocked —
+        # NaT.value is int64-MIN, which would poison first_seen and
+        # later overflow pd.Timestamp(us) at emit, failing the whole
+        # streaming batch.  The reference's strptime RAISES on such
+        # lines and its malformed gate drops them (never admitting a
+        # flight), so skip BEFORE the admission test.
+        if pd.isna(row.gen_date_time):
+            continue
         # FLT-2 admission (flights.py:86-108 CASE B): until a
         # flight exists, only MSG2, or MSG3 passing the strict
         # altitude filter, creates it; other messages are dropped.
@@ -193,12 +202,24 @@ def sessionize_updates(
         state.remove()
         return
 
-    def _rows():
-        for pdf in pdfs:
-            yield from pdf.sort_values("gen_date_time").itertuples(index=False)
+    # sort the WHOLE group, not each Arrow chunk: a key whose batch
+    # volume exceeds arrow.maxRecordsPerBatch arrives as several pdfs
+    # in shuffle order, and per-chunk sorting would feed the edge
+    # machine time-disordered rows across chunk boundaries (spurious
+    # or lost landing/takeoff events).  The concat buffers one key's
+    # one-batch rows — the same bound the state handler already
+    # carries.  Stable sort keeps arrival order for equal timestamps.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            "gen_date_time", kind="stable"
+        )
+        rows_iter = batch.itertuples(index=False)
+    else:
+        rows_iter = iter(())
 
     admitted, new_state, out_rows = advance_session(
-        hexident, tuple(state.get) if state.exists else None, _rows()
+        hexident, tuple(state.get) if state.exists else None, rows_iter
     )
 
     if admitted:  # never create state for unadmitted hexidents

@@ -357,12 +357,20 @@ class SessionProcessor(StatefulProcessor):
         else:
             prior, armed = tuple(packed[:-2]), bool(packed[-1])
 
-        def _rows():
-            for pdf in rows:
-                yield from pdf.sort_values("gen_date_time").itertuples(index=False)
+        # whole-group sort, not per-Arrow-chunk: see
+        # state.sessionize_updates — cross-chunk disorder corrupts the
+        # edge machine; stable sort keeps arrival order on ties.
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                "gen_date_time", kind="stable"
+            )
+            rows_iter = batch.itertuples(index=False)
+        else:
+            rows_iter = iter(())
 
         admitted, new_state, out_rows = advance_session(
-            hexident, prior, _rows()
+            hexident, prior, rows_iter
         )
 
         if admitted:

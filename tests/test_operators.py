@@ -663,3 +663,84 @@ def test_funnel_window_expires_conversion(spark):
     unbounded = {r.step: r.n_users
                  for r in funnel_steps(df, ["view", "click"]).collect()}
     assert unbounded == {"view": 2, "click": 2}
+
+
+def test_sliding_counts_parity_on_negative_epochs(spark):
+    """The spill filter's remainder must be the non-negative
+    floor-division remainder (pmod): Spark's % is sign-of-dividend,
+    which falsely failed the spill test for pre-1970 timestamps and
+    dropped boundary-crossing contributors."""
+    import datetime
+
+    from dump1090_postgis_spark.operators.peak_hour import sliding_hour_counts
+
+    epoch = datetime.datetime(1970, 1, 1)
+    # straddle epoch 0: pre-1970 rows have negative epoch seconds
+    secs = [-7200, -3650, -3600, -1800, -5, 0, 5, 1800, 3600, 7200]
+    ev = spark.createDataFrame(
+        [(epoch + datetime.timedelta(seconds=s),) for s in secs],
+        "time timestamp",
+    )
+    key = lambda r: (str(r.time), r.events)  # noqa: E731
+    exact = sorted(map(key, sliding_hour_counts(ev, partitioned=False).collect()))
+    part = sorted(map(key, sliding_hour_counts(ev, granularity_s=3600).collect()))
+    assert exact == part
+
+
+def test_events_histogram_string_id_col(spark):
+    """id_col is an advertised parameter: the empty-bin ids fallback
+    must take the collected array's own type (a hardcoded
+    array<bigint> failed analysis for string ids)."""
+    import datetime
+
+    from dump1090_postgis_spark.operators.histogram import events_histogram
+
+    ev = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 30), "AAA"),
+         (datetime.datetime(2024, 1, 1, 0, 45), "BBB")],
+        "ts timestamp_ntz, hexident string",
+    )
+    out = events_histogram(
+        ev, "2024-01-01", "2024-01-01 03:00:00", "hour",
+        ts="ts", id_col="hexident",
+    ).collect()
+    assert out[0].ids == ["AAA", "BBB"]
+    assert out[1].events == 0 and out[1].ids == []
+
+
+def test_profile_and_funnel_survive_hostile_names(spark):
+    """stack() built via the Column API: column names with spaces and
+    step labels with quotes must not break (or inject into) a parsed
+    SQL expression."""
+    from dump1090_postgis_spark.operators.analytics import funnel_steps
+    from dump1090_postgis_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5)], ["seat count", "fare's value"]
+    )
+    prof = {r.col_name: r for r in profile_columns(df).collect()}
+    assert prof["seat count"].n_nulls == 0
+    assert prof["fare's value"].n_nulls == 1
+
+    ev = spark.createDataFrame(
+        [(1, "sign up", 1.0), (1, "add'l step", 2.0)],
+        "user_id long, event_type string, ts double",
+    )
+    fun = {r.step: r.n_users for r in
+           funnel_steps(ev, ["sign up", "add'l step"]).collect()}
+    assert fun == {"sign up": 1, "add'l step": 1}
+
+
+def test_classify_intention_ground_only_session(spark):
+    """A session that starts AND ends on ground never flew: 'unknown',
+    not 'enroute' (the old fall-through labeled it in-flight)."""
+    from dump1090_postgis_spark.operators.events import classify_intention
+
+    df = spark.createDataFrame(
+        [(1, True, True), (2, True, False), (3, False, True),
+         (4, None, None), (5, False, False)],
+        "id long, first_onground boolean, last_onground boolean",
+    )
+    out = {r.id: r.intention for r in classify_intention(df).collect()}
+    assert out == {1: "unknown", 2: "departure", 3: "arrival",
+                   4: "unknown", 5: "enroute"}

@@ -1161,3 +1161,72 @@ def test_tws_initial_state_rejects_duplicate_key_rows():
     )
     with pytest.raises(ValueError, match="one row"):
         proc.handleInitialState(("AAA111",), dup, None)
+
+
+def test_handler_sorts_across_arrow_chunks():
+    """A key whose batch spans several Arrow chunks arrives as
+    multiple pdfs in shuffle order — the handler must sort the WHOLE
+    group, not each chunk, or cross-chunk disorder feeds the edge
+    machine backwards (spurious/lost events)."""
+    import pandas as pd
+
+    from dump1090_postgis_spark.streaming.state import sessionize_updates
+
+    def pdf(rows):
+        return pd.DataFrame(
+            rows,
+            columns=["gen_date_time", "transmission_type", "onground",
+                     "longitude", "latitude", "altitude", "callsign"],
+        )
+
+    s = 1_000_000
+    t = lambda us: pd.Timestamp(us, unit="us")  # noqa: E731
+    # chunk A holds the LATER rows (landing at t=30s), chunk B the
+    # earlier airborne rows — correct order: airborne then landing
+    chunk_a = pdf([(t(30 * s), 2, True, 1.0, 2.0, None, None)])
+    chunk_b = pdf([
+        (t(0), 2, False, 1.0, 2.0, None, None),
+        (t(10 * s), 2, False, 1.1, 2.1, None, None),
+    ])
+
+    class _State:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+        def setTimeoutDuration(self, ms):
+            pass
+
+    out = list(sessionize_updates(("AAA111",), [chunk_a, chunk_b], _State()))
+    events = pd.concat(out) if out else pd.DataFrame()
+    assert len(events) == 1
+    assert events.iloc[0]["kind"] == "landing"
+    assert str(events.iloc[0]["first_seen"]).startswith("1970-01-01 00:00:00")
+
+
+def test_advance_session_skips_unparseable_timestamps():
+    """PRJ-3 NULL-on-fail dates surface as pd.NaT; NaT.value is
+    int64-min, which poisoned first_seen and later overflowed
+    pd.Timestamp at emit — such rows are skipped (the reference's
+    strptime raises and its malformed gate drops the line)."""
+    import pandas as pd
+
+    from dump1090_postgis_spark.streaming.state import (
+        advance_session,
+        summary_row,
+    )
+
+    s = 1_000_000
+    rows = [
+        _msg(0, onground=False)._replace(gen_date_time=pd.NaT),  # dropped
+        _msg(10 * s, onground=False),
+        _msg(20 * s, onground=True),  # landing
+    ]
+    admitted, state, out = advance_session("AAA111", None, iter(rows))
+    assert admitted
+    assert state[0] == 10 * s  # first_seen from the first VALID row
+    assert len(out) == 1 and out[0]["kind"] == "landing"
+    # summary emission must not overflow
+    summ = summary_row("AAA111", state)
+    assert str(summ["first_seen"]).startswith("1970-01-01 00:00:10")
