@@ -211,19 +211,19 @@ def ngram_contamination_bloom(
     grams = explode_computed(
         staged, F.col("_shingles"), "g", keep=[id_col, "_is_bench"]
     )
-    # persisted: the gram set feeds BOTH the bitmap build and the
-    # exact verify join — without the pin each reference re-runs the
-    # benchmark scan + shingle + distinct, doubling the very cost the
-    # bloom path exists to cut.  The frame is benchmark-gram-sized
-    # (small by construction); append to ``caches`` to release it via
-    # operators.ids.release_caches once the output is materialized.
-    bench = (
-        grams.filter(F.col("_is_bench"))
-        .select("g")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # the gram set feeds BOTH the bitmap build and the exact verify
+    # join; each reference re-runs the benchmark scan + shingle +
+    # distinct.  Pass ``caches`` to persist it across the two
+    # references (release via operators.ids.release_caches once the
+    # output is materialized) — that is the 100 TB calling convention,
+    # where the benchmark re-scan dwarfs the pin.  The persist is
+    # OPT-IN because it is measurably slower at small scale (the pin's
+    # serialization + stage break cost more than the re-scan: solo
+    # min-of-3 at sf0.1 measured 1.95 s recompute vs 2.58 s pinned)
+    # and a default pin without a reachable handle would leak.
+    bench = grams.filter(F.col("_is_bench")).select("g").distinct()
     if caches is not None:
+        bench = bench.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(bench)
     bitmap = bloom_bitmap(bench, "g", n_bits, n_hashes)
     survivors = (
