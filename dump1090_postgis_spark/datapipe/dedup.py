@@ -234,17 +234,21 @@ def minhash_banded(
     rows_per_band = num_hashes // bands
     # Parquet splits by bytes, not CPU cost: a small file of long texts
     # arrives as ONE partition, serializing the md5-heavy signature
-    # stage.  Spread rows across the cluster before hashing
-    # (spread_for_compute — a no-op when the scan already carries
-    # enough partitions, so at real scale no exchange is added), and
-    # put an exchange AFTER the signature so the 16-hash computation
-    # happens exactly once per doc — without the barrier, the per-band
-    # explode downstream would re-evaluate the whole signature
-    # expression 4×.
+    # stage.  Spread rows across the cluster before hashing, and put an
+    # exchange AFTER the signature so the 16-hash computation happens
+    # exactly once per doc — without the barrier, the per-band explode
+    # downstream would re-evaluate the whole signature expression 4×.
+    # The pre-shingle exchange is UNCONDITIONAL by measurement: a
+    # round-10 attempt to make it a spread_for_compute no-op (skip when
+    # the scan already has >= slots partitions) measured dedup
+    # incremental 2× slower at ×10 solo min-of-3 (10.0 s vs 4.9 s) —
+    # the balanced round-robin barrier is load-bearing for the
+    # multi-reference signature consumers, and a .rdd partition probe
+    # on a derived input eagerly materializes AQE query stages.
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     sig = (
         with_shingles(
-            spread_for_compute(docs.select(F.col(id_col).alias("_id"), text)),
+            docs.select(F.col(id_col).alias("_id"), text).repartition(n_parts),
             text,
         )
         .withColumn(
@@ -368,8 +372,11 @@ def _attach_pair_shingles(
             .distinct()
         )
         base = base.join(cand_ids, "_id", "leftsemi")
+    # unconditional pre-shingle spread (see minhash_banded's note: the
+    # balanced barrier is measured load-bearing; a conditional .rdd
+    # probe regressed ×10 solo benches)
     sh = (
-        with_shingles(spread_for_compute(base), text, k=k)
+        with_shingles(base.repartition(n_parts), text, k=k)
         .withColumnRenamed("_shingles", "_sh")
         .select("_id", "_sh")
         .repartition(n_parts, "_id")
@@ -500,12 +507,12 @@ def bucketed_jaccard_pairs(
     # one live bucket — see _live_bucket_members.
     banded_live = _live_bucket_members(banded, cap)
     member_ids = banded_live.select("_id").distinct()
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     sh = (
         with_shingles(
-            spread_for_compute(
-                docs.select(F.col(id_col).alias("_id"), text)
-                .join(member_ids, "_id")
-            ),
+            docs.select(F.col(id_col).alias("_id"), text)
+            .join(member_ids, "_id")
+            .repartition(n_parts),
             text,
             k=k,
         )
