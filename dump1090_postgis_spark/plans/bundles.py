@@ -928,8 +928,19 @@ def _bundle_sql(members, schema):
 
 
 def bundle_registry() -> dict:
-    """name -> (spark_fn, oracle_sql) for every coverage bundle."""
+    """name -> (spark_fn, oracle_sql) for every coverage bundle.
+
+    The oracle slot is a zero-arg CALLABLE (the lazily-built-oracle
+    convention full_registry's _resolve normalizes): a bundle member
+    whose own oracle is callable may fail ENVIRONMENTALLY (missing
+    SF_DIR / artifact guard), and building the SQL eagerly here would
+    raise before _resolve's per-entry degradation could record it —
+    failing the whole registry build instead of degrading one entry."""
     out = {}
     for name, (members, schema) in _BUNDLES.items():
-        out[name] = (_bundle_fn(members, schema), _bundle_sql(members, schema))
+
+        def _lazy(members=members, schema=schema):
+            return _bundle_sql(members, schema)
+
+        out[name] = (_bundle_fn(members, schema), _lazy)
     return out

@@ -297,19 +297,54 @@ def load_table(spark, sf_dir: str, name: str, ts_range=None):
     def _nanos(v) -> int:
         if isinstance(v, str):
             v = _dt.datetime.fromisoformat(v)
+        # tz-aware bounds (the docstring invites UTC datetimes and ISO
+        # strings with offsets): normalize to naive UTC — subtracting
+        # the naive epoch from an aware datetime raises TypeError, and
+        # an epoch carrying v's own tzinfo would shift non-UTC offsets
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         epoch = _dt.datetime(1970, 1, 1)
-        return int((v - epoch).total_seconds() * 1_000_000) * 1000
+        # integer microseconds via timedelta floor-division:
+        # total_seconds()*1e6 is float and converts ~1.2% of
+        # fractional-microsecond bounds 1 µs low, silently moving the
+        # half-open boundary
+        return ((v - epoch) // _dt.timedelta(microseconds=1)) * 1000
 
+    applied = ts_range is None
     for col in _NANOS_TS_COLS.get(name, []):
-        if dict(df.dtypes).get(col) == "bigint":
+        dt = dict(df.dtypes).get(col)
+        if dt == "bigint":
+            # raw int64-nanos layout: literal nanos prefilter reaches
+            # the parquet reader (the converted column would block
+            # pushdown), then convert
             if ts_range is not None:
                 lo, hi = ts_range
                 df = df.filter(
                     (F.col(col) >= F.lit(_nanos(lo)))
                     & (F.col(col) < F.lit(_nanos(hi)))
                 )
+                applied = True
             df = df.withColumn(
                 col,
                 F.expr(f"cast(timestamp_micros({col} div 1000) as timestamp_ntz)"),
             )
+        elif dt in ("timestamp", "timestamp_ntz") and ts_range is not None:
+            # native timestamp layout (current driver testdata stores
+            # micros): timestamp literals push down directly.  Without
+            # this branch a requested range was a SILENT NO-OP — every
+            # caller got the full table while believing it was pruned.
+            lo, hi = ts_range
+            df = df.filter(
+                (F.col(col) >= F.lit(lo).cast(dt))
+                & (F.col(col) < F.lit(hi).cast(dt))
+            )
+            applied = True
+    if not applied:
+        # a requested range that matched no timestamp column would
+        # silently return EVERY row — fail loudly instead
+        raise ValueError(
+            f"ts_range given but table {name!r} has no timestamp column "
+            f"to filter ({_NANOS_TS_COLS.get(name, [])} not present) — "
+            "filter the returned frame instead"
+        )
     return df

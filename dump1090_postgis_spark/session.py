@@ -78,7 +78,17 @@ def get_spark(
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
-        master = f"local[{cpus}]"
+        # honor an externally-submitted master (the docstring contract:
+        # spark-submit --master yarn must NOT be overridden here —
+        # forcing local[N] would silently run the cluster job
+        # single-node on the driver host).  SPARK_GRAFT_MASTER is the
+        # explicit env override; a --master in PYSPARK_SUBMIT_ARGS
+        # means spark-submit owns the setting and we leave it alone.
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+        if master is None and "--master" not in os.environ.get(
+            "PYSPARK_SUBMIT_ARGS", ""
+        ):
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
 

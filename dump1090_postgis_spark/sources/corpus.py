@@ -51,26 +51,32 @@ def read_documents_jsonl(
     the read schema, so Spark parses each line exactly once and the
     two filters are plain predicates over it.
     """
+    # read LINES and parse with from_json so the ORIGINAL text is in
+    # hand for every row: the json reader's corrupt-record column only
+    # carries the raw line for SYNTAX failures — a valid-JSON record
+    # missing a required field would previously be "reconstructed"
+    # with to_json over the known schema, dropping null fields and any
+    # unknown keys (a lossy quarantine that violates the
+    # keep-the-evidence rule and makes the record unrecoverable).
     full = T.StructType(
         list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
     )
-    raw = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .json(path)
+    raw = spark.read.text(path).select(
+        F.col("value").alias("_raw"),
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+        ).alias("_r"),
     )
     ok = (
-        F.col(_CORRUPT).isNull()
-        & F.col("doc_id").isNotNull()
-        & F.col("text").isNotNull()
+        F.col("_r").isNotNull()
+        & F.col(f"_r.{_CORRUPT}").isNull()
+        & F.col("_r.doc_id").isNotNull()
+        & F.col("_r.text").isNotNull()
     )
-    good = raw.filter(ok).drop(_CORRUPT)
-    quarantined = raw.filter(~ok).select(
-        F.coalesce(F.col(_CORRUPT), F.to_json(F.struct(*schema.names))).alias(
-            "raw"
-        )
-    )
+    good = raw.filter(ok).select(*[f"_r.{f}" for f in schema.names])
+    quarantined = raw.filter(~ok).select(F.col("_raw").alias("raw"))
     return good, quarantined
 
 

@@ -23,12 +23,21 @@ from ..schemas import (
 
 
 def load_airlines_csv(spark: SparkSession, path: str) -> DataFrame:
-    """SRC-4: `\\copy meta.airlines FROM csv HEADER QUOTE '"'`."""
-    return spark.read.csv(path, header=True, quote='"', schema=AIRLINE_SCHEMA)
+    """SRC-4: `\\copy meta.airlines FROM csv HEADER QUOTE '"'`.
+
+    ``escape='"'`` matches Postgres COPY CSV (ESCAPE defaults to the
+    quote char, RFC-4180 doubled quotes): Spark's default escape is
+    backslash, which mis-parses 'Air ""K"" Ltd' fields — the runway
+    and airport loaders below already pass it."""
+    return spark.read.csv(
+        path, header=True, quote='"', escape='"', schema=AIRLINE_SCHEMA
+    )
 
 
 def load_countries_csv(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.csv(path, header=True, quote='"', schema=COUNTRY_SCHEMA)
+    return spark.read.csv(
+        path, header=True, quote='"', escape='"', schema=COUNTRY_SCHEMA
+    )
 
 
 def load_aircraft_images(spark: SparkSession, directory: str) -> DataFrame:
@@ -115,6 +124,13 @@ _M_PER_DEG_LAT = 110574.0
 _M_PER_DEG_LON_EQ = 111320.0
 
 
+def _pt(lon, lat):
+    """(lon, lat) vertex struct — the one definition every polygon/bbox
+    builder shares (Spark 4 drops inner aliases on computed struct
+    children, so builders cast the array to pin field names)."""
+    return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+
 def load_runways_csv(spark: SparkSession, path: str) -> DataFrame:
     """Raw ourairports-format runways.csv (the file the reference ships
     at database/data/runways.csv), declared schema, RFC-4180 quoting."""
@@ -180,16 +196,11 @@ def runways_from_csv(
     olon = -dy / norm * halfw / m_lon  # perpendicular half-width offset, deg
     olat = dx / norm * halfw / m_lat
 
-    def pt(lon, lat):
-        return F.struct(lon.alias("lon"), lat.alias("lat"))
-
-    # cast pins the struct field names — Spark 4 drops inner aliases
-    # on computed struct children (col1/col2 otherwise)
     polygon = F.array(
-        pt(lon1 + olon, lat1 + olat),
-        pt(lon2 + olon, lat2 + olat),
-        pt(lon2 - olon, lat2 - olat),
-        pt(lon1 - olon, lat1 - olat),
+        _pt(lon1 + olon, lat1 + olat),
+        _pt(lon2 + olon, lat2 + olat),
+        _pt(lon2 - olon, lat2 - olat),
+        _pt(lon1 - olon, lat1 - olat),
     ).cast("array<struct<lon:double,lat:double>>")
     ends = F.array(
         F.struct(
@@ -264,15 +275,17 @@ def airports_from_csv(
         (F.max("p.lat") + m).alias("_hi_lat"),
     )
 
-    def pt(lon, lat):
-        return F.struct(lon.alias("lon"), lat.alias("lat"))
-
     bbox = F.array(
-        pt(F.col("_lo_lon"), F.col("_lo_lat")),
-        pt(F.col("_hi_lon"), F.col("_lo_lat")),
-        pt(F.col("_hi_lon"), F.col("_hi_lat")),
-        pt(F.col("_lo_lon"), F.col("_hi_lat")),
+        _pt(F.col("_lo_lon"), F.col("_lo_lat")),
+        _pt(F.col("_hi_lon"), F.col("_lo_lat")),
+        _pt(F.col("_hi_lon"), F.col("_hi_lat")),
+        _pt(F.col("_lo_lon"), F.col("_hi_lat")),
     ).cast("array<struct<lon:double,lat:double>>")
+    # an airport with NO matching runway rows misses the left join —
+    # its envelope columns are NULL, and a 4-vertex array of NULL
+    # coordinates is NOT a null bbox (bbox.isNotNull() is the contract
+    # the runways=None path establishes); keep it truly NULL
+    bbox = F.when(F.col("_lo_lon").isNotNull(), bbox)
     return (
         base.join(F.broadcast(env), "icao", "left")
         .withColumn("bbox", bbox)
@@ -350,8 +363,10 @@ def nte_airport(spark: SparkSession) -> DataFrame:
 # each ring one closed MultiLineString part.
 # ---------------------------------------------------------------------------
 
-_KM_PER_DEG_LAT = 110.574
-_KM_PER_DEG_LON_EQ = 111.320
+# derived from the SAME per-degree constants the runway/bbox geometry
+# uses (one source of truth, two unit systems would drift)
+_KM_PER_DEG_LAT = _M_PER_DEG_LAT / 1000.0
+_KM_PER_DEG_LON_EQ = _M_PER_DEG_LON_EQ / 1000.0
 
 
 def range_ring_vertices(

@@ -222,6 +222,24 @@ def start_pipeline(
             spark.conf.set(key, ROCKSDB_PROVIDER)
         events = event_stream_tws(parsed_stream(raw_stream))
     else:
+        # the mirror-image guard: engine='auto' resolves to 'legacy'
+        # when the protobuf transport is ABSENT — if the checkpoint
+        # was written by a TWS run (protobuf since removed/downgraded),
+        # restarting the applyInPandasWithState handler over it yields
+        # at best an opaque state-store failure and at worst silently
+        # dropped in-flight sessions, with the engine flip never
+        # surfaced to the operator.
+        from .tws import _latest_tws_metadata
+
+        if _latest_tws_metadata(checkpoint_dir, 0) is not None:
+            raise RuntimeError(
+                f"checkpoint {checkpoint_dir!r} was written by the TWS "
+                "(transformWithState) engine, but the resolved engine "
+                f"is {resolved!r} (protobuf transport unavailable or "
+                "engine forced). Restore the protobuf runtime (or pass "
+                "engine='tws'), or start the legacy engine on a FRESH "
+                "checkpoint directory."
+            )
         events = event_stream(parsed_stream(raw_stream))
     if runways is not None:
         sink_fn = attributing_sink(runways, airport_bbox, sink_fn)

@@ -249,3 +249,73 @@ def test_read_documents_jsonl_quarantines_malformed(spark, tmp_path):
     again, none = read_documents_jsonl(spark, out)
     assert {r.doc_id: r.text for r in again.collect()} == g
     assert none.count() == 0
+
+
+def test_quarantine_preserves_raw_line_for_valid_json(spark, tmp_path):
+    """A record that PARSES but misses a required field must land in
+    quarantine as its ORIGINAL line — the old to_json reconstruction
+    dropped null fields and unknown keys, making the evidence
+    unrecoverable (SRC-3 keep-the-evidence rule)."""
+    from dump1090_postgis_spark.sources.corpus import read_documents_jsonl
+
+    line = '{"doc_id": null, "text": "x", "extra_key": 1}'
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good", "lang": "en", "source": "s"}\n'
+        + line + "\n"
+        + "not json at all\n"
+    )
+    good, bad = read_documents_jsonl(spark, str(p))
+    assert good.count() == 1
+    raws = {r.raw for r in bad.collect()}
+    assert line in raws          # byte-for-byte original, extra key intact
+    assert "not json at all" in raws
+
+
+def test_airports_without_runways_have_null_bbox(spark):
+    """An airport with NO matching runway rows must get a truly NULL
+    bbox, not a 4-vertex array of NULL coordinates (bbox.isNotNull()
+    is the boundary contract)."""
+    from dump1090_postgis_spark.sources.dims import (
+        airports_from_csv,
+        load_airports_csv,
+        load_runways_csv,
+        runways_from_csv,
+    )
+
+    air = load_airports_csv(spark, AIRPORTS_CSV)
+    rwy = runways_from_csv(load_runways_csv(spark, RUNWAYS_CSV), "LFRS")
+    out = {r.icao: r for r in airports_from_csv(air, runways=rwy).collect()}
+    assert out["LFRS"].bbox is not None
+    # every airport in the fixture whose icao has no runway polygon
+    # must be truly NULL, not an array of NULL-coordinate vertices
+    no_rwy = [r for icao, r in out.items() if icao != "LFRS"]
+    assert no_rwy and all(r.bbox is None for r in no_rwy)
+
+
+def test_load_table_ts_range_tz_aware_and_boundary_exact(spark):
+    """ts_range accepts tz-aware bounds (docstring contract), converts
+    fractional-microsecond bounds exactly (float total_seconds lost
+    1 µs on ~1.2% of values), and REFUSES a range it cannot apply."""
+    import datetime as dt
+
+    import pytest
+
+    from dump1090_postgis_spark.schemas import load_table
+
+    lo = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    hi = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+    aware = load_table(
+        spark, "/root/testdata/sf0.001", "events", ts_range=(lo, hi)
+    )
+    naive = load_table(
+        spark, "/root/testdata/sf0.001", "events",
+        ts_range=("2024-01-01", "2024-01-02"),
+    )
+    assert aware.count() == naive.count() > 0
+
+    with pytest.raises(ValueError, match="ts_range"):
+        load_table(
+            spark, "/root/testdata/sf0.001", "customer",
+            ts_range=("2024-01-01", "2024-01-02"),
+        )
