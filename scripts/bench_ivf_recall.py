@@ -192,6 +192,35 @@ def main() -> int:
                     row["recall_at_k_pq_rerank"] = round(
                         len(exact & approx_rr) / len(exact), 4
                     )
+                    # cell-store leg (round-11): build-once index
+                    # store, then the SAME production rerank query
+                    # with both corpus passes pruned to the probed
+                    # cells.  Build time is index-build (amortized
+                    # across queries, like train_sec) and reported
+                    # separately; the store is rebuilt per run because
+                    # centroids retrain per run (the sidecar guard
+                    # would — correctly — reject a stale store).
+                    store_path = os.path.join(
+                        REPO, f".bench_ivf_x{IVF_SCALE}",
+                        f"cell_store_nlist{nlist}",
+                    )
+                    t0 = time.time()
+                    sim.write_ivf_cell_store(
+                        emb, centroids, store_path, num_partitions=256,
+                    )
+                    row["store_build_sec"] = round(time.time() - t0, 2)
+                    t0 = time.time()
+                    approx_st = {
+                        (r.query_id, r.neighbor_id)
+                        for r in sim.ivf_pq_topk(
+                            emb, queries, centroids, k=K, probes=probes,
+                            rerank=True, corpus_store=store_path,
+                        ).collect()
+                    }
+                    row["sec_pq_rerank_store"] = round(time.time() - t0, 2)
+                    row["recall_at_k_pq_rerank_store"] = round(
+                        len(exact & approx_st) / len(exact), 4
+                    )
                 rows.append(row)
                 print(
                     f"nlist={nlist:>2} nprobe={probes:>2}  "
@@ -205,6 +234,13 @@ def main() -> int:
                         f"  pq+rr={row['recall_at_k_pq_rerank']:.4f}"
                         f"/{row['sec_pq_rerank']}s"
                         if "sec_pq_rerank" in row
+                        else ""
+                    )
+                    + (
+                        f"  pq+rr+store={row['recall_at_k_pq_rerank_store']:.4f}"
+                        f"/{row['sec_pq_rerank_store']}s"
+                        f" (build {row['store_build_sec']}s)"
+                        if "sec_pq_rerank_store" in row
                         else ""
                     ),
                     file=sys.stderr,

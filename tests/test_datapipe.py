@@ -489,6 +489,115 @@ def test_ivf_pq_rerank_equals_exact_ivf(spark):
         assert rr == ivf, f"probes={probes}"
 
 
+def test_ivf_cell_store_parity_and_partition_pruning(spark, tmp_path):
+    """The round-10 → round-11 rerank-fetch fix: a write_ivf_cell_store
+    layout must (a) leave ivf_pq_topk's rows IDENTICAL to the
+    storeless path (codes are deterministic — precomputing changes
+    nothing), including the degenerate strata, and (b) actually PRUNE:
+    the probed-cell predicate reaches the scan as PartitionFilters,
+    proven end-to-end by corrupting an UNPROBED cell's parquet file —
+    a pruned scan never opens it, an unpruned scan would raise."""
+    import math
+    import os
+    import random
+
+    rnd = random.Random(79)
+    clean = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    corpus = spark.createDataFrame(
+        clean
+        + [
+            (300, [float("nan")] + [1.0] * 7),
+            (301, [None, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+            (302, None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    emb_clean = spark.createDataFrame(
+        clean, "vec_id long, embedding array<double>"
+    )
+    queries = emb_clean.filter(F.col("vec_id") < 3)
+    cent = sim.build_centroids(emb_clean, num_centroids=8)
+    path = str(tmp_path / "cell_store")
+    sim.write_ivf_cell_store(corpus, cent, path, num_partitions=8)
+
+    probes = 2
+    probed = {
+        r["list_id"]
+        for r in sim.with_probed_centroids(queries, cent, probes, "embedding")
+        .select("list_id")
+        .distinct()
+        .collect()
+    }
+    all_cells = {
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if d.startswith("list_id=")
+    }
+    unprobed = sorted(all_cells - probed)
+    assert unprobed, "fixture must leave at least one unprobed cell"
+    # corrupt the HIGHEST unprobed cell (schema inference reads the
+    # first file in listing order, which lives in a low cell)
+    victim = os.path.join(path, f"list_id={unprobed[-1]}")
+    for f in os.listdir(victim):
+        if f.endswith(".parquet"):
+            with open(os.path.join(victim, f), "wb") as fh:
+                fh.write(b"not a parquet file")
+
+    def norm(df):
+        out = set()
+        for r in df.collect():
+            c = r.cosine
+            c = "nan" if (c is not None and math.isnan(c)) else c
+            out.add((r.query_id, r.rank, r.neighbor_id, c))
+        return out
+
+    for rr in (False, True):
+        plain = sim.ivf_pq_topk(
+            corpus, queries, cent, k=5, probes=probes,
+            rerank=rr, rerank_m=10**6,
+        )
+        stored = sim.ivf_pq_topk(
+            corpus, queries, cent, k=5, probes=probes,
+            rerank=rr, rerank_m=10**6, corpus_store=path,
+        )
+        assert norm(stored) == norm(plain), f"rerank={rr}"
+
+    out = sim.ivf_pq_topk(
+        corpus, queries, cent, k=5, probes=probes,
+        rerank=True, corpus_store=path,
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan
+
+
+def test_ivf_cell_store_rejects_stale_centroids(spark, tmp_path):
+    """Pruning on a foreign quantizer's cells would silently drop true
+    neighbors — the store's centroid sidecar makes that loud."""
+    import random
+
+    rnd = random.Random(80)
+    corpus = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") < 2)
+    cent_a = sim.build_centroids(corpus, num_centroids=4, iterations=1)
+    cent_b = cent_a.withColumn(
+        "centroid", F.transform("centroid", lambda x: x + F.lit(0.001))
+    )
+    path = str(tmp_path / "stale_store")
+    sim.write_ivf_cell_store(corpus, cent_a, path, num_partitions=4)
+    with pytest.raises(ValueError, match="different centroids"):
+        sim.ivf_pq_topk(
+            corpus, queries, cent_b, k=3, probes=2, corpus_store=path
+        ).collect()
+
+
 def test_ivf_pq_rerank_auto_gating(spark, monkeypatch):
     """rerank='auto' keys on the BUDGET dispatch: below the FLOPs
     budget the plan and rows are the pure-PQ path (oracle hashes
