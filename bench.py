@@ -183,6 +183,126 @@ def format_bench_output(timings: dict[str, float], sf: float) -> tuple[str, str]
     return full_line, json.dumps(payload)
 
 
+def ab_summary(
+    new_runs: list[dict[str, float]], ref_runs: list[dict[str, float]]
+) -> dict:
+    """Pure aggregation for ``--ab-ref``: per query, min over each
+    side's runs (the steady-state plan cost, same convention as the
+    normal bench), the paired delta (new − ref, negative = faster)
+    and ratio.  Queries missing on either side (registry drift between
+    trees) are reported under ``unpaired`` instead of silently
+    dropped."""
+    new_min: dict[str, float] = {}
+    ref_min: dict[str, float] = {}
+    for runs, acc in ((new_runs, new_min), (ref_runs, ref_min)):
+        for run in runs:
+            for q, s in run.items():
+                acc[q] = min(acc.get(q, float("inf")), float(s))
+    paired = sorted(set(new_min) & set(ref_min))
+    queries = {
+        q: {
+            "new": round(new_min[q], 3),
+            "ref": round(ref_min[q], 3),
+            "delta": round(new_min[q] - ref_min[q], 3),
+            "ratio": round(new_min[q] / ref_min[q], 3)
+            if ref_min[q] > 0
+            else None,
+        }
+        for q in paired
+    }
+    return {
+        "queries": queries,
+        "total_new": round(sum(new_min[q] for q in paired), 3),
+        "total_ref": round(sum(ref_min[q] for q in paired), 3),
+        "unpaired": sorted(set(new_min) ^ set(ref_min)),
+    }
+
+
+def _run_bench_process(tree: str, names: list[str]) -> dict[str, float]:
+    """One fresh-process single-shot bench of ``names`` against the
+    checkout at ``tree``; returns its per-query timing map."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_RUNS"] = "1"
+    env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(names)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(tree, "bench.py")],
+        cwd=tree, env=env, capture_output=True, text=True,
+    )
+    line = next(
+        (ln for ln in reversed(proc.stdout.splitlines())
+         if ln.startswith("{")),
+        None,
+    )
+    if proc.returncode != 0 or line is None:
+        raise SystemExit(
+            f"bench subprocess failed in {tree} "
+            f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}"
+        )
+    return json.loads(line)["queries"]
+
+
+def run_ab(ref: str, names: list[str], pairs: int = 3) -> int:
+    """``--ab-ref <git-ref>`` — the worktree A/B protocol that round
+    10 ran by hand (BASELINE.md: same final tree measured 60.5–90.5 s
+    across a noisy window; only INTERLEAVED same-set runs attribute a
+    mover to the code instead of the host).  Checks ``ref`` out into a
+    throwaway worktree and runs ``pairs`` fresh-PROCESS single-shot
+    benches per side, alternating sides each pair (ABBA ordering — a
+    monotonic host drift hits both sides symmetrically), then reports
+    min-of-pairs per query with paired deltas.  Writes BENCH_AB.json;
+    never touches BENCH_FULL.json."""
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    subprocess.run(
+        ["git", "-C", repo, "worktree", "add", "--force", "--detach", wt, ref],
+        check=True,
+    )
+    try:
+        new_runs: list[dict[str, float]] = []
+        ref_runs: list[dict[str, float]] = []
+        for i in range(pairs):
+            order = (
+                [(repo, new_runs), (wt, ref_runs)]
+                if i % 2 == 0
+                else [(wt, ref_runs), (repo, new_runs)]
+            )
+            for tree, acc in order:
+                side = "new" if tree == repo else "ref"
+                t0 = time.time()
+                acc.append(_run_bench_process(tree, names))
+                print(
+                    f"[ab] pair {i + 1}/{pairs} {side}: "
+                    f"{round(time.time() - t0, 1)}s wall",
+                    file=sys.stderr,
+                )
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            check=False,
+        )
+    out = ab_summary(new_runs, ref_runs)
+    out.update({"metric": "bench_ab", "ref": ref, "pairs": pairs,
+                "sf_dir": SF_DIR})
+    with open(os.path.join(repo, "BENCH_AB.json"), "w") as f:
+        f.write(json.dumps(out) + "\n")
+    for q, row in sorted(
+        out["queries"].items(), key=lambda kv: kv[1]["delta"]
+    ):
+        print(
+            f"{q:<36} new {row['new']:>8.3f}  ref {row['ref']:>8.3f}  "
+            f"delta {row['delta']:>+8.3f}  x{row['ratio']}",
+            file=sys.stderr,
+        )
+    print(json.dumps({k: out[k] for k in
+                      ("metric", "ref", "pairs", "total_new", "total_ref")}))
+    return 0
+
+
 def main() -> int:
     from dump1090_postgis_spark.plans import full_registry
     from dump1090_postgis_spark.session import get_spark
@@ -245,4 +365,17 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--ab-ref" in sys.argv:
+        argv = sys.argv[1:]
+        ab_ref = argv[argv.index("--ab-ref") + 1]
+        ab_pairs = (
+            int(argv[argv.index("--ab-pairs") + 1])
+            if "--ab-pairs" in argv
+            else 3
+        )
+        subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+        ab_names = (
+            [n for n in subset.split(",") if n] if subset else BENCH_QUERIES
+        )
+        raise SystemExit(run_ab(ab_ref, ab_names, ab_pairs))
     raise SystemExit(main())

@@ -90,7 +90,12 @@ def rows_at_least(
     est = plan_rows(df)
     if est is not None:
         return est >= threshold
-    return df.limit(threshold).count() >= threshold
+    # limit() takes a JVM int; a threshold past 2^31−1 (small explicit
+    # k makes the FLOPs wall ~3e10 rows) clamps the probe, which can
+    # then only answer "< threshold" — the CONSERVATIVE direction for
+    # every gate this feeds (stay exact / stay on the join engine).
+    cap = min(threshold, 2**31 - 1)
+    return df.limit(cap).count() >= threshold
 
 
 def work_rows_threshold(budget: float, units_per_row: float) -> int:

@@ -1827,15 +1827,20 @@ def semantic_dedup(
     corpora the flip is merely conservative (the tree on a tiny pool
     costs the same as exact).
 
-    ``corpus_rows`` accuracy caveat (round-9 advisor): the hint is
-    jobs-not-answers ONLY while the decisions it feeds stay below the
-    answer-affecting thresholds.  An OVER-stated hint that pushes
-    n·k·dim past :data:`_ASSIGN_EXACT_MAX_FLOPS` flips the vectorized
+    ``corpus_rows`` accuracy caveat (round-9 advisor, GUARDED since
+    round 11): the hint is jobs-not-answers ONLY while the decisions
+    it feeds stay below the answer-affecting thresholds.  An
+    OVER-stated hint that pushes n·k·dim past
+    :data:`_ASSIGN_EXACT_MAX_FLOPS` would flip the vectorized
     assignment to the APPROXIMATE two-level tree — keep/drop output
-    can change at coarse-cell boundaries, not just the plan.  Pass the
-    true size (or a slight under-estimate), or pin
-    ``assignment_probes=None`` alongside an uncertain hint to force
-    the exact search.
+    could change at coarse-cell boundaries, not just the plan — so a
+    hint-driven flip is now CROSS-CHECKED with a bounded limit-probe
+    at the flip threshold: a confirmed flip proceeds (the probe is one
+    bounded scan, ≪ the assignment it gates), an inflated hint warns
+    loudly and keeps the exact all-k search (property-pinned: no hint
+    value can change output at oracle scales).  An EXPLICIT
+    ``assignment_probes`` int remains the unguarded opt-in; pin
+    ``assignment_probes=None`` to force exact regardless of size.
     """
     from .costmodel import plan_rows
     from .dedup import spread_for_compute
@@ -1885,9 +1890,39 @@ def semantic_dedup(
                 .filter(F.col("_d").isNotNull())
                 .first()
             )
+            dim = dim_row["_d"] if dim_row else 0
             assignment_probes = resolve_assignment_probes(
-                n_rows, num_centroids, dim_row["_d"] if dim_row else 0
+                n_rows, num_centroids, dim
             )
+            if assignment_probes is not None and corpus_rows is not None:
+                # The tree flip is ANSWER-affecting (approximate at
+                # coarse-cell boundaries), and here a caller HINT alone
+                # pushed it — cross-check with a BOUNDED limit-probe at
+                # the flip threshold before trusting it (round-10
+                # advisor: an over-stated hint must not silently change
+                # keep/drop).  At genuine decade scale the probe
+                # confirms in one bounded scan (≪ the assignment it
+                # gates); an inflated hint is exposed and the EXACT
+                # all-k search stands, loudly.
+                from .costmodel import rows_at_least, work_rows_threshold
+
+                flip_rows = work_rows_threshold(
+                    _ASSIGN_EXACT_MAX_FLOPS,
+                    max(1, num_centroids) * max(1, dim),
+                )
+                if not rows_at_least(corpus, flip_rows):
+                    import warnings
+
+                    warnings.warn(
+                        f"corpus_rows={corpus_rows} would flip the "
+                        "assignment to the APPROXIMATE two-level tree, "
+                        f"but a bounded probe found < {flip_rows} rows "
+                        "— the hint is over-stated; keeping the EXACT "
+                        "all-k assignment.  Pass assignment_probes "
+                        "explicitly to force the tree.",
+                        stacklevel=2,
+                    )
+                    assignment_probes = None
         else:
             assignment_probes = None
     elif assignment_probes is not None and pairwise != "vectorized":

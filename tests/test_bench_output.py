@@ -56,3 +56,26 @@ def test_truncation_is_deterministic():
     _, out_a = format_bench_output(timings, 0.1)
     _, out_b = format_bench_output(dict(reversed(list(timings.items()))), 0.1)
     assert out_a == out_b
+
+
+def test_ab_summary_pairs_and_flags_drift():
+    """--ab-ref aggregation: min-of-runs per side, paired deltas, and
+    registry drift between trees surfaces in `unpaired` instead of
+    vanishing."""
+    from bench import ab_summary
+
+    new_runs = [
+        {"q1": 2.0, "q2": 5.0, "only_new": 1.0},
+        {"q1": 1.5, "q2": 6.0, "only_new": 0.9},
+    ]
+    ref_runs = [
+        {"q1": 1.0, "q2": 8.0, "only_ref": 3.0},
+        {"q1": 1.2, "q2": 7.0, "only_ref": 2.0},
+    ]
+    out = ab_summary(new_runs, ref_runs)
+    assert out["queries"]["q1"] == {
+        "new": 1.5, "ref": 1.0, "delta": 0.5, "ratio": 1.5,
+    }
+    assert out["queries"]["q2"]["delta"] == -2.0
+    assert out["unpaired"] == ["only_new", "only_ref"]
+    assert out["total_new"] == 6.5 and out["total_ref"] == 8.0

@@ -387,3 +387,57 @@ def test_auto_dispatch_flip_point_engines_value_match(spark):
     assert "FlatMapGroupsInPandas" not in _plan(below)
     assert rows(above) == rows(below)
     emb.unpersist()
+
+
+def test_inflated_corpus_rows_hint_cannot_change_semantic_dedup(spark):
+    """Round-10 verdict #4: an over-stated ``corpus_rows`` hint used
+    to be able to silently flip the vectorized assignment to the
+    APPROXIMATE two-level tree past the FLOPs wall — changing
+    keep/drop output, not just the plan.  The guard cross-checks a
+    hint-driven flip with a bounded probe: for EVERY hint magnitude,
+    output at oracle scale equals the no-hint truth, the flip warns
+    loudly, and only an EXPLICIT assignment_probes int opts into the
+    tree."""
+    import random
+    import warnings as _w
+
+    from dump1090_postgis_spark.datapipe import similarity as sim
+    from dump1090_postgis_spark.datapipe.costmodel import (
+        work_rows_threshold,
+    )
+
+    rnd = random.Random(92)
+    dim = 8
+    emb = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    truth = rows(sim.semantic_dedup(emb, num_centroids=4, tau=0.3))
+    tree_flip_hint = work_rows_threshold(
+        sim._ASSIGN_EXACT_MAX_FLOPS, 4 * dim
+    )
+    for hint in (10**7, tree_flip_hint, tree_flip_hint * 1000, 10**18):
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            got = rows(
+                sim.semantic_dedup(
+                    emb, num_centroids=4, tau=0.3, corpus_rows=hint
+                )
+            )
+        assert got == truth, f"hint={hint} changed output"
+        if hint >= tree_flip_hint:
+            assert any(
+                "over-stated" in str(w.message) for w in caught
+            ), f"hint={hint} flipped without a loud warning"
+    # explicit int = the unguarded opt-in: the tree runs (approximate
+    # by contract), covering every corpus row exactly once
+    opted = sim.semantic_dedup(
+        emb, num_centroids=4, tau=0.3, pairwise="vectorized",
+        assignment_probes=2,
+    )
+    assert opted.count() == 60
+    emb.unpersist()
