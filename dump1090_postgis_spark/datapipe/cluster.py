@@ -153,6 +153,29 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    pending = 0
+    if changed:
+        # convergence is only OBSERVABLE one round late (round k's
+        # changes may themselves be the fixed point), so a loop that
+        # exhausts with changed > 0 gets ONE read-only probe — the
+        # next round's min-neighbor check without a label update —
+        # before declaring non-convergence; otherwise max_iter would
+        # effectively need one spare round, and a converged result
+        # would be thrown away (round-10 advisor).
+        pending = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("lbl").alias("nb_lbl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nb_lbl").alias("nb_min"))
+            .join(labels.withColumnRenamed("node", "a"), "a")
+            .filter(F.col("nb_min") < F.col("lbl"))
+            .limit(1)
+            .count()
+        )
     # the returned labels frame keeps ITS checkpoint blocks (the
     # caller reads them); the symmetric edge list — 2× the pair list,
     # the largest scratch frame here — is dead the moment the loop
@@ -161,19 +184,21 @@ def connected_components(
     # a per-day clustering pipeline would otherwise leak one edge-list
     # checkpoint per invocation).
     _unpersist_blocks(sc, sym_ids)
-    if changed:
+    if pending:
         # min-label propagation moves one hop per round: a duplicate
         # CHAIN longer than max_iter (successive revisions each
         # similar only to their neighbors) is still merging when the
         # loop exhausts.  Returning here would hand the caller
         # SILENTLY SPLIT components — duplicate_clusters would then
         # mark several docs of one true family canonical and the
-        # duplicates would survive dedup unnoticed.
+        # duplicates would survive dedup unnoticed.  The labels frame
+        # is not returned on this path — free its blocks too.
+        _unpersist_blocks(sc, prev_ids)
         raise RuntimeError(
             f"connected_components did not converge in max_iter="
-            f"{max_iter} rounds ({changed} labels still moving): the "
-            "duplicate graph has a chain longer than max_iter hops — "
-            "raise max_iter (cost is one join+groupBy round each)"
+            f"{max_iter} rounds (labels still moving): the duplicate "
+            "graph has a chain longer than max_iter hops — raise "
+            "max_iter (cost is one join+groupBy round each)"
         )
     return labels.select("node", F.col("lbl").alias("component"))
 

@@ -80,20 +80,37 @@ def debounce_events(
     )
 
 
-def classify_intention(flights: DataFrame) -> DataFrame:
+def classify_intention(
+    flights: DataFrame, airborne: str = "any_airborne"
+) -> DataFrame:
     """STATE-9 (models.py:37-49 docstring, never implemented in the
     reference — extension): departure if first seen on ground, arrival
     if it ends on ground / descending, else enroute; unknown when the
     signals are absent OR the session never left the ground (a
     taxi-only / ground-test session both starts AND ends on ground —
     calling that 'enroute', the one class it certainly is not, was the
-    fall-through before)."""
+    fall-through before).
+
+    ``airborne`` (used iff the column is present): endpoint flags
+    alone cannot tell a taxi-only session from a complete gate-to-gate
+    flight — both start AND end on ground (round-10 advisor).  A
+    session that WAS airborne in between followed the reference's own
+    departure rule ("first recorded position was onground",
+    models.py:42) and is labeled 'departure'; without the signal (or
+    without the column) the ambiguous both-onground case stays
+    'unknown'."""
     first = F.coalesce(F.col("first_onground"), F.lit(False))
     last = F.coalesce(F.col("last_onground"), F.lit(False))
+    flew = (
+        F.coalesce(F.col(airborne), F.lit(False))
+        if airborne in flights.columns
+        else F.lit(False)
+    )
     return flights.withColumn(
         "intention",
         F.when(first & ~last, "departure")
         .when(last & ~first, "arrival")
+        .when(first & last & flew, "departure")
         .when(first & last, "unknown")
         .when(
             F.col("first_onground").isNull()

@@ -120,6 +120,15 @@ def build_tables(
                 F.col("onground"),
                 F.when(F.col("onground").isNotNull(), F.col("gen_date_time")),
             ).alias("first_onground"),
+            # airborne-in-between signal: splits a complete
+            # gate-to-gate flight (→ departure, the reference's
+            # first-position-onground rule) from a taxi-only session
+            # (→ unknown) — endpoint flags alone cannot tell them
+            # apart.  bool_or skips NULLs; all-NULL coalesces to
+            # "never seen airborne" inside classify_intention.
+            F.bool_or(F.col("onground") == F.lit(False)).alias(
+                "any_airborne"
+            ),
         ],
     )
     flights = with_dense_ids(

@@ -914,12 +914,19 @@ def q_state9_intention(spark, sf):
     summ = sess.groupBy("user_id", "session_id").agg(
         F.min_by("onground", "ts").alias("first_onground"),
         F.max_by("onground", "ts").alias("last_onground"),
+        F.bool_or(F.col("onground") == F.lit(False)).alias("any_airborne"),
     )
     return summ.select(
         "user_id",
         "session_id",
         F.when(F.col("first_onground") & ~F.col("last_onground"), "departure")
         .when(F.col("last_onground") & ~F.col("first_onground"), "arrival")
+        .when(
+            F.col("first_onground")
+            & F.col("last_onground")
+            & F.col("any_airborne"),
+            "departure",  # gate-to-gate: reference's first-onground rule
+        )
         .when(F.col("first_onground") & F.col("last_onground"), "unknown")
         .otherwise("enroute")
         .alias("intention"),
@@ -941,12 +948,15 @@ WITH gaps AS (
 ), summ AS (
   SELECT user_id, session_id,
          arg_min(onground, ts) AS first_onground,
-         arg_max(onground, ts) AS last_onground
+         arg_max(onground, ts) AS last_onground,
+         bool_or(NOT onground) AS any_airborne
   FROM sess GROUP BY user_id, session_id
 )
 SELECT user_id, session_id::BIGINT AS session_id,
        CASE WHEN first_onground AND NOT last_onground THEN 'departure'
             WHEN last_onground AND NOT first_onground THEN 'arrival'
+            WHEN first_onground AND last_onground AND any_airborne
+                 THEN 'departure'
             WHEN first_onground AND last_onground THEN 'unknown'
             ELSE 'enroute' END AS intention
 FROM summ
@@ -1544,7 +1554,8 @@ WITH msgs AS (
          min(gdt) AS first_seen, max(gdt) AS last_seen,
          count(*) AS n_messages,
          arg_min(onground, gdt) AS first_onground,
-         arg_max(onground, gdt) AS last_onground
+         arg_max(onground, gdt) AS last_onground,
+         bool_or(NOT onground) AS any_airborne
   FROM kept GROUP BY hexident, session_id
 )
 SELECT row_number() OVER (ORDER BY first_seen, hexident, session_id) AS id,
@@ -1552,11 +1563,15 @@ SELECT row_number() OVER (ORDER BY first_seen, hexident, session_id) AS id,
        strftime(first_seen, '%Y-%m-%d %H:%M:%S') AS first_seen,
        strftime(last_seen, '%Y-%m-%d %H:%M:%S') AS last_seen,
        -- mirrors classify_intention exactly (coalesce + the
-       -- ground-only and signals-absent 'unknown' branches)
+       -- airborne-in-between gate-to-gate split, the taxi-only and
+       -- signals-absent 'unknown' branches)
        CASE WHEN coalesce(first_onground, false)
                  AND NOT coalesce(last_onground, false) THEN 'departure'
             WHEN coalesce(last_onground, false)
                  AND NOT coalesce(first_onground, false) THEN 'arrival'
+            WHEN coalesce(first_onground, false)
+                 AND coalesce(last_onground, false)
+                 AND coalesce(any_airborne, false) THEN 'departure'
             WHEN coalesce(first_onground, false)
                  AND coalesce(last_onground, false) THEN 'unknown'
             WHEN first_onground IS NULL AND last_onground IS NULL

@@ -294,15 +294,24 @@ def load_table(spark, sf_dir: str, name: str, ts_range=None):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
-    def _nanos(v) -> int:
-        if isinstance(v, str):
-            v = _dt.datetime.fromisoformat(v)
+    def _utc_naive(v) -> "_dt.datetime":
         # tz-aware bounds (the docstring invites UTC datetimes and ISO
         # strings with offsets): normalize to naive UTC — subtracting
         # the naive epoch from an aware datetime raises TypeError, and
-        # an epoch carrying v's own tzinfo would shift non-UTC offsets
+        # an epoch carrying v's own tzinfo would shift non-UTC offsets.
+        # ONE normalization for BOTH storage layouts: the native-
+        # timestamp branch used to cast offset-bearing STRINGS by their
+        # wall-clock fields (offset ignored), so the two parquet
+        # layouts pruned different ranges for the same bound
+        # (round-10 advisor).
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+
+    def _nanos(v) -> int:
+        v = _utc_naive(v)
         epoch = _dt.datetime(1970, 1, 1)
         # integer microseconds via timedelta floor-division:
         # total_seconds()*1e6 is float and converts ~1.2% of
@@ -335,8 +344,8 @@ def load_table(spark, sf_dir: str, name: str, ts_range=None):
             # caller got the full table while believing it was pruned.
             lo, hi = ts_range
             df = df.filter(
-                (F.col(col) >= F.lit(lo).cast(dt))
-                & (F.col(col) < F.lit(hi).cast(dt))
+                (F.col(col) >= F.lit(_utc_naive(lo)).cast(dt))
+                & (F.col(col) < F.lit(_utc_naive(hi)).cast(dt))
             )
             applied = True
     if not applied:

@@ -61,13 +61,22 @@ def read_documents_jsonl(
     full = T.StructType(
         list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
     )
-    raw = spark.read.text(path).select(
-        F.col("value").alias("_raw"),
-        F.from_json(
-            F.col("value"),
-            full,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
-        ).alias("_r"),
+    # blank / whitespace-only lines (trailing newlines, pretty-printed
+    # files) are dropped BEFORE parsing: spark.read.json silently
+    # skipped them, and the text+from_json path would otherwise
+    # quarantine empty evidence — inflating quarantine counts with
+    # rows no one can act on (round-10 advisor).
+    raw = (
+        spark.read.text(path)
+        .filter(F.length(F.trim(F.col("value"))) > 0)
+        .select(
+            F.col("value").alias("_raw"),
+            F.from_json(
+                F.col("value"),
+                full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+            ).alias("_r"),
+        )
     )
     ok = (
         F.col("_r").isNotNull()

@@ -474,6 +474,17 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert out == {(i, 0) for i in range(7)}
     with pytest.raises(ValueError, match="max_iter"):
         connected_components(chain, max_iter=0)
+    # convergence is observable one round LATE: a run whose final
+    # round produces the fixed point must RETURN it, not raise —
+    # otherwise max_iter silently needs one spare round (round-10
+    # advisor).  Chain 0-1-2 converges on exactly round 2 (round 2
+    # still moves node 2, round 3 would report zero changes).
+    short = _edges(spark, [(0, 1), (1, 2)])
+    out = {
+        (r.node, r.component)
+        for r in connected_components(short, max_iter=2).collect()
+    }
+    assert out == {(0, 0), (1, 0), (2, 0)}
 
 
 def test_duplicate_clusters_foreign_pair_endpoint_keeps_docs(spark):

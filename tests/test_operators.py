@@ -744,3 +744,17 @@ def test_classify_intention_ground_only_session(spark):
     out = {r.id: r.intention for r in classify_intention(df).collect()}
     assert out == {1: "unknown", 2: "departure", 3: "arrival",
                    4: "unknown", 5: "enroute"}
+    # with the airborne-in-between signal (round-10 advisor): a
+    # complete gate-to-gate flight follows the reference's
+    # first-position-onground rule → departure; taxi-only (never
+    # airborne) and signal-absent sessions stay unknown
+    df2 = spark.createDataFrame(
+        [(1, True, True, True), (2, True, True, False),
+         (3, True, True, None), (4, True, False, True),
+         (5, None, None, True)],
+        "id long, first_onground boolean, last_onground boolean, "
+        "any_airborne boolean",
+    )
+    out2 = {r.id: r.intention for r in classify_intention(df2).collect()}
+    assert out2 == {1: "departure", 2: "unknown", 3: "unknown",
+                    4: "departure", 5: "unknown"}

@@ -236,6 +236,8 @@ def test_read_documents_jsonl_quarantines_malformed(spark, tmp_path):
         'not json at all\n'
         '{"doc_id": "notanint", "text": "x"}\n'
         '{"doc_id": 3}\n'  # missing required text
+        '\n'       # blank line: skipped, NOT quarantined (json-reader
+        '   \n'    # parity — trailing newlines are not evidence)
     )
     good, bad = read_documents_jsonl(spark, str(p))
     g = {r.doc_id: r.text for r in good.collect()}
@@ -319,3 +321,29 @@ def test_load_table_ts_range_tz_aware_and_boundary_exact(spark):
             spark, "/root/testdata/sf0.001", "customer",
             ts_range=("2024-01-01", "2024-01-02"),
         )
+
+
+def test_load_table_offset_string_bounds_agree_across_layouts(spark, tmp_path):
+    """An ISO-string bound carrying a non-UTC offset must prune the
+    SAME range on the native-timestamp layout as on the bigint-nanos
+    layout (the native branch used to cast by wall-clock fields,
+    ignoring the offset — round-10 advisor)."""
+    from dump1090_postgis_spark.schemas import load_table
+
+    # rewrite the real events table in the native timestamp layout
+    native_dir = str(tmp_path)
+    load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(
+        f"{native_dir}/events.parquet"
+    )
+    off = ("2024-01-01T06:00:00+02:00", "2024-01-01T18:00:00+02:00")
+    utc = ("2024-01-01T04:00:00", "2024-01-01T16:00:00")
+    n_bigint_off = load_table(
+        spark, "/root/testdata/sf0.001", "events", ts_range=off
+    ).count()
+    n_native_off = load_table(
+        spark, native_dir, "events", ts_range=off
+    ).count()
+    n_native_utc = load_table(
+        spark, native_dir, "events", ts_range=utc
+    ).count()
+    assert n_bigint_off == n_native_off == n_native_utc > 0
