@@ -218,17 +218,41 @@ def ab_summary(
     }
 
 
+# Injected into BOTH trees so the two sides run IDENTICAL measurement
+# code regardless of each tree's bench.py vintage (the round-9 tree
+# predates SPARK_GRAFT_BENCH_QUERIES): single-shot per fresh process,
+# same noop-sink + inter-query hygiene as main().
+_AB_DRIVER = """
+import gc, json, os, sys, time
+sys.path.insert(0, os.getcwd())
+from dump1090_postgis_spark.plans import full_registry
+from dump1090_postgis_spark.session import get_spark
+
+spark = get_spark(app_name="bench_ab")
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+reg = full_registry()
+out = {}
+for n in sys.argv[1].split(","):
+    fn, _sql = reg[n]
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    out[n] = round(time.time() - t0, 3)
+    df = None
+    spark.catalog.clearCache()
+    gc.collect()
+print(json.dumps({"queries": out}))
+"""
+
+
 def _run_bench_process(tree: str, names: list[str]) -> dict[str, float]:
     """One fresh-process single-shot bench of ``names`` against the
     checkout at ``tree``; returns its per-query timing map."""
     import subprocess
 
-    env = dict(os.environ)
-    env["SPARK_GRAFT_BENCH_RUNS"] = "1"
-    env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(names)
     proc = subprocess.run(
-        [sys.executable, os.path.join(tree, "bench.py")],
-        cwd=tree, env=env, capture_output=True, text=True,
+        [sys.executable, "-c", _AB_DRIVER, ",".join(names)],
+        cwd=tree, capture_output=True, text=True,
     )
     line = next(
         (ln for ln in reversed(proc.stdout.splitlines())
