@@ -999,6 +999,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     assign_engine: str = "auto",
     corpus_rows: int | None = None,
+    corpus_store: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their nearest
     centroid's list; each query scans only its `probes` nearest lists.
@@ -1032,17 +1033,42 @@ def ivf_topk(
     NULL on the way BACK (pandas→Arrow treats float NaN as missing);
     unguarded, a NULL-element vector would rank FIRST and a true-NaN
     vector would silently fall to the NULL stratum whenever the
-    vectorized engine ran."""
-    assigned_fn, cen_lit, _, _eng = _resolve_ivf_assignment(
+    vectorized engine ran.
+
+    ``corpus_store`` — path to a :func:`write_ivf_cell_store` layout:
+    the corpus side reads the store's float column pruned to the
+    probed cells (static ``list_id IN`` → PartitionFilters, zero
+    query-time assignment FLOPs — the same build-once/query-many
+    contract as :func:`ivf_pq_topk`'s store path, results pinned
+    identical to the storeless plan; the centroid sidecar is verified
+    first)."""
+    assigned_fn, cen_lit, cen_rows_l, _eng = _resolve_ivf_assignment(
         corpus, centroids, vec, assign_engine, corpus_rows
     )
     deg, nan_flag = _exact_score_flags(vec)
-    corpus_assigned = assigned_fn(
-        corpus.withColumn("_deg", deg).withColumn("_nan", nan_flag)
-    )
     query_probes = with_probed_centroids(
         queries, centroids, probes, vec, "list_id", _cen_lit=cen_lit
     )
+    if corpus_store is not None:
+        store = _load_ivf_cell_store(
+            corpus.sparkSession, corpus_store, cen_rows_l, vec, id_col
+        )
+        probed_cells = sorted(
+            r["list_id"]
+            for r in query_probes.select("list_id").distinct().collect()
+        )
+        # flags recompute over the stored float column — bit-identical
+        # to the storeless expressions (parquet round-trips exactly)
+        corpus_assigned = (
+            store.filter(F.col("list_id").isin(probed_cells))
+            .select(id_col, vec, "list_id")
+            .withColumn("_deg", deg)
+            .withColumn("_nan", nan_flag)
+        )
+    else:
+        corpus_assigned = assigned_fn(
+            corpus.withColumn("_deg", deg).withColumn("_nan", nan_flag)
+        )
 
     q = query_probes.select(
         F.col(id_col).alias("query_id"), F.col(vec).alias("_qv"), "list_id"

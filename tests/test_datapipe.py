@@ -561,6 +561,11 @@ def test_ivf_cell_store_parity_and_partition_pruning(spark, tmp_path):
             rerank=rr, rerank_m=10**6, corpus_store=path,
         )
         assert norm(stored) == norm(plain), f"rerank={rr}"
+    # exact-scoring IVF from the same store: identical rows too
+    assert norm(
+        sim.ivf_topk(corpus, queries, cent, k=5, probes=probes,
+                     corpus_store=path)
+    ) == norm(sim.ivf_topk(corpus, queries, cent, k=5, probes=probes))
 
     out = sim.ivf_pq_topk(
         corpus, queries, cent, k=5, probes=probes,
