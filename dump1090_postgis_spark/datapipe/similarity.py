@@ -1284,6 +1284,56 @@ def write_ivf_cell_store(
     )
 
 
+def append_ivf_cell_store(
+    new_vectors: DataFrame,
+    path: str,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    assign_engine: str = "auto",
+    corpus_rows: int | None = None,
+    num_partitions: int | None = None,
+    files_per_cell: int | None = None,
+) -> None:
+    """The FAISS ``add`` path: encode a NEW batch of vectors against an
+    EXISTING cell store's own sidecar quantizer and append it — the
+    incremental-index twin of :func:`.dedup.incremental_lsh_pairs`'s
+    signature store.  Because the sidecar centroids are the single
+    source of truth for the assignment, an appended store stays
+    self-consistent by construction: every query that verifies the
+    sidecar prunes cells that contain ALL batches.
+
+    Ids must be unique across batches (caller contract, same as any
+    append-only table); re-training centroids requires a full rebuild
+    via :func:`write_ivf_cell_store` — appending after retrain is
+    exactly the stale-store hazard the sidecar check exists to catch.
+    """
+    spark = new_vectors.sparkSession
+    cen = spark.read.parquet(
+        f"{path.rstrip('/')}/{_IVF_STORE_CENTROIDS}"
+    ).select("centroid_id", "centroid")
+    cen_rows = _collect_centroids(cen)
+    nlist = max(1, len(cen_rows))
+    n = (
+        num_partitions
+        or spark.sparkContext.defaultParallelism
+    )
+    salt = files_per_cell or -(-n // nlist)
+    coded = pq_encode_residual(
+        new_vectors, cen, vec, id_col,
+        assign_engine=assign_engine, corpus_rows=corpus_rows,
+        _cen_rows=cen_rows, _keep_cols=(vec,),
+    )
+    (
+        coded.repartition(
+            n, F.col("list_id"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)),
+        )
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
 def _load_ivf_cell_store(
     spark, path: str, cen_rows: list, vec: str, id_col: str
 ) -> DataFrame:

@@ -580,6 +580,38 @@ def test_ivf_cell_store_parity_and_partition_pruning(spark, tmp_path):
     assert "list_id" in plan
 
 
+def test_ivf_cell_store_append_matches_full_rebuild(spark, tmp_path):
+    """The FAISS add path: a store built on batch A then appended with
+    batch B must answer queries identically to the storeless plan over
+    A∪B (the sidecar quantizer is the single source of truth, so the
+    appended batch lands in the same cells a rebuild would give it)."""
+    import random
+
+    rnd = random.Random(81)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(80)]
+    batch_a = spark.createDataFrame(
+        rows[:50], "vec_id long, embedding array<double>"
+    )
+    batch_b = spark.createDataFrame(
+        rows[50:], "vec_id long, embedding array<double>"
+    )
+    union = batch_a.unionByName(batch_b)
+    queries = batch_a.filter(F.col("vec_id") < 3)
+    cent = sim.build_centroids(batch_a, num_centroids=4)
+    path = str(tmp_path / "append_store")
+    sim.write_ivf_cell_store(batch_a, cent, path, num_partitions=4)
+    sim.append_ivf_cell_store(batch_b, path, num_partitions=4)
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for fn in (sim.ivf_topk,
+               lambda *a, **kw: sim.ivf_pq_topk(*a, rerank=True, **kw)):
+        stored = fn(union, queries, cent, k=5, probes=2, corpus_store=path)
+        plain = fn(union, queries, cent, k=5, probes=2)
+        assert rows_of(stored) == rows_of(plain)
+
+
 def test_ivf_cell_store_rejects_stale_centroids(spark, tmp_path):
     """Pruning on a foreign quantizer's cells would silently drop true
     neighbors — the store's centroid sidecar makes that loud."""
