@@ -1057,14 +1057,14 @@ def ivf_topk(
             r["list_id"]
             for r in query_probes.select("list_id").distinct().collect()
         )
-        # flags recompute over the stored float column — bit-identical
-        # to the storeless expressions (parquet round-trips exactly)
-        corpus_assigned = (
-            store.filter(F.col("list_id").isin(probed_cells))
-            .select(id_col, vec, "list_id")
-            .withColumn("_deg", deg)
-            .withColumn("_nan", nan_flag)
-        )
+        # strata flags come STORED (computed pre-assignment at write
+        # time): recomputing them from the stored vector would flip
+        # NULL-element rows written through the vectorized engine's
+        # Arrow round trip (NULL↔NaN rewrite) from ranked-last to
+        # ranked-first.  Clean rows' floats round-trip bit-exact.
+        corpus_assigned = store.filter(
+            F.col("list_id").isin(probed_cells)
+        ).select(id_col, vec, "list_id", "_deg", "_nan")
     else:
         corpus_assigned = assigned_fn(
             corpus.withColumn("_deg", deg).withColumn("_nan", nan_flag)
@@ -1254,6 +1254,13 @@ def write_ivf_cell_store(
     the min centroid id in both engines (see
     :func:`_assign_nearest_vectorized`), so every row lands in a real
     cell directory and the pruned fetch can never lose a candidate.
+    The exact-scoring strata flags (``_deg``/``_nan``) are computed
+    Spark-side BEFORE assignment and PERSISTED: under the vectorized
+    engine the Arrow round-trip rewrites NULL elements ↔ NaN in the
+    kept float column (see :func:`_assign_nearest_vectorized`'s
+    caveat), so flags recomputed from the stored vector would flip a
+    NULL-element row from ranked-last to ranked-first — readers score
+    from the stored flags instead.
     """
     cen_rows = _collect_centroids(centroids)
     nlist = max(1, len(cen_rows))
@@ -1262,10 +1269,16 @@ def write_ivf_cell_store(
         or corpus.sparkSession.sparkContext.defaultParallelism
     )
     salt = files_per_cell or -(-n // nlist)  # ceil
+    deg, nan_flag = _exact_score_flags(vec)
     coded = pq_encode_residual(
-        corpus, centroids, vec, id_col,
+        corpus.withColumn("_store_deg", deg).withColumn(
+            "_store_nan", nan_flag
+        ),
+        centroids, vec, id_col,
         assign_engine=assign_engine, corpus_rows=corpus_rows,
-        _cen_rows=cen_rows, _keep_cols=(vec,),
+        _cen_rows=cen_rows, _keep_cols=(vec, "_store_deg", "_store_nan"),
+    ).withColumnRenamed("_store_deg", "_deg").withColumnRenamed(
+        "_store_nan", "_nan"
     )
     (
         coded.repartition(
@@ -1318,10 +1331,16 @@ def append_ivf_cell_store(
         or spark.sparkContext.defaultParallelism
     )
     salt = files_per_cell or -(-n // nlist)
+    deg, nan_flag = _exact_score_flags(vec)
     coded = pq_encode_residual(
-        new_vectors, cen, vec, id_col,
+        new_vectors.withColumn("_store_deg", deg).withColumn(
+            "_store_nan", nan_flag
+        ),
+        cen, vec, id_col,
         assign_engine=assign_engine, corpus_rows=corpus_rows,
-        _cen_rows=cen_rows, _keep_cols=(vec,),
+        _cen_rows=cen_rows, _keep_cols=(vec, "_store_deg", "_store_nan"),
+    ).withColumnRenamed("_store_deg", "_deg").withColumnRenamed(
+        "_store_nan", "_nan"
     )
     (
         coded.repartition(
@@ -1364,9 +1383,9 @@ def _load_ivf_cell_store(
             "write_ivf_cell_store using the SAME centroids"
         )
     store = spark.read.parquet(path)
-    missing = {id_col, vec, "list_id", "q_res", "q_scale"} - set(
-        store.columns
-    )
+    missing = {
+        id_col, vec, "list_id", "q_res", "q_scale", "_deg", "_nan"
+    } - set(store.columns)
     if missing:
         raise ValueError(
             f"IVF cell store at {path} is missing columns {sorted(missing)}"
@@ -1540,16 +1559,27 @@ def ivf_pq_topk(
     # final top-k comes from ivf_topk's EXACT scoring expressions.
     m = max(int(rerank_m), k)
     cand = ranked.filter(F.col("rank") <= m).select("query_id", "neighbor_id")
-    deg, nan_flag = _exact_score_flags(vec)
     # every candidate's cell is probed by construction (candidates are
     # born from the coded⋈probe join), so the pruned store is a
-    # LOSSLESS fetch source — only its float column is read.
-    fetched = (store_pruned if store_pruned is not None else corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec).alias("_cv"),
-        deg.alias("_deg"),
-        nan_flag.alias("_nan"),
-    )
+    # LOSSLESS fetch source — only its float + flag columns are read.
+    # Store path: strata flags come STORED (see write_ivf_cell_store —
+    # recomputing from the stored vector would mis-rank NULL-element
+    # rows written through the vectorized engine's Arrow round trip).
+    if store_pruned is not None:
+        fetched = store_pruned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec).alias("_cv"),
+            "_deg",
+            "_nan",
+        )
+    else:
+        deg, nan_flag = _exact_score_flags(vec)
+        fetched = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec).alias("_cv"),
+            deg.alias("_deg"),
+            nan_flag.alias("_nan"),
+        )
     q_exact = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec).alias("_qv")
     )

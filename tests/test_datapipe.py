@@ -580,6 +580,62 @@ def test_ivf_cell_store_parity_and_partition_pruning(spark, tmp_path):
     assert "list_id" in plan
 
 
+def test_ivf_cell_store_vectorized_write_keeps_degenerate_strata(
+    spark, tmp_path
+):
+    """A store written through the VECTORIZED assignment engine
+    round-trips the kept float column through Arrow, which rewrites
+    NULL elements ↔ NaN — flags recomputed from the stored vector
+    would flip a NULL-element row from ranked-last to ranked-first.
+    The store persists the pre-assignment strata flags, so store and
+    storeless plans agree on every stratum regardless of the engine
+    that wrote the store."""
+    import math
+    import random
+
+    rnd = random.Random(82)
+    corpus = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+        + [
+            (300, [float("nan")] + [1.0] * 7),
+            (301, [None, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+            (302, None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    clean = corpus.filter(F.col("vec_id") < 40)
+    queries = clean.filter(F.col("vec_id") < 2)
+    cent = sim.build_centroids(clean, num_centroids=4)
+    path = str(tmp_path / "vec_store")
+    sim.write_ivf_cell_store(
+        corpus, cent, path, assign_engine="vectorized", num_partitions=4
+    )
+
+    def norm(df):
+        out = set()
+        for r in df.collect():
+            c = r.cosine
+            c = "nan" if (c is not None and math.isnan(c)) else c
+            out.add((r.query_id, r.rank, r.neighbor_id, c))
+        return out
+
+    # probes = nlist so the degenerate rows' cell is certainly probed
+    stored = sim.ivf_topk(
+        corpus, queries, cent, k=45, probes=4, corpus_store=path
+    )
+    plain = sim.ivf_topk(corpus, queries, cent, k=45, probes=4)
+    assert norm(stored) == norm(plain)
+    stored_rr = sim.ivf_pq_topk(
+        corpus, queries, cent, k=45, probes=4,
+        rerank=True, rerank_m=10**6, corpus_store=path,
+    )
+    plain_rr = sim.ivf_pq_topk(
+        corpus, queries, cent, k=45, probes=4,
+        rerank=True, rerank_m=10**6,
+    )
+    assert norm(stored_rr) == norm(plain_rr)
+
+
 def test_ivf_cell_store_append_matches_full_rebuild(spark, tmp_path):
     """The FAISS add path: a store built on batch A then appended with
     batch B must answer queries identically to the storeless plan over
