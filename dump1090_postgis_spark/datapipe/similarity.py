@@ -1053,18 +1053,14 @@ def ivf_topk(
         store = _load_ivf_cell_store(
             corpus.sparkSession, corpus_store, cen_rows_l, vec, id_col
         )
-        probed_cells = sorted(
-            r["list_id"]
-            for r in query_probes.select("list_id").distinct().collect()
-        )
         # strata flags come STORED (computed pre-assignment at write
         # time): recomputing them from the stored vector would flip
         # NULL-element rows written through the vectorized engine's
         # Arrow round trip (NULL↔NaN rewrite) from ranked-last to
         # ranked-first.  Clean rows' floats round-trip bit-exact.
-        corpus_assigned = store.filter(
-            F.col("list_id").isin(probed_cells)
-        ).select(id_col, vec, "list_id", "_deg", "_nan")
+        corpus_assigned = _probed_store_scan(store, query_probes).select(
+            id_col, vec, "list_id", "_deg", "_nan"
+        )
     else:
         corpus_assigned = assigned_fn(
             corpus.withColumn("_deg", deg).withColumn("_nan", nan_flag)
@@ -1353,6 +1349,35 @@ def append_ivf_cell_store(
     )
 
 
+#: Probed-cell cap for the static IN pushed into a cell-store scan: a
+#: plan literal per cell compiles fine at thousands of cells but a
+#: 100k-cell index probed by a large query batch would inline a
+#: 100k-term predicate into every scan (slow to plan, no extra
+#: pruning value once most directories are touched anyway).  Past the
+#: cap the static filter is skipped — the list_id equi-join still
+#: culls rows, and the scan degrades to the storeless I/O shape while
+#: keeping the zero-assignment-FLOPs win.
+_STORE_ISIN_MAX_CELLS = 4096
+
+
+def _probed_store_scan(store: DataFrame, query_probes: DataFrame) -> DataFrame:
+    """The probed-cell pruning shared by :func:`ivf_topk` /
+    :func:`ivf_pq_topk`: one query-side-only job collects the distinct
+    probed cells (the probe ranking is a literal projection over the
+    bounded query frame, so this never touches the corpus) and pushes
+    them as a static ``list_id IN`` — the scan node carries
+    ``PartitionFilters`` and unprobed cell directories cost zero I/O.
+    Past :data:`_STORE_ISIN_MAX_CELLS` the literal is skipped (see the
+    constant's rationale)."""
+    probed_cells = sorted(
+        r["list_id"]
+        for r in query_probes.select("list_id").distinct().collect()
+    )
+    if len(probed_cells) > _STORE_ISIN_MAX_CELLS:
+        return store
+    return store.filter(F.col("list_id").isin(probed_cells))
+
+
 def _load_ivf_cell_store(
     spark, path: str, cen_rows: list, vec: str, id_col: str
 ) -> DataFrame:
@@ -1504,15 +1529,7 @@ def ivf_pq_topk(
         store = _load_ivf_cell_store(
             corpus.sparkSession, corpus_store, cen_rows, vec, id_col
         )
-        # the probe set: one query-side-only job (the probe ranking is
-        # a literal projection over the bounded query frame), ≤ nlist
-        # ints — compiled into a static IN so the scan node carries
-        # PartitionFilters and unprobed cell directories cost zero I/O.
-        probed_cells = sorted(
-            r["list_id"]
-            for r in query_probes.select("list_id").distinct().collect()
-        )
-        store_pruned = store.filter(F.col("list_id").isin(probed_cells))
+        store_pruned = _probed_store_scan(store, query_probes)
         coded = store_pruned.select(id_col, "list_id", "q_res", "q_scale")
     else:
         coded = pq_encode_residual(

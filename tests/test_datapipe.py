@@ -567,6 +567,29 @@ def test_ivf_cell_store_parity_and_partition_pruning(spark, tmp_path):
                      corpus_store=path)
     ) == norm(sim.ivf_topk(corpus, queries, cent, k=5, probes=probes))
 
+    # past the IN-literal cap the static filter is skipped (giant
+    # probe sets at 100k-cell indexes) — the join still culls, so the
+    # UNPRUNED fallback must hit the corrupted cell... which is why
+    # the fallback check needs its own uncorrupted store
+    import pytest as _pt
+
+    path2 = str(tmp_path / "cell_store_capped")
+    sim.write_ivf_cell_store(corpus, cent, path2, num_partitions=8)
+    mp = _pt.MonkeyPatch()
+    try:
+        mp.setattr(sim, "_STORE_ISIN_MAX_CELLS", 0)
+        capped = sim.ivf_pq_topk(
+            corpus, queries, cent, k=5, probes=probes,
+            rerank=True, rerank_m=10**6, corpus_store=path2,
+        )
+        plain = sim.ivf_pq_topk(
+            corpus, queries, cent, k=5, probes=probes,
+            rerank=True, rerank_m=10**6,
+        )
+        assert norm(capped) == norm(plain)
+    finally:
+        mp.undo()
+
     out = sim.ivf_pq_topk(
         corpus, queries, cent, k=5, probes=probes,
         rerank=True, corpus_store=path,
