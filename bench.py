@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_ivf_pq",  # round-7: residual-int8 coded corpus
+    "ann_topk_ivf_pq_store",  # round-11: cell-store build + pruned query
     "text_quality",
     "text_fingerprint",
     "multimodal_decode",

@@ -541,6 +541,13 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("ann_topk_bruteforce", "dq", ["query_id", "rank", "neighbor_id", "cosine"]),
             ("ann_topk_ivf", "dq", ["query_id", "rank", "neighbor_id", "cosine"]),
             ("ann_topk_ivf_pq", "dq", ["query_id", "rank", "neighbor_id", "cosine"]),
+            # round-11 cell-store twin: writer + sidecar verify +
+            # pruned read exercised inside the driver window
+            (
+                "ann_topk_ivf_pq_store",
+                "dq",
+                ["query_id", "rank", "neighbor_id", "cosine"],
+            ),
             ("ann_topk_quantized", "dq", ["query_id", "rank", "neighbor_id", "cosine"]),
             ("kmeans_refine", "dq", ["centroid_id", "dim", "x"]),
             (

@@ -641,6 +641,39 @@ def q_ann_topk_ivf_pq(spark, sf):
     )
 
 
+def ivf_store_artifact(sf_dir: str) -> str:
+    """Cell-store path for a given scale-factor dir (one per sf
+    basename, same convention as :func:`lsh_banded_artifact`)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_ARTIFACTS_DIR, f"ivf_cell_store_{base}")
+
+
+def q_ann_topk_ivf_pq_store(spark, sf):
+    """Cell-store twin of ann_topk_ivf_pq: identical parameters and
+    output, but the corpus passes read the persisted
+    ``write_ivf_cell_store`` layout pruned to the probed cells
+    (``PartitionFilters`` at the scan, zero query-time assignment
+    FLOPs) — the build-once/query-many production path
+    (similarity.py round 11).  The store is REBUILT here each call
+    (build_centroids is deterministic per sf, so the sidecar always
+    matches), which keeps the entry self-contained and also makes the
+    driver exercise writer + sidecar verify + pruned read end-to-end.
+    The oracle is the SAME CTE replay as ann_topk_ivf_pq: residual
+    codes are deterministic, so precomputing them to parquet changes
+    no value (store ≡ storeless is additionally parity-pinned in
+    pytest, degenerate strata included)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    n = table_rows(sf, "embeddings")  # footer count: jobless auto gates
+    centroids = sim.build_centroids(emb, num_centroids=8, corpus_rows=n)
+    path = ivf_store_artifact(sf)
+    sim.write_ivf_cell_store(emb, centroids, path, corpus_rows=n)
+    return sim.ivf_pq_topk(
+        emb, queries, centroids, k=5, probes=3, corpus_rows=n,
+        corpus_store=path,
+    )
+
+
 SQL_ANN_IVF_PQ = f"""
 WITH corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -2782,4 +2815,5 @@ REGISTRY: dict = {
     "ann_hard_negatives": (q_ann_hard_negatives, SQL_ANN_HARD_NEG),
     "bm25_rerank": (q_bm25_rerank, SQL_BM25_RERANK),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
+    "ann_topk_ivf_pq_store": (q_ann_topk_ivf_pq_store, SQL_ANN_IVF_PQ),
 }
