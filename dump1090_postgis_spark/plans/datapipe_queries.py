@@ -654,20 +654,30 @@ def q_ann_topk_ivf_pq_store(spark, sf):
     ``write_ivf_cell_store`` layout pruned to the probed cells
     (``PartitionFilters`` at the scan, zero query-time assignment
     FLOPs) — the build-once/query-many production path
-    (similarity.py round 11).  The store is REBUILT here each call
-    (build_centroids is deterministic per sf, so the sidecar always
-    matches), which keeps the entry self-contained and also makes the
-    driver exercise writer + sidecar verify + pruned read end-to-end.
-    The oracle is the SAME CTE replay as ann_topk_ivf_pq: residual
-    codes are deterministic, so precomputing them to parquet changes
-    no value (store ≡ storeless is additionally parity-pinned in
-    pytest, degenerate strata included)."""
+    (similarity.py round 11).  The store is built COMPUTE-IF-MISSING:
+    an existing artifact is reused exactly when its centroid sidecar
+    matches this call's (deterministic) centroids — the same guard
+    that makes a stale store raise makes reuse SAFE, and the entry
+    then measures the query-many READ path while a cold
+    ``.artifacts/`` still exercises the writer end-to-end (the
+    lsh_banded artifact's ensure-pattern, with the sidecar as the
+    freshness witness instead of path existence).  The oracle is the
+    SAME CTE replay as ann_topk_ivf_pq: residual codes are
+    deterministic, so precomputing them to parquet changes no value
+    (store ≡ storeless is additionally parity-pinned in pytest,
+    degenerate strata included)."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     n = table_rows(sf, "embeddings")  # footer count: jobless auto gates
     centroids = sim.build_centroids(emb, num_centroids=8, corpus_rows=n)
     path = ivf_store_artifact(sf)
-    sim.write_ivf_cell_store(emb, centroids, path, corpus_rows=n)
+    try:
+        sim._load_ivf_cell_store(
+            spark, path, sim._collect_centroids(centroids),
+            "embedding", "vec_id",
+        )
+    except Exception:  # missing, unreadable, or sidecar-stale → rebuild
+        sim.write_ivf_cell_store(emb, centroids, path, corpus_rows=n)
     return sim.ivf_pq_topk(
         emb, queries, centroids, k=5, probes=3, corpus_rows=n,
         corpus_store=path,
