@@ -234,6 +234,12 @@ sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 reg = full_registry()
 out = {}
 for n in sys.argv[1].split(","):
+    # Registry drift between trees (a query added this round doesn't
+    # exist in an older ref): SKIP here so ab_summary reports it under
+    # `unpaired` instead of a KeyError killing the whole ref side
+    # (round-11 advisor).
+    if n not in reg:
+        continue
     fn, _sql = reg[n]
     t0 = time.time()
     df = fn(spark, sf_dir)

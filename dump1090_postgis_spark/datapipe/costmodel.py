@@ -30,6 +30,11 @@ import math
 
 from pyspark.sql import DataFrame
 
+#: ``DataFrame.limit`` takes a JVM int — the hard ceiling on what a
+#: bounded limit-probe can COUNT, and therefore on the largest
+#: threshold :func:`rows_at_least` can confirm without plan stats.
+JVM_INT_MAX = 2**31 - 1
+
 
 #: Optimized-plan ROOT nodes whose stats().rowCount is exact BY
 #: CONSTRUCTION: the relation holds its rows (LocalRelation — the
@@ -94,7 +99,12 @@ def rows_at_least(
     # k makes the FLOPs wall ~3e10 rows) clamps the probe, which can
     # then only answer "< threshold" — the CONSERVATIVE direction for
     # every gate this feeds (stay exact / stay on the join engine).
-    cap = min(threshold, 2**31 - 1)
+    # Callers for whom "conservative" is NOT free (the hint cross-check
+    # in similarity.semantic_dedup, where a false negative overrides an
+    # accurate decade-scale hint) must probe at min(threshold,
+    # JVM_INT_MAX) themselves and treat a saturated probe as
+    # inconclusive.
+    cap = min(threshold, JVM_INT_MAX)
     return df.limit(cap).count() >= threshold
 
 

@@ -1258,6 +1258,21 @@ def write_ivf_cell_store(
     NULL-element row from ranked-last to ranked-first — readers score
     from the stored flags instead.
     """
+    if mode not in ("overwrite", "error", "errorifexists"):
+        # mode='append' here would ALSO append duplicate centroid rows
+        # to the sidecar, which the bit-exact check in
+        # _load_ivf_cell_store then rejects — the store would silently
+        # self-break (round-11 advisor).  Growing an existing store is
+        # append_ivf_cell_store's job (it encodes against the store's
+        # OWN sidecar quantizer and never rewrites the sidecar);
+        # mode='ignore' is rejected too — skipping the data write while
+        # overwriting the sidecar could pair old cells with new
+        # centroids.
+        raise ValueError(
+            f"write_ivf_cell_store mode must be 'overwrite' or "
+            f"'error'/'errorifexists', got {mode!r}; use "
+            "append_ivf_cell_store to add a batch to an existing store"
+        )
     cen_rows = _collect_centroids(centroids)
     nlist = max(1, len(cen_rows))
     n = (
@@ -1288,7 +1303,11 @@ def write_ivf_cell_store(
     (
         centroids.select("centroid_id", "centroid")
         .coalesce(1)
-        .write.mode(mode)
+        # Always overwrite: the sidecar is a single-source-of-truth
+        # snapshot of THIS build's quantizer, never an accumulating
+        # table (under mode='error' the data write above already
+        # raised if the path existed, so overwriting here is fresh).
+        .write.mode("overwrite")
         .parquet(f"{path.rstrip('/')}/{_IVF_STORE_CENTROIDS}")
     )
 
@@ -1338,6 +1357,19 @@ def append_ivf_cell_store(
     ).withColumnRenamed("_store_deg", "_deg").withColumnRenamed(
         "_store_nan", "_nan"
     )
+    # Column-set guard (round-11 advisor): a caller appending with
+    # different vec/id_col names would write parquet files missing the
+    # store's columns — later reads (no mergeSchema) surface those rows
+    # with NULL vectors/ids, silently degenerate candidates.  The check
+    # is a footer-only schema read, no corpus job.
+    store_cols = set(spark.read.parquet(path).columns)
+    batch_cols = set(coded.columns)
+    if batch_cols != store_cols:
+        raise ValueError(
+            f"append_ivf_cell_store batch columns {sorted(batch_cols)} "
+            f"do not match the store's {sorted(store_cols)} at {path} — "
+            "pass the same vec/id_col the store was built with"
+        )
     (
         coded.repartition(
             n, F.col("list_id"),
@@ -2027,25 +2059,59 @@ def semantic_dedup(
                 # confirms in one bounded scan (≪ the assignment it
                 # gates); an inflated hint is exposed and the EXACT
                 # all-k search stands, loudly.
-                from .costmodel import rows_at_least, work_rows_threshold
+                from .costmodel import (
+                    JVM_INT_MAX,
+                    rows_at_least,
+                    work_rows_threshold,
+                )
 
                 flip_rows = work_rows_threshold(
                     _ASSIGN_EXACT_MAX_FLOPS,
                     max(1, num_centroids) * max(1, dim),
                 )
-                if not rows_at_least(corpus, flip_rows):
+                # Small k·dim pushes flip_rows past the JVM int clamp
+                # (2^31−1), where the limit-probe saturates and can
+                # never CONFIRM the flip — probing at the clamped cap
+                # instead keeps the probe decisive in the one direction
+                # it can be: a corpus smaller than the cap is
+                # definitively smaller than the flip threshold too
+                # (round-11 advisor: an ACCURATE decade-scale hint must
+                # not be overridden with a false 'over-stated' warning
+                # after a 2^31-row scan that cannot succeed).
+                probe_cap = min(flip_rows, JVM_INT_MAX)
+                if not rows_at_least(corpus, probe_cap):
                     import warnings
 
                     warnings.warn(
                         f"corpus_rows={corpus_rows} would flip the "
                         "assignment to the APPROXIMATE two-level tree, "
-                        f"but a bounded probe found < {flip_rows} rows "
+                        f"but a bounded probe found < {probe_cap} rows "
                         "— the hint is over-stated; keeping the EXACT "
                         "all-k assignment.  Pass assignment_probes "
                         "explicitly to force the tree.",
                         stacklevel=2,
                     )
                     assignment_probes = None
+                elif flip_rows > probe_cap:
+                    import warnings
+
+                    # The probe saturated at the JVM cap: the corpus is
+                    # confirmed ≥ 2^31−1 rows, the hint is plausible at
+                    # that magnitude, and the exact flip threshold is
+                    # unverifiable — trust the hint (the guard's target
+                    # — an inflated hint flipping a SMALL oracle corpus
+                    # — is excluded by the ≥2^31−1 confirmation) and
+                    # say the probe was inconclusive, not over-stated.
+                    warnings.warn(
+                        f"corpus_rows={corpus_rows} flips the assignment "
+                        "to the APPROXIMATE two-level tree; the bounded "
+                        f"probe confirmed ≥ {probe_cap} rows but the "
+                        f"flip threshold {flip_rows} exceeds the probe's "
+                        "JVM limit — proceeding on the hint "
+                        "(inconclusive probe).  Pin "
+                        "assignment_probes=None to force exact.",
+                        stacklevel=2,
+                    )
         else:
             assignment_probes = None
     elif assignment_probes is not None and pairwise != "vectorized":

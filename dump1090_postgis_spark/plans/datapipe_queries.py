@@ -676,7 +676,16 @@ def q_ann_topk_ivf_pq_store(spark, sf):
             spark, path, sim._collect_centroids(centroids),
             "embedding", "vec_id",
         )
-    except Exception:  # missing, unreadable, or sidecar-stale → rebuild
+    except Exception as exc:  # missing, unreadable, or sidecar-stale → rebuild
+        # Rebuild-on-any-failure is right HERE (overwrite mode makes it
+        # safe and the entry must self-heal a cold .artifacts/), but
+        # name the reason so a production copy of this pattern can see
+        # an I/O misconfiguration masquerading as a perpetual cold
+        # path (round-11 verdict watch item).
+        logging.getLogger(__name__).warning(
+            "ivf cell store at %s not reusable (%s: %s) — rebuilding",
+            path, type(exc).__name__, exc,
+        )
         sim.write_ivf_cell_store(emb, centroids, path, corpus_rows=n)
     return sim.ivf_pq_topk(
         emb, queries, centroids, k=5, probes=3, corpus_rows=n,

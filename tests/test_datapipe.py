@@ -691,6 +691,99 @@ def test_ivf_cell_store_append_matches_full_rebuild(spark, tmp_path):
         assert rows_of(stored) == rows_of(plain)
 
 
+def test_ivf_cell_store_write_rejects_append_mode(spark, tmp_path):
+    """mode='append' on the full writer would also append duplicate
+    centroid rows to the sidecar, which the bit-exact load check then
+    rejects — the store would silently self-break (round-11 advisor).
+    The writer refuses both 'append' and 'ignore' up front and points
+    at append_ivf_cell_store."""
+    import random
+
+    import pytest
+
+    rnd = random.Random(83)
+    corpus = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = sim.build_centroids(corpus, num_centroids=2)
+    path = str(tmp_path / "mode_store")
+    for bad in ("append", "ignore"):
+        with pytest.raises(ValueError, match="append_ivf_cell_store"):
+            sim.write_ivf_cell_store(corpus, cent, path, mode=bad)
+    # and a rebuild over an existing store stays healthy: the sidecar
+    # is overwritten, not accumulated
+    sim.write_ivf_cell_store(corpus, cent, path, num_partitions=2)
+    sim.write_ivf_cell_store(corpus, cent, path, num_partitions=2)
+    sim._load_ivf_cell_store(
+        spark, path, sim._collect_centroids(cent), "embedding", "vec_id"
+    )
+
+
+def test_ivf_cell_store_append_rejects_column_drift(spark, tmp_path):
+    """An appended batch encoded under different vec/id_col names
+    would write files missing the store's columns; later reads (no
+    mergeSchema) would surface those rows with NULL vectors — the
+    append must raise instead (round-11 advisor)."""
+    import random
+
+    import pytest
+
+    rnd = random.Random(84)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(30)]
+    corpus = spark.createDataFrame(
+        rows[:20], "vec_id long, embedding array<double>"
+    )
+    cent = sim.build_centroids(corpus, num_centroids=2)
+    path = str(tmp_path / "drift_store")
+    sim.write_ivf_cell_store(corpus, cent, path, num_partitions=2)
+    renamed = spark.createDataFrame(
+        rows[20:], "doc_id long, vector array<double>"
+    )
+    with pytest.raises(ValueError, match="do not match the store"):
+        sim.append_ivf_cell_store(
+            renamed, path, vec="vector", id_col="doc_id", num_partitions=2
+        )
+
+
+def test_hint_guard_clamped_probe_trusts_hint(spark, monkeypatch):
+    """Past the JVM int clamp (flip_rows > 2^31−1) the limit-probe can
+    never CONFIRM a flip; when the clamped probe saturates (corpus
+    confirmed ≥ 2^31−1 rows) the hint is trusted with an
+    'inconclusive' warning instead of being overridden with a false
+    'over-stated' one (round-11 advisor).  The saturated probe is
+    simulated by patching rows_at_least — a real ≥2^31-row corpus is
+    not buildable in a unit test."""
+    import random
+    import warnings as _w
+
+    from dump1090_postgis_spark.datapipe import costmodel
+    from dump1090_postgis_spark.datapipe.costmodel import (
+        JVM_INT_MAX,
+        work_rows_threshold,
+    )
+
+    rnd = random.Random(85)
+    dim = 8
+    emb = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    flip = work_rows_threshold(sim._ASSIGN_EXACT_MAX_FLOPS, 4 * dim)
+    assert flip > JVM_INT_MAX  # the clamped regime this test pins
+    monkeypatch.setattr(costmodel, "rows_at_least", lambda *a, **kw: True)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = sim.semantic_dedup(
+            emb, num_centroids=4, tau=0.3, corpus_rows=flip
+        )
+        n = out.count()
+    msgs = [str(w.message) for w in caught]
+    assert any("inconclusive" in m for m in msgs), msgs
+    assert not any("over-stated" in m for m in msgs), msgs
+    assert 0 < n <= 60  # the tree ran and produced a kept set
+
+
 def test_ivf_cell_store_rejects_stale_centroids(spark, tmp_path):
     """Pruning on a foreign quantizer's cells would silently drop true
     neighbors — the store's centroid sidecar makes that loud."""

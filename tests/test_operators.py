@@ -741,9 +741,16 @@ def test_classify_intention_ground_only_session(spark):
          (4, None, None), (5, False, False)],
         "id long, first_onground boolean, last_onground boolean",
     )
-    out = {r.id: r.intention for r in classify_intention(df).collect()}
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = {r.id: r.intention for r in classify_intention(df).collect()}
     assert out == {1: "unknown", 2: "departure", 3: "arrival",
                    4: "unknown", 5: "enroute"}
+    # missing any_airborne downgrades gate-to-gate flights to
+    # 'unknown' — legal, but loud (round-11 verdict watch item)
+    assert any("any_airborne" in str(w.message) for w in caught)
     # with the airborne-in-between signal (round-10 advisor): a
     # complete gate-to-gate flight follows the reference's
     # first-position-onground rule → departure; taxi-only (never
