@@ -137,6 +137,20 @@ BENCH_QUERIES = [
     "funnel_windowed",
 ]
 
+# Pinned BEFORE the round-12 additions below: the headline set grows
+# every round, so raw totals need footnotes to compare.  The printed
+# line (and BENCH_FULL.json) also carries ``value_r11_set`` — the
+# subtotal over exactly this frozen 97-name round-11 set — whenever a
+# run covers all of it, so the first number of a new round is
+# comparable to the previous round's at a glance (round-11 verdict #7).
+BENCH_R11_SET = frozenset(BENCH_QUERIES)
+
+BENCH_QUERIES += [
+    # round-12 additions
+    "join5_runway_attribution_grid",  # production grid-cell plan shape
+    "ann_topk_ivf_pq_store_append",  # two-batch write+append store build
+]
+
 
 # The verification driver records only the LAST ~2000 characters of
 # stdout and parses the final JSON line out of that window.  Once the
@@ -167,6 +181,11 @@ def format_bench_output(timings: dict[str, float], sf: float) -> tuple[str, str]
         "queries": timings,
         "sf": sf,
     }
+    r11 = [timings[n] for n in BENCH_R11_SET if n in timings]
+    if len(r11) == len(BENCH_R11_SET):
+        # frozen comparable subtotal — only when the run covers the
+        # whole pinned set (subset runs would emit a misleading partial)
+        payload["value_r11_set"] = round(sum(r11), 3)
     full_line = json.dumps(payload)
     if len(full_line) <= STDOUT_LINE_BUDGET:
         return full_line, full_line

@@ -352,6 +352,16 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 "tq",
                 ["event_type", "n_exact", "hll_ok", "pct_ok"],
             ),
+            # round-12: the PRODUCTION attribution plan shape (grid-cell
+            # broadcast join past the 256-branch compile budget) gets
+            # its driver CORRECTNESS row here (round-11 verdict #1);
+            # join5_runway_attribution keeps its direct slot on the
+            # compiled-coalesce path
+            (
+                "join5_runway_attribution_grid",
+                "tq",
+                ["event_id", "runway"],
+            ),
         ],
         [
             ("event_type", "string"),
@@ -545,6 +555,14 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             # pruned read exercised inside the driver window
             (
                 "ann_topk_ivf_pq_store",
+                "dq",
+                ["query_id", "rank", "neighbor_id", "cosine"],
+            ),
+            # round-12: the incremental-index path — write seed batch +
+            # append second batch + pruned read, driver-hashed
+            # (round-11 verdict #4)
+            (
+                "ann_topk_ivf_pq_store_append",
                 "dq",
                 ["query_id", "rank", "neighbor_id", "cosine"],
             ),

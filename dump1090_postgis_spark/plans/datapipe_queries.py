@@ -693,6 +693,57 @@ def q_ann_topk_ivf_pq_store(spark, sf):
     )
 
 
+def ivf_store_append_artifact(sf_dir: str) -> str:
+    """Cell-store path for the APPEND-built twin (kept separate from
+    :func:`ivf_store_artifact` so the two entries cannot race on one
+    directory)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_ARTIFACTS_DIR, f"ivf_cell_store_append_{base}")
+
+
+def q_ann_topk_ivf_pq_store_append(spark, sf):
+    """Append-path twin of ann_topk_ivf_pq_store (round-11 verdict #4:
+    the incremental-index path a production corpus grows through had
+    only pytest parity): the cell store is built in TWO batches —
+    ``write_ivf_cell_store`` seeds it with the even vec_ids (and the
+    full-corpus centroids in the sidecar), then
+    ``append_ivf_cell_store`` adds the odd vec_ids encoded against the
+    store's OWN sidecar quantizer (the FAISS train/add split) — and
+    the query reads the appended store pruned to the probed cells.
+    Oracle: the SAME CTE replay as ann_topk_ivf_pq — append ≡ rebuild
+    is the pinned invariant (tests pin it directly; here the driver
+    hashes it at value level), because batch membership cannot change
+    any row's cell or codes (assignment and residual quantization are
+    pure per-row functions of the vector and the shared centroids).
+    Compute-if-missing with the sidecar as the freshness witness, same
+    as the store twin."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    n = table_rows(sf, "embeddings")  # footer count: jobless auto gates
+    centroids = sim.build_centroids(emb, num_centroids=8, corpus_rows=n)
+    path = ivf_store_append_artifact(sf)
+    try:
+        sim._load_ivf_cell_store(
+            spark, path, sim._collect_centroids(centroids),
+            "embedding", "vec_id",
+        )
+    except Exception as exc:  # missing, unreadable, or sidecar-stale → rebuild
+        logging.getLogger(__name__).warning(
+            "ivf append store at %s not reusable (%s: %s) — rebuilding "
+            "in two batches", path, type(exc).__name__, exc,
+        )
+        sim.write_ivf_cell_store(
+            emb.filter(F.col("vec_id") % 2 == 0), centroids, path,
+        )
+        sim.append_ivf_cell_store(
+            emb.filter(F.col("vec_id") % 2 == 1), path,
+        )
+    return sim.ivf_pq_topk(
+        emb, queries, centroids, k=5, probes=3, corpus_rows=n,
+        corpus_store=path,
+    )
+
+
 SQL_ANN_IVF_PQ = f"""
 WITH corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -2835,4 +2886,8 @@ REGISTRY: dict = {
     "bm25_rerank": (q_bm25_rerank, SQL_BM25_RERANK),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
     "ann_topk_ivf_pq_store": (q_ann_topk_ivf_pq_store, SQL_ANN_IVF_PQ),
+    "ann_topk_ivf_pq_store_append": (
+        q_ann_topk_ivf_pq_store_append,
+        SQL_ANN_IVF_PQ,
+    ),
 }

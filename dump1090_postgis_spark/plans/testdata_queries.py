@@ -719,6 +719,89 @@ FROM pts
 """
 
 
+# join5_runway_attribution_grid's dim: enough disjoint unit-square
+# runways that n_rw × (1 + n_bboxes) crosses attribution.BRANCH_BUDGET
+# (256), so strategy='auto' resolves to the GRID-CELL BROADCAST JOIN —
+# the production plan shape a real ourairports-scale dim (42k runways,
+# database/csv2db.sh:7-18) takes, which until round 12 had parity
+# pytests but no driver CORRECTNESS row (round-11 verdict #1).
+_GRID_N_RUNWAYS = 300
+
+
+def q_join5_runway_attribution_grid(spark, sf):
+    """JOIN-5 grid twin (airports.py:90-125 at ourairports scale):
+    same synthetic event coordinates as join5_runway_attribution but
+    against a 300-runway dim — past the 256-branch compile budget, so
+    ``attribute_runway(strategy='auto')`` takes the grid-cell
+    broadcast-join path (attribution.py): runways bucketed into 0.25°
+    cells, events hash-join their own cell's iteration-ordered runway
+    array, first-match evaluates as a projection.  Runway i is the
+    unit square [2i, 2i+1]×[0,1] (disjoint, so first-match is
+    unambiguous and the oracle can state containment arithmetically:
+    cell index = floor(px/2)); direction alternates 30°/210° so the
+    heading tier stays load-bearing."""
+    ev = _ev(spark, sf).select(
+        "event_id",
+        # id-based generator spans the whole 300-square strip at every
+        # sf (value barely exceeds ~400 at sf0.01, which would leave
+        # 298 of the 300 cells event-free); the 0.4995001 offset keeps
+        # px/py off polygon boundaries (same trick as join5); integer
+        # arithmetic up to the division, exact in both engines
+        (((F.col("event_id") * 13) % 60000) / 100.0 - 0.4995001).alias("px"),
+        (((F.col("event_id") * 7) % 200) / 100.0 - 0.4995001).alias("py"),
+        (F.col("event_id") % 360).cast("double").alias("heading"),
+    )
+    rows = [
+        (
+            f"R{i:03d}",
+            30.0 if i % 2 == 0 else 210.0,
+            [
+                {"lon": 2.0 * i, "lat": 0.0},
+                {"lon": 2.0 * i + 1.0, "lat": 0.0},
+                {"lon": 2.0 * i + 1.0, "lat": 1.0},
+                {"lon": 2.0 * i, "lat": 1.0},
+            ],
+        )
+        for i in range(_GRID_N_RUNWAYS)
+    ]
+    runways = spark.createDataFrame(
+        rows,
+        "name string, direction double, "
+        "polygon array<struct<lon:double,lat:double>>",
+    )
+    from ..operators.attribution import attribute_runway
+
+    out = attribute_runway(
+        ev, runways, airport_bbox=None,
+        lon="px", lat="py", heading="heading",
+    )
+    return out.select("event_id", "runway")
+
+
+SQL_JOIN5_GRID = f"""
+WITH pts AS (
+  SELECT event_id,
+         (((event_id * 13) % 60000) / 100.0 - 0.4995001) AS px,
+         (((event_id * 7) % 200) / 100.0 - 0.4995001) AS py,
+         CAST(event_id % 360 AS DOUBLE) AS heading
+  FROM events
+), cells AS (
+  SELECT event_id, px, py, heading,
+         CAST(floor(px / 2) AS BIGINT) AS idx
+  FROM pts
+)
+SELECT event_id,
+       CASE WHEN idx >= 0 AND idx < {_GRID_N_RUNWAYS}
+                 AND px > 2 * idx AND px < 2 * idx + 1
+                 AND py > 0 AND py < 1
+                 AND abs(CASE WHEN idx % 2 = 0 THEN 30.0 ELSE 210.0 END
+                         - heading) <= 20.0
+            THEN 'R' || lpad(CAST(idx AS VARCHAR), 3, '0')
+            ELSE 'UNK' END AS runway
+FROM cells
+"""
+
+
 def q_snk5_copy_remap(spark, sf):
     """SNK-5 d1090_copy_flight analog
     (create_public_schema.sql:149-172): copy rows with fresh dense ids,
@@ -2778,6 +2861,10 @@ REGISTRY: dict = {
     "join2_details_star": (q_join2_details_star, SQL_JOIN2),
     "join4_dedup_latest": (q_join4_dedup_latest, SQL_JOIN4),
     "join5_runway_attribution": (q_join5_runway_attribution, SQL_JOIN5),
+    "join5_runway_attribution_grid": (
+        q_join5_runway_attribution_grid,
+        SQL_JOIN5_GRID,
+    ),
     "snk5_copy_remap": (q_snk5_copy_remap, SQL_SNK5),
     "state1_sessions": (q_state1_sessions, SQL_STATE1),
     "agg6_session_summaries": (q_agg6_session_summaries, SQL_AGG6),

@@ -79,3 +79,24 @@ def test_ab_summary_pairs_and_flags_drift():
     assert out["queries"]["q2"]["delta"] == -2.0
     assert out["unpaired"] == ["only_new", "only_ref"]
     assert out["total_new"] == 6.5 and out["total_ref"] == 8.0
+
+
+def test_r11_subtotal_present_iff_full_set_covered():
+    """The frozen comparable subtotal (round-11 verdict #7): emitted on
+    full-set runs (and runs covering at least the whole pinned set),
+    omitted on subset runs where a partial sum would mislead."""
+    from bench import BENCH_R11_SET
+
+    assert BENCH_R11_SET <= set(BENCH_QUERIES)
+    assert "join5_runway_attribution_grid" not in BENCH_R11_SET
+
+    timings = _fake_timings(len(BENCH_QUERIES))
+    full, _ = format_bench_output(timings, 0.1)
+    parsed = json.loads(full)
+    want = round(sum(timings[n] for n in BENCH_R11_SET), 3)
+    assert parsed["value_r11_set"] == want
+    assert parsed["value"] >= want  # new-query time sits on top
+
+    subset = {n: 1.0 for n in list(BENCH_R11_SET)[:5]}
+    full_sub, _ = format_bench_output(subset, 0.1)
+    assert "value_r11_set" not in json.loads(full_sub)

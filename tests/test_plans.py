@@ -679,3 +679,22 @@ def test_table_rows_footer_hint_exact_and_output_invariant(spark, tmp_path):
         for r in semantic_dedup(emb, num_centroids=None, tau=0.3).collect()
     }
     assert hinted == unhinted
+
+
+def test_join5_grid_registry_entry_takes_grid_plan(spark):
+    """join5_runway_attribution_grid (round-12): its 300-runway dim
+    crosses the 256-branch compile budget, so the registry entry must
+    run the PRODUCTION grid-cell broadcast join — events
+    broadcast-hash-join their cell's runway array (never a shuffle of
+    the event side, never a sort-merge join), while the compiled
+    sibling stays join-free."""
+    from dump1090_postgis_spark.plans.testdata_queries import (
+        q_join5_runway_attribution,
+        q_join5_runway_attribution_grid,
+    )
+
+    plan = plan_of(q_join5_runway_attribution_grid(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the compiled-coalesce sibling keeps its no-join shape
+    assert "Join" not in plan_of(q_join5_runway_attribution(spark, SF))
