@@ -124,10 +124,25 @@ def resolve_strategy(
     operator and the streaming sink cannot drift: compile the
     point-in-polygon coalesce when the branch count (runways ×
     (1 + bboxes)) fits the expression budget, else the grid-cell
-    broadcast join.  Costs one eager count per dim — bounded by the
-    dim, run once per plan build (or once per stream wire-up)."""
-    n_rw = runways.count()
-    n_bb = airport_bbox.count() if airport_bbox is not None else 0
+    broadcast join.
+
+    Sizing is jobless when Catalyst already knows the count exactly
+    (literal/in-memory dims are LocalRelations — the common case for
+    runway tables, and the case where an eager count() job is pure
+    scheduling overhead: the round-7→11 join5 bench constant, ~0.3 s
+    of plan-build latency per call, bisected to exactly this count in
+    round 12); otherwise one eager count per dim — bounded by the dim,
+    run once per plan build (or once per stream wire-up)."""
+    from ..datapipe.costmodel import plan_rows
+
+    n_rw = plan_rows(runways)
+    if n_rw is None:
+        n_rw = runways.count()
+    n_bb = 0
+    if airport_bbox is not None:
+        n_bb = plan_rows(airport_bbox)
+        if n_bb is None:
+            n_bb = airport_bbox.count()
     return "compile" if n_rw * (1 + n_bb) <= branch_budget else "grid"
 
 

@@ -688,7 +688,14 @@ def q_join5_runway_attribution(spark, sf):
     )
     square = [{"lon": 0.0, "lat": 0.0}, {"lon": 1.0, "lat": 0.0},
               {"lon": 1.0, "lat": 1.0}, {"lon": 0.0, "lat": 1.0}]
-    runways = spark.createDataFrame(
+    # literal_dim → LocalRelation: the strategy gate sizes it with
+    # ZERO jobs and the polygon compile collects driver-locally (a
+    # createDataFrame dim cost ~0.7 s of Python-worker jobs per plan
+    # build — the round-7→11 join5 bench constant, bisected round 12)
+    from ..sources.dims import literal_dim
+
+    runways = literal_dim(
+        spark,
         [("A", 30.0, square), ("B", 210.0, square)],
         "name string, direction double, polygon array<struct<lon:double,lat:double>>",
     )
@@ -764,7 +771,10 @@ def q_join5_runway_attribution_grid(spark, sf):
         )
         for i in range(_GRID_N_RUNWAYS)
     ]
-    runways = spark.createDataFrame(
+    from ..sources.dims import literal_dim
+
+    runways = literal_dim(
+        spark,
         rows,
         "name string, direction double, "
         "polygon array<struct<lon:double,lat:double>>",

@@ -319,6 +319,72 @@ _NTE_BBOX = [
 ]
 
 
+def _sql_literal(v, dt: T.DataType) -> str:
+    """Render one Python value as a foldable Spark SQL literal of the
+    declared type (see :func:`literal_dim`)."""
+    if v is None:
+        return f"CAST(NULL AS {dt.simpleString()})"
+    if isinstance(dt, T.ArrayType):
+        items = ", ".join(_sql_literal(x, dt.elementType) for x in v)
+        return f"array({items})"
+    if isinstance(dt, T.StructType):
+        get = (dict.__getitem__ if isinstance(v, dict)
+               else lambda row, k: getattr(row, k))
+        parts = ", ".join(
+            f"'{f.name}', {_sql_literal(get(v, f.name), f.dataType)}"
+            for f in dt.fields
+        )
+        return f"named_struct({parts})"
+    if isinstance(dt, T.StringType):
+        return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(dt, T.BooleanType):
+        return "true" if v else "false"
+    if isinstance(dt, T.DoubleType):
+        # string→double cast: exact shortest-repr round-trip, no
+        # exponent-suffix parsing pitfalls
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType)):
+        return f"CAST({int(v)} AS {dt.simpleString()})"
+    raise TypeError(f"literal_dim: unsupported type {dt.simpleString()}")
+
+
+def literal_dim(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Build a small literal dimension as a pure-JVM **LocalRelation**
+    (``SELECT ... FROM VALUES``) instead of ``spark.createDataFrame``.
+
+    Python ``createDataFrame`` wraps the rows in a pickled Python RDD
+    (``LogicalRDD``): every ``count()``/``collect()`` on it — e.g. the
+    attribution strategy gate and the plan-time polygon compile —
+    launches a full Spark job whose tasks each start a PYTHON WORKER,
+    ~0.7 s for a 2-row dim on local[32] (measured round 12; this was
+    the round-7→11 join5 bench constant).  A LocalRelation instead
+    folds constants at plan time: ``costmodel.plan_rows`` reads the
+    row count with ZERO jobs and ``collect()`` never leaves the
+    driver.  Row order is preserved (VALUES order), which attribution
+    relies on for first-match iteration order.
+
+    ``schema``: StructType or DDL string; values are rendered as
+    foldable literals of the declared type (strings, booleans,
+    int/long, double via exact string cast, arrays, structs)."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    cols = ", ".join(
+        f"{_sql_literal(None, f.dataType)} AS {f.name}"
+        for f in schema.fields
+    )
+    tuples = ", ".join(
+        "(" + ", ".join(
+            _sql_literal(v, f.dataType)
+            for v, f in zip(row, schema.fields)
+        ) + ")"
+        for row in rows
+    )
+    if not tuples:
+        return spark.sql(f"SELECT {cols} WHERE 1=0")
+    names = ", ".join(f.name for f in schema.fields)
+    return spark.sql(f"SELECT * FROM VALUES {tuples} AS t({names})")
+
+
 def _poly_rows(pts):
     return [{"lon": x, "lat": y} for (x, y) in pts]
 
@@ -332,7 +398,7 @@ def nte_runways(spark: SparkSession) -> DataFrame:
         (1, "LFRS", "03", 30, 2900.0, _poly_rows(_NTE_RUNWAY_POLY)),
         (2, "LFRS", "21", 210, 2900.0, _poly_rows(_NTE_RUNWAY_POLY)),
     ]
-    return spark.createDataFrame(rows, RUNWAY_SCHEMA)
+    return literal_dim(spark, rows, RUNWAY_SCHEMA)
 
 
 def nte_airport(spark: SparkSession) -> DataFrame:
@@ -352,7 +418,7 @@ def nte_airport(spark: SparkSession) -> DataFrame:
             _poly_rows(_NTE_BBOX),
         )
     ]
-    return spark.createDataFrame(rows, AIRPORT_SCHEMA)
+    return literal_dim(spark, rows, AIRPORT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -397,4 +463,4 @@ def nte_range_rings(spark: SparkSession, points: int = 36) -> DataFrame:
         (i + 1, r, "LFRS", [range_ring_vertices(-1.607778, 47.156944, r, points)])
         for i, r in enumerate(NTE_RING_RADII_KM)
     ]
-    return spark.createDataFrame(rows, RANGE_RING_SCHEMA)
+    return literal_dim(spark, rows, RANGE_RING_SCHEMA)
