@@ -1275,6 +1275,25 @@ def write_ivf_cell_store(
         )
     cen_rows = _collect_centroids(centroids)
     nlist = max(1, len(cen_rows))
+    if corpus_rows is not None and corpus_rows >= 1_000_000:
+        rows_per_cell = corpus_rows / nlist
+        if rows_per_cell < 10_000:
+            import warnings
+
+            # Measured ×1000 (BASELINE.md round 12): a 2M-row store at
+            # nlist=5000 (400 rows/cell) LOST to the storeless scan
+            # 699 s vs 451 s even with partition pruning — thousands
+            # of tiny cell files invert the win.  The store pays off
+            # when cells are chunky (≳ one parquet row group) AND
+            # query batches probe a small fraction of them.
+            warnings.warn(
+                f"write_ivf_cell_store: ~{rows_per_cell:.0f} rows/cell "
+                f"(corpus_rows={corpus_rows}, nlist={nlist}) — cells "
+                "this fine make the store SLOWER than a storeless scan "
+                "(small-file I/O dominates); size nlist so cells hold "
+                ">=10k rows, or skip the store for this corpus",
+                stacklevel=2,
+            )
     n = (
         num_partitions
         or corpus.sparkSession.sparkContext.defaultParallelism
