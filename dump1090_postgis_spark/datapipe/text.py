@@ -505,7 +505,16 @@ def materialize_vocab(vocab, budget: int = VOCAB_COLLECT_BUDGET):
     if n <= budget:
         rows = pinned.collect()
         pinned.unpersist()
-        return vocab.sparkSession.createDataFrame(rows, vocab.schema)
+        # literal_dim, not createDataFrame: the latter is a pickled
+        # Python-RDD leaf that relaunches Python workers on EVERY
+        # downstream action; a VALUES LocalRelation is the
+        # "driver-literal local relation" this docstring promises
+        # (round-12 literal-dim sweep)
+        from ..sources.dims import literal_dim
+
+        return literal_dim(
+            vocab.sparkSession, [tuple(r) for r in rows], vocab.schema
+        )
     return pinned
 
 

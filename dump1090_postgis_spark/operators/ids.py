@@ -72,9 +72,17 @@ def with_dense_ids(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    # literal_dim, not createDataFrame: the offset map is re-read every
+    # time the numbered plan executes, and a Python-RDD leaf would
+    # relaunch Python workers for it on each broadcast build — as a
+    # LocalRelation it folds into the plan (round-12 literal-dim sweep)
+    from ..sources.dims import literal_dim
+
     offset_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid int, _poff long"
+        literal_dim(
+            spark,
+            [(pid, off) for pid, off in sorted(offsets.items())],
+            "_pid int, _poff long",
         )
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
