@@ -325,6 +325,9 @@ def _sql_literal(v, dt: T.DataType) -> str:
     if v is None:
         return f"CAST(NULL AS {dt.simpleString()})"
     if isinstance(dt, T.ArrayType):
+        if len(v) == 0:
+            # bare array() infers ARRAY<VOID>; pin the element type
+            return f"CAST(array() AS {dt.simpleString()})"
         items = ", ".join(_sql_literal(x, dt.elementType) for x in v)
         return f"array({items})"
     if isinstance(dt, T.StructType):

@@ -441,3 +441,76 @@ def test_inflated_corpus_rows_hint_cannot_change_semantic_dedup(spark):
     )
     assert opted.count() == 60
     emb.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# literal_dim: the VALUES LocalRelation must be value-identical to the
+# createDataFrame frame it replaces (round-12 plan-build-latency sweep)
+# ---------------------------------------------------------------------------
+
+_lit_scalar = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\x00"
+        ),
+        max_size=12,
+    ),
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, width=64),
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_characters="\x00"
+                ),
+                max_size=8,
+            ),
+            st.booleans() | st.none(),
+            st.integers(min_value=-(2**62), max_value=2**62) | st.none(),
+            st.floats(allow_nan=False, width=64) | st.none(),
+            st.lists(
+                st.fixed_dictionaries(
+                    {
+                        "lon": st.floats(allow_nan=False, width=64),
+                        "lat": st.floats(allow_nan=False, width=64),
+                    }
+                ),
+                max_size=3,
+            )
+            | st.none(),
+        ),
+        max_size=8,
+    )
+)
+def test_literal_dim_matches_createdataframe(spark, data):
+    """For every row set: same schema, same values, same order as the
+    createDataFrame equivalent — plus the LocalRelation property that
+    makes it worth having (plan_rows answers with zero jobs)."""
+    from dump1090_postgis_spark.datapipe.costmodel import plan_rows
+    from dump1090_postgis_spark.sources.dims import literal_dim
+
+    ddl = (
+        "s string, b boolean, i bigint, d double, "
+        "poly array<struct<lon:double,lat:double>>"
+    )
+    lit = literal_dim(spark, data, ddl)
+    ref = spark.createDataFrame(data, ddl)
+    # names+types must match; nullability may differ (VALUES infers
+    # non-null from all-non-null literals), which no consumer reads
+    assert [
+        (f.name, f.dataType.simpleString()) for f in lit.schema.fields
+    ] == [(f.name, f.dataType.simpleString()) for f in ref.schema.fields]
+    assert lit.collect() == ref.collect()  # order preserved too
+    if data:
+        assert plan_rows(lit) == len(data)
