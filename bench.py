@@ -149,6 +149,7 @@ BENCH_QUERIES += [
     # round-12 additions
     "join5_runway_attribution_grid",  # production grid-cell plan shape
     "ann_topk_ivf_pq_store_append",  # two-batch write+append store build
+    "decontaminate_fuzzy",  # near-dup contamination tier (LSH + Jaccard)
 ]
 
 

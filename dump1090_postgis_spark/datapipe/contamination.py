@@ -94,6 +94,87 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy (near-duplicate) decontamination
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_contamination(
+    docs: DataFrame,
+    bench_pred: Column,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Training documents that are NEAR-DUPLICATES of a benchmark/eval
+    document — the fuzzy tier of the contamination family (exact
+    n-gram overlap alone misses eval items that were paraphrased,
+    truncated, or re-wrapped before they leaked into a crawl; the
+    published pipelines run both tiers — e.g. the GPT-3 appendix-C
+    dedup removes documents with high eval overlap, and Llama-style
+    pipelines pair it with MinHash near-dup against eval sets).
+
+    Composition of the two scale-proven kernels, nothing new moves:
+    candidates from :func:`.dedup.incremental_lsh_pairs` with the
+    BENCHMARK side in the broadcast seat (eval sets are thousands of
+    docs; the training corpus is scanned once into banded signature
+    rows and never shuffles), then exact k-shingle Jaccard >
+    ``threshold`` via :func:`.dedup.jaccard_pairs`.
+
+    Returns one row per flagged training document:
+    ``(id_col, n_bench_matches, max_jaccard)``.  Benchmark rows are
+    the contamination SOURCE and never appear in the output.
+
+    ``max_bucket_size=None`` keeps every band bucket: the corpus-hot
+    buckets the cap exists to drop are exactly boilerplate a
+    contaminated eval item may share; dropping them risks false
+    negatives in an audit whose cost model (bench side broadcast)
+    doesn't need the cap.  Pass :data:`.dedup.DEFAULT_MAX_BUCKET_SIZE`
+    to restore the dedup family's bound when auditing against a large
+    noisy benchmark set.
+    """
+    from .dedup import incremental_lsh_pairs, jaccard_pairs
+
+    pred = F.coalesce(bench_pred, F.lit(False))
+    bench = docs.filter(pred)
+    train = docs.filter(~pred)
+    cands = incremental_lsh_pairs(
+        train, bench, text, id_col, num_hashes, bands, hash_family,
+        max_bucket_size,
+    )
+    verified = jaccard_pairs(
+        docs,
+        cands.select(
+            F.col("corpus_id").alias("id_a"), F.col("new_id").alias("id_b")
+        ),
+        text, id_col, k=k, threshold=threshold,
+    )
+    return verified.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    bench_pred: Column,
+    text: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """The corpus minus near-duplicate-contaminated docs — the fuzzy
+    twin of :func:`decontaminate` (same anti-join shape; benchmark
+    rows themselves are kept, drop them upstream if the split demands
+    it)."""
+    hits = fuzzy_contamination(docs, bench_pred, text, id_col, **kwargs)
+    return docs.join(hits.select(id_col), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Bloom-prefiltered decontamination
 # ---------------------------------------------------------------------------
 

@@ -727,10 +727,19 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
         [
             ("decontaminate_ngram", "dq", ["doc_id", "n_hits"]),
             ("decontaminate_bloom", "dq", ["doc_id", "n_hits"]),
+            # round-12: the fuzzy tier — MinHash-LSH near-dups of the
+            # benchmark subset, exact-Jaccard verified
+            (
+                "decontaminate_fuzzy",
+                "dq",
+                ["doc_id", "n_bench_matches", "max_jaccard"],
+            ),
         ],
         [
             ("doc_id", "bigint"),
             ("n_hits", "bigint"),
+            ("n_bench_matches", "bigint"),
+            ("max_jaccard", "double"),
         ],
     ),
     # Repeated-passage mining: corpus document-frequency of 3-grams,

@@ -1341,6 +1341,64 @@ WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
 """
 
 
+def q_decontaminate_fuzzy(spark, sf):
+    """Fuzzy (near-duplicate) decontamination: training docs that are
+    MinHash-LSH near-dups of the 'benchmark' subset (doc_id % 7 = 0,
+    the same stand-in eval set as decontaminate_ngram), exact-Jaccard
+    verified at > 0.5 (contamination.fuzzy_contamination — benchmark
+    side broadcast, corpus scanned once, md5 family so the oracle
+    replays candidates exactly; no bucket cap: an audit must not drop
+    boilerplate-hot buckets)."""
+    from ..datapipe.contamination import fuzzy_contamination
+
+    docs = load_table(spark, sf, "documents")
+    return fuzzy_contamination(
+        docs, F.col("doc_id") % 7 == 0, hash_family="md5"
+    )
+
+
+SQL_DECONTAMINATE_FUZZY = f"""
+WITH prep AS (
+  SELECT doc_id, {_OWORDS} AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE list_distinct([array_to_string(words, ' ')]) END AS shingles
+  FROM prep
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(shingles,
+                  s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, b.band AS band,
+         array_to_string(sig[b.band*4+1 : b.band*4+4], '|') AS key
+  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+), cand AS (
+  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS bench_id
+  FROM banded t JOIN banded e
+    ON t.band = e.band AND t.key = e.key
+   AND t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+), j AS (
+  SELECT p.train_id,
+         round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+               (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)))::DOUBLE,
+               6) AS jaccard
+  FROM cand p
+  JOIN sh a ON a.doc_id = p.train_id
+  JOIN sh b ON b.doc_id = p.bench_id
+)
+SELECT train_id AS doc_id, count(*)::BIGINT AS n_bench_matches,
+       max(jaccard) AS max_jaccard
+FROM j WHERE jaccard > 0.5
+GROUP BY train_id
+"""
+
+
 def q_pack_sequences(spark, sf):
     """Concat-and-chunk sequence packing (datapipe/packing.py): each
     doc mapped to its token span and first/last 512-token training
@@ -2863,6 +2921,7 @@ REGISTRY: dict = {
     "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFF),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE),
+    "decontaminate_fuzzy": (q_decontaminate_fuzzy, SQL_DECONTAMINATE_FUZZY),
     "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
     "corpus_diff_status": (q_corpus_diff_status, SQL_CORPUS_DIFF),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),

@@ -200,6 +200,51 @@ def test_decontaminate_removes_hits_keeps_bench(spark, contam_docs):
     assert kept == [0, 2]
 
 
+def test_fuzzy_contamination_flags_near_dup_not_exact_gram(spark):
+    """The fuzzy tier's reason to exist: a benchmark item paraphrased
+    enough to break every long n-gram still flags as a near-dup, while
+    unrelated docs and the benchmark rows themselves never appear."""
+    from dump1090_postgis_spark.datapipe.contamination import (
+        decontaminate_fuzzy,
+        fuzzy_contamination,
+    )
+
+    words = [f"w{i}" for i in range(24)]
+    bench = " ".join(words)
+    # every 8th word substituted: no 8 consecutive words survive (the
+    # exact tier sees nothing) but 15 of 22 3-shingles do (Jaccard
+    # 15/29 ≈ 0.52 > 0.5) — with bands=16 (one minhash row per band) a
+    # candidate needs just ONE shared minhash
+    near = " ".join(
+        f"NOVEL{i}" if i % 8 == 7 else w for i, w in enumerate(words)
+    )
+    clean = "totally unrelated text with enough words to form several grams"
+    docs = spark.createDataFrame(
+        [(0, bench), (1, near), (2, clean)], "doc_id long, text string"
+    )
+    hits = {
+        r.doc_id: (r.n_bench_matches, r.max_jaccard)
+        for r in fuzzy_contamination(
+            docs, F.col("doc_id") == 0, threshold=0.5, bands=16
+        ).collect()
+    }
+    assert set(hits) == {1}
+    n, j = hits[1]
+    assert n == 1 and 0.5 < j < 1.0
+    # the exact 8-gram tier MISSES this paraphrase — the tiers are
+    # complementary, not redundant
+    assert ngram_contamination(
+        docs, F.col("doc_id") == 0, k=8
+    ).count() == 0
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate_fuzzy(
+            docs, F.col("doc_id") == 0, threshold=0.5, bands=16
+        ).collect()
+    )
+    assert kept == [0, 2]
+
+
 def test_hash_split_deterministic_and_growth_stable(spark):
     ids = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
     s1 = {r.doc_id: r.split for r in hash_split(ids, "doc_id").collect()}
