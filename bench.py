@@ -150,6 +150,7 @@ BENCH_QUERIES += [
     "join5_runway_attribution_grid",  # production grid-cell plan shape
     "ann_topk_ivf_pq_store_append",  # two-batch write+append store build
     "decontaminate_fuzzy",  # near-dup contamination tier (LSH + Jaccard)
+    "dedup_keep_best",  # quality-aware duplicate resolution
 ]
 
 

@@ -97,6 +97,51 @@ def exact_dedup(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Quality-aware duplicate resolution: keep the BEST-scoring member
+    of each duplicate cluster instead of the minimum-id one — the
+    FineWeb/Gopher convention (among near-identical captures of a page,
+    keep the longest / highest-quality one; min-id keeps whichever
+    crawl happened to be ingested first).  Ties break to the LOWEST id
+    (deterministic; requires a numeric id).
+
+    ``clusters``: ``(id_col, cluster_col)`` — e.g.
+    :func:`.cluster.duplicate_clusters` output filtered to
+    ``cluster_size > 1``.  Docs absent from ``clusters`` are kept
+    unconditionally.  ``score`` is any Column over ``docs``'s columns
+    (token count, a quality score, a recency timestamp...).
+
+    Scale shape: ONE hash join of the corpus against the cluster map
+    (AQE broadcasts a small map; at worst the map is the duplicate
+    subset, a fraction of the corpus), a groupBy argmax over cluster
+    MEMBERS only, and a loser anti-join — the corpus itself is never
+    shuffled on a cluster key, and the argmax is one partial-agg
+    ``max_by`` struct, not a window sort.
+    """
+    members = docs.join(clusters, id_col).select(
+        F.col(id_col), F.col(cluster_col), score.alias("_score")
+    )
+    winners = members.groupBy(cluster_col).agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.col("_score").alias("s"),
+                (-F.col(id_col)).alias("neg_id"),
+            ),
+        ).alias("_keep")
+    )
+    losers = members.join(
+        winners.select(F.col("_keep").alias(id_col)), id_col, "left_anti"
+    ).select(id_col)
+    return docs.join(losers, id_col, "left_anti")
+
+
 def word_shingles(c: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a text column (array<string>).
 

@@ -468,6 +468,9 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
         [
             ("dedup_exact", "dq", ["text_hash", "keep_id", "n_copies"]),
             ("corpus_diff_status", "dq", ["doc_id", "status"]),
+            # round-12: quality-aware duplicate resolution — keep the
+            # longest member per near-dup cluster (FineWeb convention)
+            ("dedup_keep_best", "dq", ["doc_id", "n_tokens"]),
             (
                 "corpus_datacard",
                 "dq",
@@ -499,6 +502,7 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("n_copies", "bigint"),
             ("doc_id", "bigint"),
             ("status", "string"),
+            ("n_tokens", "bigint"),
             ("source", "string"),
             ("n_docs", "bigint"),
             ("total_chars", "bigint"),

@@ -420,6 +420,59 @@ LEFT JOIN sizes s ON s.component = c.component
 """
 
 
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware duplicate resolution (dedup.dedup_keep_best): the
+    same near-dup clusters as dedup_clusters, but each cluster keeps
+    its LONGEST member (whitespace token count, ties to lowest id)
+    instead of the minimum id — the FineWeb/Gopher keep-best
+    convention.  Returns the kept corpus as (doc_id, n_tokens); the
+    oracle replays the cluster closure (recursive CTE) plus a
+    per-component rank."""
+    from ..datapipe.dedup import dedup_keep_best
+
+    clusters = q_dedup_clusters(spark, sf)
+    docs = load_table(spark, sf, "documents")
+    kept = dedup_keep_best(
+        docs,
+        clusters.filter(F.col("cluster_size") > 1).select(
+            "doc_id", F.col("component").alias("cluster_id")
+        ),
+        score=tx.token_count_ws(F.col("text")),
+    )
+    return kept.select(
+        "doc_id",
+        tx.token_count_ws(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({SQL_DEDUP_MINHASH})
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+), comp AS (
+  SELECT node, min(lbl) AS component FROM reach GROUP BY node
+), toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT c.node AS doc_id,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY t.n_tokens DESC, c.node ASC) AS rn
+  FROM comp c JOIN toks t ON t.doc_id = c.node
+)
+SELECT d.doc_id, t.n_tokens
+FROM documents d JOIN toks t USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+"""
+
+
 def q_decontaminate_ngram(spark, sf):
     """Benchmark decontamination: docs sharing any 8-word-gram with the
     'benchmark' subset (doc_id % 7 = 0 — a stand-in for an eval set;
@@ -2887,6 +2940,7 @@ REGISTRY: dict = {
     # normalizes it to a string.
     "dedup_minhash_lsh_fast": (q_dedup_minhash_lsh_fast, sql_dedup_minhash_fast),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "decontaminate_ngram": (q_decontaminate_ngram, SQL_DECONTAMINATE),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "sample_top_per_lang": (q_sample_top_per_lang, SQL_SAMPLE_TOP),

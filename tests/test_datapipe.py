@@ -2101,3 +2101,34 @@ def test_multimodal_supports_custom_and_string_ids(spark):
     assert {r.image_id for r in meta.collect()} == {"img-001", "img-002"}
     feats = byte_histogram_features(df, id_col="image_id", bins=4)
     assert {r.image_id for r in feats.collect()} == {"img-001", "img-002"}
+
+
+def test_dedup_keep_best_picks_longest_then_lowest_id(spark):
+    """Quality-aware duplicate resolution: per cluster keep the
+    max-score member (ties -> lowest id); docs outside any cluster are
+    kept unconditionally."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),            # cluster X, 3 tokens
+            (2, "a b c d e"),        # cluster X, 5 tokens  <- winner
+            (3, "a b c d"),          # cluster X, 4 tokens
+            (10, "x y"),             # cluster Y, 2 tokens, tie
+            (11, "p q"),             # cluster Y, 2 tokens, tie -> 10 wins
+            (99, "standalone text"), # no cluster, always kept
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (10, 200), (11, 200)],
+        "doc_id long, cluster_id long",
+    )
+    from dump1090_postgis_spark.datapipe import text as tx
+    from dump1090_postgis_spark.datapipe.dedup import dedup_keep_best
+
+    kept = sorted(
+        r.doc_id
+        for r in dedup_keep_best(
+            docs, clusters, score=tx.token_count_ws(F.col("text"))
+        ).collect()
+    )
+    assert kept == [2, 10, 99]
