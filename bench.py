@@ -151,6 +151,7 @@ BENCH_QUERIES += [
     "ann_topk_ivf_pq_store_append",  # two-batch write+append store build
     "decontaminate_fuzzy",  # near-dup contamination tier (LSH + Jaccard)
     "dedup_keep_best",  # quality-aware duplicate resolution
+    "text_token_rarity",  # corpus-self unigram rarity (perplexity proxy)
 ]
 
 

@@ -294,6 +294,77 @@ def scrub_text(text: Column) -> Column:
 # TF-IDF top terms
 # ---------------------------------------------------------------------------
 
+def token_rarity(
+    df,
+    text: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document mean inverse unigram probability under the
+    corpus's OWN unigram distribution — the engine's hash-stable
+    stand-in for the KenLM/CCNet perplexity quality signal (CCNet
+    buckets documents by LM perplexity; the arithmetic mean of 1/p is
+    the same signal's upper bound — the geometric mean of 1/p IS
+    perplexity — and needs no model artifact, only the corpus).  High
+    rarity = unusual/garbled tokens; low = boilerplate.  Filter both
+    tails, like CCNet's head/middle/tail split.
+
+    Determinism device (the tf-idf ratio-idf discipline, one step
+    further): a float ``avg`` over per-token doubles is summation-
+    ORDER-dependent, so instead each token contributes the integer
+    ``floor(N / n_token)`` (both engines: one correctly-rounded double
+    division + floor), the per-doc SUM is exact bigint arithmetic
+    (order-independent), and a single final division produces the
+    mean — bit-stable against the DuckDB oracle with no rounding
+    slack.  The floor loses <1 per token, noise for a quality signal.
+
+    Scale shape: explode to (doc, token) → token-keyed partial-agg
+    count (the only corpus-sized shuffle) → counts join back (AQE
+    broadcasts a small vocab) → per-doc partial agg.  Returns
+    ``(id_col, n_tokens, rarity)``; docs with zero tokens are absent.
+    """
+    from .dedup import explode_computed, spread_for_compute
+
+    tokens = explode_computed(
+        spread_for_compute(df, id_col), _words(F.col(text)), "token",
+        keep=[id_col],
+    ).filter(F.col("token") != "")
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("_n"))
+    # N derives from the BASE frame (sum of per-doc token counts = the
+    # token row count, one projection pass) and the per-token
+    # floor(N/n) attaches on the COUNTS side — computed once per
+    # DISTINCT token, not per occurrence.  The scalar/count refs go
+    # through the DataFrame objects (exprId-based): every name-based
+    # formulation of this crossJoin trips Spark 4's self-join
+    # disambiguation with AMBIGUOUS_REFERENCE, because all three
+    # frames share the corpus scan's lineage.
+    total = df.select(
+        F.size(
+            F.filter(_words(F.col(text)), lambda w: w != F.lit(""))
+        ).alias("_c")
+    ).agg(F.sum("_c").cast("bigint").alias("_N"))
+    rare = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(total["_N"].cast("double") / counts["_n"])
+        .cast("bigint")
+        .alias("_rare"),
+    )
+    return (
+        tokens.join(rare, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_rare").alias("_rare_sum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.col("_rare_sum").cast("double") / F.col("n_tokens"), 6
+            ).alias("rarity"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df,
     text: str = "text",

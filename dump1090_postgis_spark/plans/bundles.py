@@ -608,6 +608,9 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ),
             ("text_token_counts", "dq", ["doc_id", "ws_tokens", "re_tokens"]),
             ("text_repetition", "dq", ["doc_id", "top2_frac", "top3_frac"]),
+            # round-12: corpus-self unigram rarity (perplexity-bucket
+            # stand-in, integer-exact determinism)
+            ("text_token_rarity", "dq", ["doc_id", "n_tokens", "rarity"]),
         ],
         [
             ("doc_id", "bigint"),
@@ -622,6 +625,8 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("re_tokens", "bigint"),
             ("top2_frac", "double"),
             ("top3_frac", "double"),
+            ("n_tokens", "bigint"),
+            ("rarity", "double"),
         ],
     ),
     # Corpus sampling: hash split + mixture resample + per-lang cap

@@ -1068,6 +1068,37 @@ FROM documents
 """
 
 
+def q_text_token_rarity(spark, sf):
+    """Corpus-self unigram rarity per document (text.token_rarity):
+    mean floor(N/n_token) over the doc's tokens — the hash-stable
+    stand-in for the CCNet/KenLM perplexity bucket signal (no model
+    artifact; determinism via integer-exact per-doc sums, see the
+    operator docstring)."""
+    docs = load_table(spark, sf, "documents")
+    return tx.token_rarity(docs)
+
+
+SQL_TEXT_TOKEN_RARITY = f"""
+WITH prep AS (
+  SELECT doc_id, {_OWORDS} AS words FROM documents
+), tok AS (
+  SELECT doc_id, t.token AS token
+  FROM prep, unnest(words) AS t(token)
+  WHERE t.token <> ''
+), counts AS (
+  SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token
+), total AS (
+  -- DuckDB names are case-insensitive: 'N' would collide with counts.n
+  SELECT sum(n)::BIGINT AS tot FROM counts
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(floor(tot::DOUBLE / n)::BIGINT)::DOUBLE / count(*), 6)
+         AS rarity
+FROM tok JOIN counts USING (token) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 def q_text_repetition(spark, sf):
     """Gopher repetition filters: per doc, the word fraction covered by
     its most frequent 2-gram / 3-gram (explode → two-level partial-agg
@@ -2953,6 +2984,7 @@ REGISTRY: dict = {
     "text_token_counts": (q_text_token_counts, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_token_rarity": (q_text_token_rarity, SQL_TEXT_TOKEN_RARITY),
     "curate_documents": (q_curate_documents, SQL_CURATE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL),
     "multimodal_bmp_header": (q_multimodal_bmp_header, SQL_MULTIMODAL_BMP),

@@ -2132,3 +2132,23 @@ def test_dedup_keep_best_picks_longest_then_lowest_id(spark):
         ).collect()
     )
     assert kept == [2, 10, 99]
+
+
+def test_token_rarity_orders_rare_above_boilerplate(spark):
+    """Rarity must rank a doc of corpus-unique tokens above a doc of
+    corpus-dominant boilerplate, with the exact integer-floor value."""
+    from dump1090_postgis_spark.datapipe.text import token_rarity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the"),          # 'the' appears 6x in corpus
+            (2, "the the the"),
+            (3, "qwxz plugh"),           # each token unique (n=1)
+        ],
+        "doc_id long, text string",
+    )
+    # N = 8 tokens total; 'the' n=6 -> floor(8/6)=1; unique n=1 -> 8
+    out = {r.doc_id: (r.n_tokens, r.rarity)
+           for r in token_rarity(docs).collect()}
+    assert out[1] == (3, 1.0) and out[2] == (3, 1.0)
+    assert out[3] == (2, 8.0)
