@@ -111,6 +111,11 @@ BENCH_QUERIES = [
     "pagerank_event_types",
     "stratified_split",
     "funnel_windowed",
+    # round-12 additions
+    "join5_runway_attribution_grid",
+    "decontaminate_fuzzy",
+    "dedup_keep_best",
+    "text_token_rarity",
 ]
 
 
