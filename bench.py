@@ -154,6 +154,18 @@ BENCH_QUERIES += [
     "text_token_rarity",  # corpus-self unigram rarity (perplexity proxy)
 ]
 
+# The round-12 full set, pinned for round-13 comparisons (same
+# mechanism as BENCH_R11_SET — append future additions BELOW this
+# line and pin a new set alongside).
+BENCH_R12_SET = frozenset(BENCH_QUERIES)
+
+#: (json key, frozen set) pairs emitted by format_bench_output when a
+#: run covers the whole pinned set.
+PINNED_SETS = (
+    ("value_r11_set", BENCH_R11_SET),
+    ("value_r12_set", BENCH_R12_SET),
+)
+
 
 # The verification driver records only the LAST ~2000 characters of
 # stdout and parses the final JSON line out of that window.  Once the
@@ -184,11 +196,12 @@ def format_bench_output(timings: dict[str, float], sf: float) -> tuple[str, str]
         "queries": timings,
         "sf": sf,
     }
-    r11 = [timings[n] for n in BENCH_R11_SET if n in timings]
-    if len(r11) == len(BENCH_R11_SET):
-        # frozen comparable subtotal — only when the run covers the
-        # whole pinned set (subset runs would emit a misleading partial)
-        payload["value_r11_set"] = round(sum(r11), 3)
+    # frozen comparable subtotals — only when the run covers the whole
+    # pinned set (subset runs would emit a misleading partial)
+    for key, pinned in PINNED_SETS:
+        vals = [timings[n] for n in pinned if n in timings]
+        if len(vals) == len(pinned):
+            payload[key] = round(sum(vals), 3)
     full_line = json.dumps(payload)
     if len(full_line) <= STDOUT_LINE_BUDGET:
         return full_line, full_line

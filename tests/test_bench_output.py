@@ -100,3 +100,15 @@ def test_r11_subtotal_present_iff_full_set_covered():
     subset = {n: 1.0 for n in list(BENCH_R11_SET)[:5]}
     full_sub, _ = format_bench_output(subset, 0.1)
     assert "value_r11_set" not in json.loads(full_sub)
+
+
+def test_r12_subtotal_pins_current_full_set():
+    from bench import BENCH_R12_SET, PINNED_SETS
+
+    assert BENCH_R12_SET == set(BENCH_QUERIES)  # re-pin when the set grows
+    timings = _fake_timings(len(BENCH_QUERIES))
+    full, _ = format_bench_output(timings, 0.1)
+    parsed = json.loads(full)
+    for key, pinned in PINNED_SETS:
+        assert parsed[key] == round(sum(timings[n] for n in pinned), 3)
+    assert parsed["value_r12_set"] == parsed["value"]
