@@ -124,8 +124,16 @@ def dedup_keep_best(
     shuffled on a cluster key, and the argmax is one partial-agg
     ``max_by`` struct, not a window sort.
     """
+    # NULL scores (a NULL text under a token-count score, a missing
+    # quality column) lose to ANY scored member: -inf instead of NULL
+    # keeps the struct argmax deterministic — NULL inside an ordering
+    # struct would make the winner depend on aggregation order.
     members = docs.join(clusters, id_col).select(
-        F.col(id_col), F.col(cluster_col), score.alias("_score")
+        F.col(id_col),
+        F.col(cluster_col),
+        F.coalesce(
+            score.cast("double"), F.lit(float("-inf"))
+        ).alias("_score"),
     )
     winners = members.groupBy(cluster_col).agg(
         F.max_by(

@@ -2132,6 +2132,24 @@ def test_dedup_keep_best_picks_longest_then_lowest_id(spark):
         ).collect()
     )
     assert kept == [2, 10, 99]
+    # NULL score loses to ANY scored member (deterministic -inf
+    # substitution), and an all-NULL cluster falls back to lowest id
+    docs_n = spark.createDataFrame(
+        [(1, None), (2, "a b"), (3, None), (10, None), (11, None)],
+        "doc_id long, text string",
+    )
+    clusters_n = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (10, 200), (11, 200)],
+        "doc_id long, cluster_id long",
+    )
+    score_n = F.when(
+        F.col("text").isNotNull(), tx.token_count_ws(F.col("text"))
+    )
+    kept_n = sorted(
+        r.doc_id
+        for r in dedup_keep_best(docs_n, clusters_n, score=score_n).collect()
+    )
+    assert kept_n == [2, 10]
 
 
 def test_token_rarity_orders_rare_above_boilerplate(spark):
