@@ -142,9 +142,12 @@ def fuzzy_contamination(
     pred = F.coalesce(bench_pred, F.lit(False))
     bench = docs.filter(pred)
     train = docs.filter(~pred)
+    # k reaches BOTH tiers: candidates are generated in the same
+    # k-shingle space the exact-Jaccard verify scores (a k mismatch
+    # between tiers gives unpredictable recall — round-12 advice).
     cands = incremental_lsh_pairs(
         train, bench, text, id_col, num_hashes, bands, hash_family,
-        max_bucket_size,
+        max_bucket_size, k=k,
     )
     verified = jaccard_pairs(
         docs,

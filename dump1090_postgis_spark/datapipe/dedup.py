@@ -243,6 +243,8 @@ def lsh_candidate_pairs(
     bands: int = 4,
     hash_family: str = "xxhash64",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    *,
+    k: int = 3,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: equal band (rows-per-band minhash
     slice) in at least one of `bands` buckets.
@@ -257,7 +259,9 @@ def lsh_candidate_pairs(
     (same plan, string minima) so a DuckDB oracle can replay candidate
     generation exactly; xxhash64 stays the production/bench path.
     """
-    banded = minhash_banded(docs, text, id_col, num_hashes, bands, hash_family)
+    banded = minhash_banded(
+        docs, text, id_col, num_hashes, bands, hash_family, k=k
+    )
     return _bucket_pairs(banded, max_bucket_size)
 
 
@@ -268,6 +272,8 @@ def minhash_banded(
     num_hashes: int = 16,
     bands: int = 4,
     hash_family: str = "xxhash64",
+    *,
+    k: int = 3,
 ) -> DataFrame:
     """(_id, band, key) banded MinHash rows — the input both to
     :func:`_bucket_pairs` (candidates) and :func:`oversize_buckets`
@@ -303,6 +309,7 @@ def minhash_banded(
         with_shingles(
             docs.select(F.col(id_col).alias("_id"), text).repartition(n_parts),
             text,
+            k=k,
         )
         .withColumn(
             "_sig", minhash_signature(F.col("_shingles"), num_hashes, hash_family)
@@ -1047,6 +1054,8 @@ def incremental_lsh_pairs(
     hash_family: str = "xxhash64",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     corpus_banded: DataFrame | None = None,
+    *,
+    k: int = 3,
 ) -> DataFrame:
     """Near-dup candidates between a NEW batch and an EXISTING corpus
     — the recurring ingest shape: dedup the day's crawl against 100 TB
@@ -1079,9 +1088,13 @@ def incremental_lsh_pairs(
     cb = (
         corpus_banded
         if corpus_banded is not None
-        else minhash_banded(corpus, text, id_col, num_hashes, bands, hash_family)
+        else minhash_banded(
+            corpus, text, id_col, num_hashes, bands, hash_family, k=k
+        )
     )
-    nb = minhash_banded(new_docs, text, id_col, num_hashes, bands, hash_family)
+    nb = minhash_banded(
+        new_docs, text, id_col, num_hashes, bands, hash_family, k=k
+    )
     if max_bucket_size is not None:
         hot = (
             cb.groupBy("band", "key")

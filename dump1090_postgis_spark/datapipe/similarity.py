@@ -1205,6 +1205,53 @@ def pq_encode_residual(
 #: consistency guard in :func:`_load_ivf_cell_store`.
 _IVF_STORE_CENTROIDS = "_ivf_centroids"
 
+#: Completion-marker dir (same underscore-hidden convention as the
+#: centroid sidecar): a one-row parquet ``(complete: boolean)`` stamped
+#: TRUE only after a build or append fully lands.  A multi-batch build
+#: that dies between write_ivf_cell_store and append_ivf_cell_store
+#: otherwise leaves a store that passes the sidecar freshness check yet
+#: holds only the first batch — bench runs (no oracle) would silently
+#: query a half corpus (round-12 advice).  append flips the marker to
+#: FALSE before touching data and back to TRUE after, so a torn append
+#: is equally loud.
+_IVF_STORE_COMPLETE = "_ivf_complete"
+
+
+def _stamp_store_marker(spark, path: str, complete: bool) -> None:
+    """Overwrite the store's completion marker.  spark.range keeps the
+    one-row frame a pure-JVM plan (no pickled-RDD leaf)."""
+    (
+        spark.range(1)
+        .select(F.lit(complete).alias("complete"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path.rstrip('/')}/{_IVF_STORE_COMPLETE}")
+    )
+
+
+def _check_store_marker(spark, path: str) -> None:
+    """Raise unless the store's completion marker is a single
+    ``complete=true`` row.  Driver-bounded one-row read, no corpus
+    job.  A missing marker also rejects pre-marker stores — the
+    compute-if-missing entries self-heal those with one rebuild."""
+    loc = f"{path.rstrip('/')}/{_IVF_STORE_COMPLETE}"
+    try:
+        rows = spark.read.parquet(loc).collect()
+    except Exception as exc:
+        raise ValueError(
+            f"IVF cell store at {path} has no readable completion "
+            f"marker ({type(exc).__name__}) — the build or append was "
+            "interrupted, or the store predates the marker protocol; "
+            "rebuild with write_ivf_cell_store"
+        ) from exc
+    if len(rows) != 1 or not rows[0]["complete"]:
+        raise ValueError(
+            f"IVF cell store at {path} is marked INCOMPLETE — an "
+            "append was interrupted mid-flight; rebuild with "
+            "write_ivf_cell_store (the data directory may hold a "
+            "partial batch)"
+        )
+
 
 def write_ivf_cell_store(
     corpus: DataFrame,
@@ -1329,6 +1376,9 @@ def write_ivf_cell_store(
         .write.mode("overwrite")
         .parquet(f"{path.rstrip('/')}/{_IVF_STORE_CENTROIDS}")
     )
+    # Stamped LAST: a crash anywhere above leaves no (or a stale=false)
+    # marker and _load_ivf_cell_store refuses the store.
+    _stamp_store_marker(corpus.sparkSession, path, True)
 
 
 def append_ivf_cell_store(
@@ -1389,6 +1439,11 @@ def append_ivf_cell_store(
             f"do not match the store's {sorted(store_cols)} at {path} — "
             "pass the same vec/id_col the store was built with"
         )
+    # Appending onto a torn store would perpetuate the tear — require a
+    # complete store, then mark in-progress across the data append so a
+    # mid-append crash is loud too.
+    _check_store_marker(spark, path)
+    _stamp_store_marker(spark, path, False)
     (
         coded.repartition(
             n, F.col("list_id"),
@@ -1398,6 +1453,7 @@ def append_ivf_cell_store(
         .partitionBy("list_id")
         .parquet(path)
     )
+    _stamp_store_marker(spark, path, True)
 
 
 #: Probed-cell cap for the static IN pushed into a cell-store scan: a
@@ -1440,7 +1496,12 @@ def _load_ivf_cell_store(
     cells silently drops true neighbors, which must never be quiet.
 
     Cost: one driver-bounded read of the nlist-row sidecar — no
-    corpus-sized job."""
+    corpus-sized job.  The completion marker is checked FIRST: a
+    multi-batch build that died between write and append passes the
+    sidecar check (the sidecar lands with batch one) yet holds a
+    partial corpus — the marker is the witness that every batch
+    landed (round-12 advice)."""
+    _check_store_marker(spark, path)
     stored = sorted(
         spark.read.parquet(
             f"{path.rstrip('/')}/{_IVF_STORE_CENTROIDS}"

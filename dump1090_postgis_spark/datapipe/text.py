@@ -583,9 +583,16 @@ def materialize_vocab(vocab, budget: int = VOCAB_COLLECT_BUDGET):
         # (round-12 literal-dim sweep)
         from ..sources.dims import literal_dim
 
-        return literal_dim(
-            vocab.sparkSession, [tuple(r) for r in rows], vocab.schema
-        )
+        try:
+            return literal_dim(
+                vocab.sparkSession, [tuple(r) for r in rows], vocab.schema
+            )
+        except TypeError:
+            # literal_dim renders only string/bool/int/double/array/
+            # struct; vocab-shaped frames with other types (float,
+            # decimal, date, timestamp, map, binary) keep the
+            # createDataFrame behavior they always had.
+            return vocab.sparkSession.createDataFrame(rows, vocab.schema)
     return pinned
 
 

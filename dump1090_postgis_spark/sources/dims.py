@@ -371,8 +371,14 @@ def literal_dim(spark: SparkSession, rows: list, schema) -> DataFrame:
     int/long, double via exact string cast, arrays, structs)."""
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
+    # Backtick-quote field names: reserved words / dashes / spaces are
+    # legal StructField names that createDataFrame accepted, so the SQL
+    # rendering must too (backticks themselves escape by doubling).
+    def _q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     cols = ", ".join(
-        f"{_sql_literal(None, f.dataType)} AS {f.name}"
+        f"{_sql_literal(None, f.dataType)} AS {_q(f.name)}"
         for f in schema.fields
     )
     tuples = ", ".join(
@@ -384,7 +390,7 @@ def literal_dim(spark: SparkSession, rows: list, schema) -> DataFrame:
     )
     if not tuples:
         return spark.sql(f"SELECT {cols} WHERE 1=0")
-    names = ", ".join(f.name for f in schema.fields)
+    names = ", ".join(_q(f.name) for f in schema.fields)
     return spark.sql(f"SELECT * FROM VALUES {tuples} AS t({names})")
 
 

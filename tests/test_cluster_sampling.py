@@ -245,6 +245,33 @@ def test_fuzzy_contamination_flags_near_dup_not_exact_gram(spark):
     assert kept == [0, 2]
 
 
+def test_fuzzy_contamination_k_reaches_candidate_tier(spark):
+    """``k`` must parameterize BOTH tiers (round-12 advice): a caller
+    auditing in 1-shingle (bag-of-words) space needs candidates
+    generated there too.  A word-scramble of a benchmark doc shares
+    its full unigram set (Jaccard 1.0 at k=1) but ZERO 3-shingles —
+    under the old always-k=3 candidate tier its signatures are
+    unrelated to the benchmark's and it never becomes a candidate, so
+    the k=1 verify never sees it."""
+    from dump1090_postgis_spark.datapipe.contamination import (
+        fuzzy_contamination,
+    )
+
+    words = [f"w{i}" for i in range(12)]
+    bench = " ".join(words)
+    scrambled = " ".join(reversed(words))  # same unigrams, no shared trigram
+    docs = spark.createDataFrame(
+        [(0, bench), (1, scrambled)], "doc_id long, text string"
+    )
+    hits = {
+        r.doc_id: (r.n_bench_matches, r.max_jaccard)
+        for r in fuzzy_contamination(
+            docs, F.col("doc_id") == 0, k=1, threshold=0.9
+        ).collect()
+    }
+    assert hits == {1: (1, 1.0)}
+
+
 def test_hash_split_deterministic_and_growth_stable(spark):
     ids = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
     s1 = {r.doc_id: r.split for r in hash_split(ids, "doc_id").collect()}

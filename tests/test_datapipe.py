@@ -746,6 +746,57 @@ def test_ivf_cell_store_append_rejects_column_drift(spark, tmp_path):
         )
 
 
+def test_ivf_cell_store_torn_build_is_loud(spark, tmp_path):
+    """A two-batch build that dies between write_ivf_cell_store and
+    append_ivf_cell_store passes the sidecar freshness check (the
+    sidecar lands with batch one) yet holds only the first batch —
+    bench runs (no oracle) would silently query a half corpus.  The
+    completion marker makes every tear loud (round-12 advice): a
+    mid-append crash leaves complete=false, a missing/pre-protocol
+    marker is rejected, and appending onto a torn store refuses."""
+    import random
+    import shutil
+
+    import pytest
+
+    rnd = random.Random(85)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    batch_a = spark.createDataFrame(
+        rows[:25], "vec_id long, embedding array<double>"
+    )
+    batch_b = spark.createDataFrame(
+        rows[25:], "vec_id long, embedding array<double>"
+    )
+    cent = sim.build_centroids(batch_a, num_centroids=2)
+    cen_rows = sim._collect_centroids(cent)
+    path = str(tmp_path / "torn_store")
+    sim.write_ivf_cell_store(batch_a, cent, path, num_partitions=2)
+
+    # Simulate the mid-append crash: in-progress marker stamped, data
+    # append never finished.
+    sim._stamp_store_marker(spark, path, False)
+    with pytest.raises(ValueError, match="INCOMPLETE"):
+        sim._load_ivf_cell_store(spark, path, cen_rows, "embedding", "vec_id")
+    # Appending onto the torn store must refuse too (it would
+    # perpetuate the tear).
+    with pytest.raises(ValueError, match="INCOMPLETE"):
+        sim.append_ivf_cell_store(batch_b, path, num_partitions=2)
+
+    # Pre-protocol / crash-before-marker store: marker dir absent.
+    shutil.rmtree(f"{path}/{sim._IVF_STORE_COMPLETE}")
+    with pytest.raises(ValueError, match="completion"):
+        sim._load_ivf_cell_store(spark, path, cen_rows, "embedding", "vec_id")
+
+    # The remedy the error message names — a full rebuild — heals it,
+    # and a healthy append keeps the store loadable.
+    sim.write_ivf_cell_store(batch_a, cent, path, num_partitions=2)
+    sim.append_ivf_cell_store(batch_b, path, num_partitions=2)
+    store = sim._load_ivf_cell_store(
+        spark, path, cen_rows, "embedding", "vec_id"
+    )
+    assert store.count() == 40
+
+
 def test_hint_guard_clamped_probe_trusts_hint(spark, monkeypatch):
     """Past the JVM int clamp (flip_rows > 2^31−1) the limit-probe can
     never CONFIRM a flip; when the clamped probe saturates (corpus
@@ -1222,7 +1273,23 @@ def test_materialize_vocab_small_is_local_relation(spark):
     assert {r.token for r in lit_v.collect()} == {"alpha", "beta"}
 
 
-def test_materialize_vocab_large_persists_never_collects(spark):
+def test_materialize_vocab_unsupported_type_falls_back(spark):
+    """literal_dim renders only string/bool/int/double/array/struct; a
+    vocab-shaped frame carrying other types (timestamp, float, date,
+    decimal, map, binary) must keep the createDataFrame behavior it
+    always had instead of raising TypeError (round-12 advice)."""
+    import datetime
+
+    from dump1090_postgis_spark.datapipe.text import materialize_vocab
+
+    ts = datetime.datetime(2026, 8, 16, 12, 0, 0)
+    small = spark.createDataFrame(
+        [("alpha", ts, 1.5), ("beta", ts, 2.5)],
+        "token string, seen timestamp, w float",
+    )
+    out = materialize_vocab(small)
+    got = {(r.token, r.seen, r.w) for r in out.collect()}
+    assert got == {("alpha", ts, 1.5), ("beta", ts, 2.5)}
     """A 50k-token vocab crosses VOCAB_COLLECT_BUDGET: the seam must
     return the PERSISTED frame (count barrier already paid), not a
     driver literal, and apply_vocab must run against it unchanged."""

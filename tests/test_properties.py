@@ -514,3 +514,30 @@ def test_literal_dim_matches_createdataframe(spark, data):
     assert lit.collect() == ref.collect()  # order preserved too
     if data:
         assert plan_rows(lit) == len(data)
+
+
+def test_literal_dim_quotes_awkward_field_names(spark):
+    """Reserved words, dashes, spaces, and embedded backticks are legal
+    StructField names createDataFrame always accepted; the SQL VALUES
+    rendering must backtick-quote them instead of producing a parse
+    error (round-12 advice).  Covers both the empty-frame alias path
+    and the VALUES projection."""
+    from pyspark.sql import types as T
+
+    from dump1090_postgis_spark.sources.dims import literal_dim
+
+    schema = T.StructType(
+        [
+            T.StructField("order", T.StringType()),   # reserved word
+            T.StructField("my-col", T.LongType()),    # dash
+            T.StructField("a b", T.BooleanType()),    # space
+            T.StructField("ti`ck", T.StringType()),   # embedded backtick
+        ]
+    )
+    rows = [("x", 1, True, "y"), (None, 2, None, "z")]
+    lit = literal_dim(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    assert lit.columns == ref.columns
+    assert lit.collect() == ref.collect()
+    empty = literal_dim(spark, [], schema)
+    assert empty.columns == ref.columns and empty.count() == 0
