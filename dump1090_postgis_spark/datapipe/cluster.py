@@ -35,6 +35,9 @@ Scale design:
 
 from __future__ import annotations
 
+import json
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -343,3 +346,161 @@ def duplicate_clusters(
             (F.col("node") == F.coalesce("_canon", "node")).alias("is_canonical"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted cluster-map artifact (round-12 verdict #1)
+#
+# The duplicate-cluster closure (signatures → candidate pairs → exact
+# Jaccard → iterative CC) is the expensive part of every consumer that
+# needs cluster membership: at ×10 it is 7.5 s of dedup_keep_best's
+# 9.2 s, and at corpus scale it is hours of iterative work re-derived
+# per resolution call.  This seam applies the repo's established
+# build-once/query-many pattern (the LSH signature store in
+# lsh_artifact / q_dedup_minhash_lsh_fast, the sidecar-verified IVF
+# cell store in similarity.py) to the closure's OUTPUT: persist the
+# (doc_id, component, cluster_size, is_canonical) map keyed by a
+# corpus CONTENT witness — the same (id, text) inputs the closure
+# consumes — plus the closure parameters; reuse when both match,
+# rebuild otherwise.
+# ---------------------------------------------------------------------------
+
+#: Underscore-prefixed witness sidecar inside the cluster-map store —
+#: same convention as similarity._IVF_STORE_CENTROIDS: data readers of
+#: the store path never see it (Hadoop listing skips `_` paths), yet it
+#: travels with the store.  Stamped LAST by :func:`write_cluster_map`,
+#: so it doubles as the completion marker: a torn build has no (or a
+#: stale) witness and the loader refuses it.
+_CLUSTER_MAP_WITNESS = "_cluster_witness"
+
+#: Bumped when the artifact layout/semantics change; part of the
+#: witness payload so old artifacts self-invalidate.
+_CLUSTER_MAP_VERSION = 1
+
+
+def corpus_fingerprint(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> dict:
+    """Order-independent content witness over exactly the inputs the
+    cluster closure consumes: row count + bit-XOR of per-row
+    ``xxhash64(id, text)``.  XOR (not sum) keeps the fold overflow-free
+    under ANSI mode and commutative under any partitioning; ids are
+    unique, so the cancel-on-identical-rows weakness of XOR cannot
+    trigger.  Cost: ONE column-pruned scan with a map-side partial
+    aggregate — the cheap pass that buys skipping the expensive one
+    (signatures + pairs + iterative CC)."""
+    row = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col(id_col), F.col(text))).alias("x"),
+    ).first()
+    return {
+        "n_rows": int(row["n"]),
+        "content_xor": int(row["x"]) if row["x"] is not None else 0,
+    }
+
+
+def _witness_payload(fingerprint: dict, params: dict, columns: list) -> str:
+    return json.dumps(
+        {
+            "version": _CLUSTER_MAP_VERSION,
+            "fingerprint": fingerprint,
+            "params": params,
+            "columns": list(columns),
+        },
+        sort_keys=True,
+    )
+
+
+def write_cluster_map(
+    clusters: DataFrame, path: str, fingerprint: dict, params: dict
+) -> None:
+    """Persist a cluster map with its witness.  The data lands first,
+    the witness LAST — a crash in between leaves a store the loader
+    refuses (no readable witness), which the compute-if-missing callers
+    then rebuild; there is no torn state that reads as fresh."""
+    spark = clusters.sparkSession
+    clusters.write.mode("overwrite").parquet(path)
+    payload = _witness_payload(fingerprint, params, clusters.columns)
+    (
+        spark.range(1)
+        .select(F.lit(payload).alias("witness"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path.rstrip('/')}/{_CLUSTER_MAP_WITNESS}")
+    )
+
+
+def load_cluster_map(
+    spark, path: str, fingerprint: dict, params: dict
+) -> DataFrame:
+    """Open a persisted cluster map, verifying its witness matches this
+    call's corpus fingerprint AND closure parameters exactly — a map
+    built over different documents (or a different threshold/hash
+    family) would silently resolve the wrong duplicates, the failure a
+    cache must make loud.  Raises on any mismatch; cost is one
+    driver-bounded one-row read."""
+    loc = f"{path.rstrip('/')}/{_CLUSTER_MAP_WITNESS}"
+    rows = spark.read.parquet(loc).collect()  # raises when absent
+    if len(rows) != 1:
+        raise ValueError(
+            f"cluster map at {path}: witness sidecar holds {len(rows)} "
+            "rows (expected 1) — interrupted build; rebuild"
+        )
+    stored = json.loads(rows[0]["witness"])
+    want_fp, want_params = stored.get("fingerprint"), stored.get("params")
+    if (
+        stored.get("version") != _CLUSTER_MAP_VERSION
+        or want_fp != fingerprint
+        or want_params != params
+    ):
+        raise ValueError(
+            f"cluster map at {path} is STALE: stored "
+            f"(version={stored.get('version')}, fingerprint={want_fp}, "
+            f"params={want_params}) vs current "
+            f"(version={_CLUSTER_MAP_VERSION}, fingerprint={fingerprint}, "
+            f"params={params}) — the corpus or closure parameters "
+            "changed since the map was built; rebuild"
+        )
+    df = spark.read.parquet(path)
+    cols = stored.get("columns") or []
+    if set(df.columns) != set(cols):
+        raise ValueError(
+            f"cluster map at {path} is missing columns "
+            f"{sorted(set(cols) - set(df.columns))}"
+        )
+    return df.select(*cols)  # recorded order → deterministic schema
+
+
+def cluster_map_store(
+    docs: DataFrame,
+    path: str,
+    builder,
+    params: dict | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Compute-if-missing cluster map: reuse the artifact at ``path``
+    when its witness matches this corpus + ``params``, else run
+    ``builder(docs)`` (the full closure) and persist its output.
+    Returns a frame READING the artifact either way, so every consumer
+    (dedup_clusters itself, dedup_keep_best, analytics over cluster
+    sizes) scans a materialized parquet map instead of re-deriving the
+    iterative closure — the same ensure-pattern as the LSH signature
+    store and the IVF cell store.
+
+    ``params`` must hold every knob that changes the builder's OUTPUT
+    (threshold, hash family, num_hashes/bands, caps) — the witness
+    treats it as part of the key."""
+    spark = docs.sparkSession
+    params = params or {}
+    fp = corpus_fingerprint(docs, text, id_col)
+    try:
+        return load_cluster_map(spark, path, fp, params)
+    except Exception as exc:  # missing, torn, or stale → rebuild
+        logging.getLogger(__name__).warning(
+            "cluster map at %s not reusable (%s: %s) — rebuilding",
+            path, type(exc).__name__, exc,
+        )
+    clusters = builder(docs)
+    write_cluster_map(clusters, path, fp, params)
+    return load_cluster_map(spark, path, fp, params)

@@ -348,12 +348,41 @@ _MINHASH_VECTORIZE_MIN_DOCS = 100_000
 _CONTRACT_MIN_DOCS = 50_000
 
 
+def cluster_map_artifact(sf_dir: str) -> str:
+    """Cluster-map artifact path for a scale-factor dir (one per sf
+    basename — the lsh_banded_artifact convention)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_ARTIFACTS_DIR, f"cluster_map_{base}")
+
+
+#: Closure parameters baked into the cluster-map witness: everything
+#: that changes q_dedup_clusters' OUTPUT.  Bump alongside any pipeline
+#: change so stale artifacts self-invalidate.
+_CLUSTER_MAP_PARAMS = {
+    "pipeline": "minhash_lsh_md5",
+    "num_hashes": 16,
+    "bands": 4,
+    "k": 3,
+    "threshold": 0.5,
+    "max_bucket_size": dd.DEFAULT_MAX_BUCKET_SIZE,
+}
+
+
 def q_dedup_clusters(spark, sf):
     """Pairs → clusters: the MinHash-LSH near-dup pairs (md5 family,
     jaccard > 0.5 — same pipeline as dedup_minhash_lsh) resolved into
     connected components over the whole corpus, one canonical doc per
     cluster (datapipe/cluster.py).  The oracle restates the closure as
     a recursive CTE.
+
+    Build-once/query-many (round-12 verdict #1): the resolved map is
+    persisted under ``.artifacts/`` keyed by a corpus content witness
+    (``cluster.corpus_fingerprint`` — one column-pruned scan) plus the
+    closure parameters; while both match, every call — this entry,
+    dedup_keep_best, the window bundle — reads the materialized map
+    instead of re-running signatures + pairs + iterative CC (7.5 s of
+    keep-best's 9.2 s at ×10; hours at corpus scale).  Any corpus or
+    parameter change rebuilds; reuse ≡ rebuild is pytest-pinned.
 
     Supernode contraction (round 7): past ``_CONTRACT_MIN_DOCS``, pair
     generation AND the iterative CC run over ONE representative per
@@ -369,29 +398,39 @@ def q_dedup_clusters(spark, sf):
     count-gated-scale-path discipline as semantic_dedup's vectorized
     engine; contracted ≡ direct is pytest-pinned
     (test_duplicate_clusters_contracted_matches_full_graph)."""
-    from ..datapipe.cluster import contract_families, duplicate_clusters
+    from ..datapipe.cluster import (
+        cluster_map_store,
+        contract_families,
+        duplicate_clusters,
+    )
 
     docs = load_table(spark, sf, "documents")
-    # footer hint → jobless gate (falls back to the bounded probe)
-    if not rows_at_least(
-        docs, _CONTRACT_MIN_DOCS, size_hint=table_rows(sf, "documents")
-    ):
-        cands = dd.lsh_candidate_pairs(docs, hash_family="md5")
-        pairs = dd.jaccard_pairs(docs, cands, threshold=0.5)
-        return duplicate_clusters(docs, pairs)
-    # four consumers (rep semi-join, both edge maps, the attach):
-    # one eager checkpoint so the md5 groupBy runs once.
-    fam = contract_families(docs).localCheckpoint(eager=True)
-    rep_docs = docs.join(
-        fam.filter(F.col("node") == F.col("rep")).select(
-            F.col("node").alias("doc_id")
-        ),
-        "doc_id",
-        "semi",
+
+    def _build(docs):
+        # footer hint → jobless gate (falls back to the bounded probe)
+        if not rows_at_least(
+            docs, _CONTRACT_MIN_DOCS, size_hint=table_rows(sf, "documents")
+        ):
+            cands = dd.lsh_candidate_pairs(docs, hash_family="md5")
+            pairs = dd.jaccard_pairs(docs, cands, threshold=0.5)
+            return duplicate_clusters(docs, pairs)
+        # four consumers (rep semi-join, both edge maps, the attach):
+        # one eager checkpoint so the md5 groupBy runs once.
+        fam = contract_families(docs).localCheckpoint(eager=True)
+        rep_docs = docs.join(
+            fam.filter(F.col("node") == F.col("rep")).select(
+                F.col("node").alias("doc_id")
+            ),
+            "doc_id",
+            "semi",
+        )
+        cands = dd.lsh_candidate_pairs(rep_docs, hash_family="md5")
+        pairs = dd.jaccard_pairs(rep_docs, cands, threshold=0.5)
+        return duplicate_clusters(docs, pairs, contract=fam)
+
+    return cluster_map_store(
+        docs, cluster_map_artifact(sf), _build, _CLUSTER_MAP_PARAMS
     )
-    cands = dd.lsh_candidate_pairs(rep_docs, hash_family="md5")
-    pairs = dd.jaccard_pairs(rep_docs, cands, threshold=0.5)
-    return duplicate_clusters(docs, pairs, contract=fam)
 
 
 SQL_DEDUP_CLUSTERS = f"""
@@ -427,7 +466,13 @@ def q_dedup_keep_best(spark, sf):
     instead of the minimum id — the FineWeb/Gopher keep-best
     convention.  Returns the kept corpus as (doc_id, n_tokens); the
     oracle replays the cluster closure (recursive CTE) plus a
-    per-component rank."""
+    per-component rank.
+
+    The cluster map comes through q_dedup_clusters' persisted-artifact
+    seam (round-12 verdict #1): warm calls read the materialized map —
+    one witness scan + a parquet read — and pay only the ~1.2 s
+    resolution cost (join + max_by argmax + anti-join), not the 7.5 s
+    closure."""
     from ..datapipe.dedup import dedup_keep_best
 
     clusters = q_dedup_clusters(spark, sf)

@@ -121,6 +121,111 @@ def test_duplicate_clusters_contracted_matches_full_graph(spark):
     assert comp[7] == 7
 
 
+def test_cluster_map_store_cold_warm_and_invalidation(spark, tmp_path):
+    """The persisted cluster-map seam (round-12 verdict #1): cold call
+    builds and persists; warm call with a matching witness NEVER runs
+    the builder and returns identical rows (reuse ≡ rebuild); any
+    corpus-content change, parameter change, or torn build (witness
+    missing) rebuilds rather than serving a stale map."""
+    from dump1090_postgis_spark.datapipe.cluster import (
+        cluster_map_store,
+        duplicate_clusters,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy cat tonight"),
+        (3, "completely different content about spark shuffle plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "cluster_map")
+    calls = []
+
+    def builder(d):
+        calls.append(1)
+        from dump1090_postgis_spark.datapipe import dedup as dd
+
+        cands = dd.lsh_candidate_pairs(d, hash_family="md5")
+        pairs = dd.jaccard_pairs(d, cands, threshold=0.5)
+        return duplicate_clusters(d, pairs)
+
+    params = {"threshold": 0.5, "family": "md5"}
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    cold = rows_of(cluster_map_store(docs, path, builder, params))
+    assert len(calls) == 1 and len(cold) == 4
+    # warm: witness matches → builder NOT called, identical rows,
+    # identical column order (reuse ≡ rebuild)
+    warm_df = cluster_map_store(docs, path, builder, params)
+    assert len(calls) == 1
+    assert rows_of(warm_df) == cold
+    assert warm_df.columns == [
+        "doc_id", "component", "cluster_size", "is_canonical"
+    ]
+    # row-order independence: the same corpus arriving shuffled (or
+    # differently partitioned) must still hit the cache — the
+    # fingerprint is a commutative fold
+    shuffled = spark.createDataFrame(list(reversed(rows)),
+                                     "doc_id long, text string")
+    cluster_map_store(shuffled.repartition(3), path, builder, params)
+    assert len(calls) == 1
+    # content change (one text edited) → witness mismatch → rebuild
+    changed = spark.createDataFrame(
+        rows[:3] + [(3, "edited text that is no longer the same")],
+        "doc_id long, text string",
+    )
+    cluster_map_store(changed, path, builder, params)
+    assert len(calls) == 2
+    # parameter change → rebuild even though the corpus matches
+    cluster_map_store(changed, path, builder, {**params, "threshold": 0.8})
+    assert len(calls) == 3
+    # torn build: witness sidecar gone → loudly rebuilt, not reused
+    import shutil
+
+    from dump1090_postgis_spark.datapipe.cluster import _CLUSTER_MAP_WITNESS
+
+    shutil.rmtree(f"{path}/{_CLUSTER_MAP_WITNESS}")
+    out = rows_of(
+        cluster_map_store(changed, path, builder,
+                          {**params, "threshold": 0.8})
+    )
+    assert len(calls) == 4 and len(out) == 4
+
+
+def test_q_dedup_keep_best_reuses_cluster_artifact(spark, tmp_path, monkeypatch):
+    """Entry-level reuse: with a warm artifact, q_dedup_keep_best and a
+    second q_dedup_clusters call must not re-enter the closure builder
+    (the 7.5-of-9.2-s cost the seam exists to remove), and their
+    results must equal the cold run's."""
+    from dump1090_postgis_spark.plans import datapipe_queries as dq
+
+    monkeypatch.setattr(dq, "_ARTIFACTS_DIR", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    calls = []
+    from dump1090_postgis_spark.datapipe import cluster as cl
+
+    real_builder_entry = cl.connected_components
+
+    def counting_cc(*a, **kw):
+        calls.append(1)
+        return real_builder_entry(*a, **kw)
+
+    monkeypatch.setattr(cl, "connected_components", counting_cc)
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    cold_clusters = rows_of(dq.q_dedup_clusters(spark, sf))
+    assert len(calls) == 1
+    warm_clusters = rows_of(dq.q_dedup_clusters(spark, sf))
+    assert len(calls) == 1 and warm_clusters == cold_clusters
+    kept = rows_of(dq.q_dedup_keep_best(spark, sf))
+    assert len(calls) == 1 and len(kept) > 0
+
+
 def test_connected_components_frees_previous_round_checkpoints(spark):
     """Iterative CC must not accumulate one pinned label frame per
     round: after it finishes, the persistent-RDD count may exceed the
