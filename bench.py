@@ -159,6 +159,11 @@ BENCH_QUERIES += [
 # line and pin a new set alongside).
 BENCH_R12_SET = frozenset(BENCH_QUERIES)
 
+BENCH_QUERIES += [
+    # round-13 additions
+    "embed_then_topk",  # embed-from-text seam + exact cosine retrieve
+]
+
 #: (json key, frozen set) pairs emitted by format_bench_output when a
 #: run covers the whole pinned set.
 PINNED_SETS = (

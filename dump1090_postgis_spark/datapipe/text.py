@@ -75,6 +75,105 @@ def language_id_batch(df, text: str = "text", out: str = "pred_lang",
     return df.withColumn(out, _predict(F.col(text)))
 
 
+#: Default dimensionality of the no-model hashed-BoW embedding — small
+#: enough that the 16 per-bucket count expressions stay cheap, large
+#: enough for the ANN consumers to have non-trivial geometry.
+DEFAULT_EMBED_DIM = 16
+
+
+def embed_texts(df, model=None, text: str = "text", out: str = "embedding",
+                dim: int = DEFAULT_EMBED_DIM):
+    """Batch embedding inference with a pluggable real-model seam — the
+    most-used production member of the model-seam family
+    (:func:`language_id_batch` for classification,
+    ``retrieval.rerank_topk`` for cross-encoders): compute an
+    ``array<double>`` embedding column from a text column.
+
+    ``model`` is a batch callable ``pandas.Series[str] -> iterable of
+    list[float]`` (the sentence-transformers ``encode`` shape).  When
+    given, it runs as an Arrow-batched ``pandas_udf`` — vectorized
+    transfer, one Python call per batch, scan-parallel with zero
+    shuffle (the embedding pass over 100 TB is embarrassingly parallel;
+    the model rides the executor).
+
+    When ``model=None`` (default), a DETERMINISTIC hashed bag-of-words
+    embedding is computed pure-JVM — the feature-hashing trick
+    (Weinberger et al., ICML 2009): each normalized word hashes to one
+    of ``dim`` buckets via the md5-prefix bucket this package already
+    uses for splits (``sampling.hash_bucket``), and the bucket-count
+    vector is L2-normalized.  Engine-portable (md5 + integer counts +
+    IEEE sqrt/divide are bit-identical in DuckDB), so the whole
+    embed→ANN pipeline is oracle-checkable; swapping in a real model
+    never touches the surrounding pipeline — identical output schema.
+
+    Plan shape (default path): staged projections — words, then
+    buckets, then the count vector — so the interpreted higher-order
+    expressions evaluate once per row each (the :func:`with_shingles`
+    discipline); per row the cost is O(dim · n_words) comparisons, and
+    the column is computed at scan speed with zero shuffle.
+    """
+    if model is not None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<double>")
+        def _embed(s):
+            return pd.Series([
+                None if v is None else [float(x) for x in v]
+                for v in model(s)
+            ])
+
+        return df.withColumn(out, _embed(F.col(text)))
+
+    words = F.split(
+        normalize_text(F.coalesce(F.col(text), F.lit(""))), " "
+    )
+    # word → bucket: first 8 hex chars of md5, as an unsigned 32-bit
+    # int, mod dim — bit-identical to DuckDB's
+    # ('0x' || substr(md5(w), 1, 8))::BIGINT % dim
+    bucket = lambda w: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+    def _is_bucket(i: int):
+        # single-parameter lambda factory — a default-arg two-parameter
+        # lambda would receive the array INDEX as its second argument
+        # (the PySpark higher-order-function convention), silently
+        # shadowing the bucket id (the dedup._seeded_hash pitfall)
+        return lambda b: b == F.lit(i)
+
+    counts = F.array(*[
+        F.size(F.filter(F.col("_eb_buckets"), _is_bucket(i))).cast("double")
+        for i in range(dim)
+    ])
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_eb_counts"), lambda x: x * x),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    return (
+        df.withColumn("_eb_buckets", F.transform(words, bucket))
+        .withColumn("_eb_counts", counts)
+        .withColumn("_eb_norm", norm)
+        .withColumn(
+            out,
+            # norm is 0 only for an all-empty bucket vector, which the
+            # normalize path can't produce (even '' hashes somewhere),
+            # but guard the divide for model-swapped callers feeding
+            # pre-tokenized empties.
+            F.when(
+                F.col("_eb_norm") > 0,
+                F.transform(
+                    F.col("_eb_counts"), lambda c: c / F.col("_eb_norm")
+                ),
+            ).otherwise(F.col("_eb_counts")),
+        )
+        .drop("_eb_buckets", "_eb_counts", "_eb_norm")
+    )
+
+
 def token_count_ws(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(F.split(F.trim(text), r"\s+"))

@@ -571,6 +571,14 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ["query_id", "rank", "neighbor_id", "cosine"],
             ),
             ("ann_topk_quantized", "dq", ["query_id", "rank", "neighbor_id", "cosine"]),
+            # round-13: the embed→retrieve pipeline — embeddings derived
+            # in-pipeline from documents.text via the batch
+            # embedding-inference seam (round-12 verdict #3)
+            (
+                "embed_then_topk",
+                "dq",
+                ["query_id", "rank", "neighbor_id", "cosine"],
+            ),
             ("kmeans_refine", "dq", ["centroid_id", "dim", "x"]),
             (
                 "ann_hard_negatives",

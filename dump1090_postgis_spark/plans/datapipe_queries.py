@@ -661,6 +661,69 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_embed_then_topk(spark, sf):
+    """The embed→retrieve pipeline end-to-end (round-12 verdict #3):
+    compute the embedding column FROM ``documents.text`` via the batch
+    embedding-inference seam (``text.embed_texts`` — Arrow-batched
+    pandas_udf when a model is injected; here the deterministic
+    no-model default, the md5 feature-hashing trick, L2-normalized),
+    then exact cosine top-5 for query docs doc_id < 3 over the embedded
+    corpus.  Every other ANN entry consumes the PRE-MADE embeddings
+    table; this one exercises the production shape where the vectors
+    are derived in-pipeline from text.  The oracle replays hashing,
+    normalization, and the cosine ranking (all engine-portable:
+    md5-prefix buckets, integer counts, IEEE sqrt/divide)."""
+    docs = load_table(spark, sf, "documents")
+    emb = tx.embed_texts(docs).select("doc_id", "embedding")
+    queries = emb.filter(F.col("doc_id") < 3)
+    return sim.brute_force_topk(
+        emb, queries, k=5, id_col="doc_id",
+        corpus_rows=table_rows(sf, "documents"),
+    )
+
+
+SQL_EMBED_THEN_TOPK = f"""
+WITH prep AS (
+  SELECT doc_id,
+         str_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                                  '\\s+', ' ', 'g'), ' ') AS words
+  FROM documents
+), bk AS (
+  SELECT doc_id,
+         list_transform(words,
+           w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % {tx.DEFAULT_EMBED_DIM}
+         ) AS buckets
+  FROM prep
+), cnt AS (
+  SELECT doc_id,
+         list_transform(range(0, {tx.DEFAULT_EMBED_DIM}),
+           i -> len(list_filter(buckets, x -> x = i))::DOUBLE) AS counts
+  FROM bk
+), nrm AS (
+  SELECT doc_id, counts,
+         sqrt(list_sum(list_transform(counts, x -> x * x))) AS n
+  FROM cnt
+), emb AS (
+  SELECT doc_id,
+         CASE WHEN n > 0 THEN list_transform(counts, x -> x / n)
+              ELSE counts END AS v
+  FROM nrm
+), scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) *
+                sqrt(list_dot_product(c.v, c.v))), 4) + 0.0 AS cosine
+  FROM emb q, emb c
+  WHERE q.doc_id < 3 AND c.doc_id <> q.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ann_topk_ivf(spark, sf):
     """IVF-bucketed approximate top-5 (scale path; recall measured
     against the brute-force baseline in tests).  The whole pipeline is
@@ -3080,4 +3143,5 @@ REGISTRY: dict = {
         q_ann_topk_ivf_pq_store_append,
         SQL_ANN_IVF_PQ,
     ),
+    "embed_then_topk": (q_embed_then_topk, SQL_EMBED_THEN_TOPK),
 }

@@ -1036,6 +1036,46 @@ def test_language_id_model_seam(spark):
     assert out[1] == "en" and out[2] == "xx"
 
 
+def test_embed_texts_model_seam_and_default(spark):
+    """The batch embedding-inference seam (round-12 verdict #3):
+    injecting a 'real' model (pd.Series[str] -> list-of-vectors, the
+    sentence-transformers encode shape) swaps the vectors without
+    touching schema; the no-model default is a deterministic
+    L2-normalized hashed bag-of-words — stable across calls, unit
+    norm, word-order independent (a BoW), and content-sensitive."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "mat the on sat cat the"),   # same bag of words as 1
+            (3, "completely different words here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: list(r.embedding)
+           for r in tx.embed_texts(df).collect()}
+    assert dict(tx.embed_texts(df).dtypes)["embedding"] == "array<double>"
+    assert all(len(v) == tx.DEFAULT_EMBED_DIM for v in out.values())
+    for did in (1, 2, 3, 4):  # unit norm, NULL text included (→ '')
+        assert abs(math.sqrt(sum(x * x for x in out[did])) - 1.0) < 1e-12
+    assert out[1] == out[2]      # bag-of-words: order-insensitive
+    assert out[1] != out[3]      # content-sensitive
+    # stable across calls
+    again = {r.doc_id: list(r.embedding)
+             for r in tx.embed_texts(df).collect()}
+    assert again == out
+
+    # injected model: vectors replaced, schema identical
+    def fake_model(texts):
+        return [[float(len(t or "")), 1.0] for t in texts]
+
+    inj = {r.doc_id: list(r.embedding)
+           for r in tx.embed_texts(df, model=fake_model).collect()}
+    assert inj[1] == [22.0, 1.0] and inj[4] == [0.0, 1.0]
+
+
 def test_multimodal_decoder_seam(spark):
     """Injecting a 'real' codec keeps the plumbing (schema, batching,
     error rows) while replacing decode results."""
