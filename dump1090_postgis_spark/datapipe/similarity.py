@@ -1253,6 +1253,62 @@ def _check_store_marker(spark, path: str) -> None:
         )
 
 
+#: auto_nlist defaults — the two measured constraints on cell sizing.
+#: Rows floor: the round-12 ×1000 inversion (nlist=5000 → 400 rows/cell
+#: → store 699 s LOST to storeless 451 s; small-file I/O dominates).
+#: Bytes target: one parquet row group (~128 MB) per cell file, so the
+#: pruned read is chunky sequential I/O.
+_AUTO_NLIST_MIN_ROWS_PER_CELL = 10_000
+_AUTO_NLIST_TARGET_CELL_BYTES = 128 << 20
+
+
+def auto_nlist(
+    corpus_rows: int | None = None,
+    corpus_bytes: int | None = None,
+    dim: int | None = None,
+    min_rows_per_cell: int = _AUTO_NLIST_MIN_ROWS_PER_CELL,
+    target_cell_bytes: int = _AUTO_NLIST_TARGET_CELL_BYTES,
+    files_per_cell: int = 1,
+) -> int:
+    """The executable form of the cell-sizing rule round 12 measured
+    and WARNed about (round-12 verdict #2): the number of IVF cells a
+    :func:`write_ivf_cell_store` layout should be trained with.
+
+    Two UPPER bounds, both from the store's I/O economics (more cells
+    = more pruning, so nlist wants to be as large as the bounds allow
+    — the returned value is their min):
+
+    - ``corpus_rows / min_rows_per_cell`` — the measured floor: at
+      ×1000 (2M vectors) nlist=5000 gave 400-row cells and the store
+      LOST to the storeless scan 699 s vs 451 s even with partition
+      pruning; thousands of tiny cell files invert the build-once win.
+    - ``corpus_bytes / (files_per_cell × target_cell_bytes)`` — cells
+      ≳ one parquet row group (~128 MB), so every pruned read is
+      chunky sequential I/O.  At 100 TB this is the binding bound
+      (~800k cells of 128 MB); at bench decades the rows bound and the
+      bytes bound cross near ×1000 — exactly where the inversion was
+      measured.
+
+    ``corpus_bytes`` unknown: estimated from ``corpus_rows × dim × 9``
+    (8-byte stored float + 1-byte residual code per element — the two
+    corpus-sized columns the store carries; random-ish doubles don't
+    compress, so raw size is the honest estimate).  At least
+    ``corpus_rows`` is required.  Returns ≥ 1; a result of 1–2 is
+    itself a signal (the corpus is too small for a cell store to pay —
+    the same message as the writer's rows-per-cell warning).
+    """
+    if corpus_rows is None and corpus_bytes is None:
+        raise ValueError("auto_nlist needs corpus_rows and/or corpus_bytes")
+    bounds = []
+    if corpus_rows is not None:
+        bounds.append(corpus_rows // min_rows_per_cell)
+        if corpus_bytes is None and dim is not None:
+            corpus_bytes = corpus_rows * dim * 9
+    if corpus_bytes is not None:
+        bounds.append(corpus_bytes // (files_per_cell * target_cell_bytes))
+    return max(1, int(min(bounds)))
+
+
 def write_ivf_cell_store(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1337,8 +1393,10 @@ def write_ivf_cell_store(
                 f"write_ivf_cell_store: ~{rows_per_cell:.0f} rows/cell "
                 f"(corpus_rows={corpus_rows}, nlist={nlist}) — cells "
                 "this fine make the store SLOWER than a storeless scan "
-                "(small-file I/O dominates); size nlist so cells hold "
-                ">=10k rows, or skip the store for this corpus",
+                "(small-file I/O dominates); train the quantizer with "
+                "auto_nlist(corpus_rows=..., corpus_bytes=...) cells "
+                "(>=10k rows and ~a parquet row group each), or skip "
+                "the store for this corpus",
                 stacklevel=2,
             )
     n = (

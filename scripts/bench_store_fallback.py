@@ -44,13 +44,54 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE = int(os.environ.get("SPARK_GRAFT_FB_SCALE", "1000"))
-N_LIST = int(os.environ.get("SPARK_GRAFT_FB_NLIST", "5000"))
 N_QUERIES = int(os.environ.get("SPARK_GRAFT_FB_QUERIES", "8192"))
 N_PROBES = int(os.environ.get("SPARK_GRAFT_FB_PROBES", "8"))
 K = 5
 PERTURB = 0.6  # same deterministic smear as bench_ivf_recall decade mode
-STORE = os.path.join(REPO, f".bench_fb_x{SCALE}", f"store_nlist{N_LIST}")
 CORPUS = os.path.join(REPO, f".bench_ivf_x{SCALE}", "embeddings.parquet")
+#: Legs to run (comma list) — lets the auto-nlist row skip store_in
+#: (no IN-cap crossing to isolate at single-digit nlist).
+LEGS = [
+    l for l in os.environ.get(
+        "SPARK_GRAFT_FB_LEGS", "build,store_fb,store_in,storeless"
+    ).split(",") if l
+]
+
+
+def _resolve_nlist() -> int:
+    """SPARK_GRAFT_FB_NLIST: an int, or 'auto' → similarity.auto_nlist
+    from the cached decade corpus's REAL on-disk bytes + row count
+    (round-12 verdict #2: the measured sizing rule made executable).
+    'auto' requires the corpus cache to exist (run any numeric-nlist
+    leg, or bench_ivf_recall, first)."""
+    raw = os.environ.get("SPARK_GRAFT_FB_NLIST", "5000")
+    if raw != "auto":
+        return int(raw)
+    import pyarrow.parquet as pq
+
+    from dump1090_postgis_spark.datapipe.similarity import auto_nlist
+
+    if not os.path.isdir(CORPUS):
+        raise SystemExit(
+            f"FB_NLIST=auto needs the cached corpus at {CORPUS}"
+        )
+    files = [
+        os.path.join(CORPUS, f)
+        for f in os.listdir(CORPUS)
+        if f.endswith(".parquet")
+    ]
+    nbytes = sum(os.path.getsize(f) for f in files)
+    nrows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    n = auto_nlist(corpus_rows=nrows, corpus_bytes=nbytes)
+    print(
+        f"[fb] auto_nlist(rows={nrows}, bytes={nbytes}) = {n}",
+        file=sys.stderr,
+    )
+    return n
+
+
+N_LIST = _resolve_nlist()
+STORE = os.path.join(REPO, f".bench_fb_x{SCALE}", f"store_nlist{N_LIST}")
 
 
 def _corpus(spark):
@@ -167,7 +208,7 @@ def main() -> int:
         print(json.dumps(_leg(sys.argv[1])))
         return 0
     results = {}
-    for leg in ("build", "store_fb", "store_in", "storeless"):
+    for leg in LEGS:
         t0 = time.time()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), leg],
@@ -186,22 +227,22 @@ def main() -> int:
             f"(wall {round(time.time() - t0, 1)}s)",
             file=sys.stderr,
         )
-    probed = results["store_fb"].get("probed_cells") or 0
-    if probed <= 4096:
+    probed = (results.get("store_fb") or {}).get("probed_cells") or 0
+    if "store_in" in results and probed <= 4096:
         print(
             f"WARNING: batch probed only {probed} cells — the IN-literal "
             "cap was NOT crossed; raise N_LIST/N_QUERIES/N_PROBES",
             file=sys.stderr,
         )
+    query_legs = [
+        l for l in ("store_fb", "store_in", "storeless") if l in results
+    ]
     out = {
         "metric": "ivf_store_fallback_x" + str(SCALE),
         "nlist": N_LIST, "queries": N_QUERIES, "probes": N_PROBES,
         "isin_cap": 4096,
         "legs": results,
-        "parity": len({
-            results[leg].get("hash")
-            for leg in ("store_fb", "store_in", "storeless")
-        }) == 1,
+        "parity": len({results[l].get("hash") for l in query_legs}) == 1,
     }
     print(json.dumps(out))
     return 0

@@ -746,6 +746,48 @@ def test_ivf_cell_store_append_rejects_column_drift(spark, tmp_path):
         )
 
 
+def test_auto_nlist_decade_behavior():
+    """The executable cell-sizing rule (round-12 verdict #2): across
+    the measured decades, auto_nlist must (a) never produce cells
+    finer than the 10k-row floor or thinner than ~a row group when
+    bytes are known, (b) reject the exact ×1000 configuration that
+    lost (nlist=5000 at 2M rows), and (c) grow monotonically with the
+    corpus so bigger corpora get more pruning, with the bytes bound
+    binding at 100 TB scale."""
+    # the measured ×1000 inversion: 2M vectors, ~996 MB on disk
+    x1000 = sim.auto_nlist(corpus_rows=2_000_000,
+                           corpus_bytes=996 << 20)
+    assert 1 <= x1000 <= 2_000_000 // 10_000      # rows floor respected
+    assert x1000 == (996 << 20) // (128 << 20) == 7  # bytes bound binds
+    assert x1000 != 5000                          # the losing layout
+    # rows floor holds whenever rows are known, bytes or not
+    assert sim.auto_nlist(corpus_rows=2_000_000) == 200
+    for rows in (10_000, 1_000_000, 100_000_000):
+        n = sim.auto_nlist(corpus_rows=rows)
+        assert rows // n >= 10_000
+    # 100 TB / 1e11 rows: bytes bound binds → ~800k chunky cells
+    big = sim.auto_nlist(corpus_rows=100_000_000_000,
+                         corpus_bytes=100 * (1 << 40))
+    assert big == (100 * (1 << 40)) // (128 << 20)
+    assert (100 * (1 << 40)) / big >= (128 << 20)  # >= a row group/cell
+    # monotone in corpus size (same shape, growing decades)
+    decades = [
+        sim.auto_nlist(corpus_rows=2_000 * s, dim=64)
+        for s in (1, 10, 100, 1_000, 10_000, 100_000)
+    ]
+    assert decades == sorted(decades)
+    # dim estimate path: bytes ≈ rows × dim × 9
+    est = sim.auto_nlist(corpus_rows=10_000_000, dim=64)
+    assert est == min(10_000_000 // 10_000,
+                      (10_000_000 * 64 * 9) // (128 << 20))
+    # degenerate / error paths
+    assert sim.auto_nlist(corpus_rows=500) == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        sim.auto_nlist()
+
+
 def test_ivf_cell_store_torn_build_is_loud(spark, tmp_path):
     """A two-batch build that dies between write_ivf_cell_store and
     append_ivf_cell_store passes the sidecar freshness check (the
