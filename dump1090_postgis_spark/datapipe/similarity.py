@@ -1058,9 +1058,9 @@ def ivf_topk(
         # NULL-element rows written through the vectorized engine's
         # Arrow round trip (NULL↔NaN rewrite) from ranked-last to
         # ranked-first.  Clean rows' floats round-trip bit-exact.
-        corpus_assigned = _probed_store_scan(store, query_probes).select(
-            id_col, vec, "list_id", "_deg", "_nan"
-        )
+        corpus_assigned = _probed_store_scan(
+            store, query_probes, nlist=len(cen_rows_l)
+        ).select(id_col, vec, "list_id", "_deg", "_nan")
     else:
         corpus_assigned = assigned_fn(
             corpus.withColumn("_deg", deg).withColumn("_nan", nan_flag)
@@ -1253,60 +1253,76 @@ def _check_store_marker(spark, path: str) -> None:
         )
 
 
-#: auto_nlist defaults — the two measured constraints on cell sizing.
+#: auto_nlist defaults — the measured constraints on cell sizing.
 #: Rows floor: the round-12 ×1000 inversion (nlist=5000 → 400 rows/cell
 #: → store 699 s LOST to storeless 451 s; small-file I/O dominates).
 #: Bytes target: one parquet row group (~128 MB) per cell file, so the
 #: pruned read is chunky sequential I/O.
+#: Pruning floor: the bytes target is only allowed to govern while it
+#: leaves ≥ this many cells — a round-13 measurement: at ×1000 the
+#: bytes-only rule gave nlist=7, and with nprobe=8 EVERY query's
+#: candidate set became the whole 2M-row corpus (probes/nlist = 1);
+#: the store leg was aborted past 1,500 s — worse than both round-12
+#: legs.  Candidate pruning (probes/nlist of the corpus per query) is
+#: compute; it dominates sub-row-group file overhead until nlist is
+#: large enough for the rows floor to bound file count anyway.
 _AUTO_NLIST_MIN_ROWS_PER_CELL = 10_000
 _AUTO_NLIST_TARGET_CELL_BYTES = 128 << 20
+_AUTO_NLIST_MIN_PRUNING_CELLS = 256  # 32× the default nprobe=8
 
 
 def auto_nlist(
-    corpus_rows: int | None = None,
+    corpus_rows: int,
     corpus_bytes: int | None = None,
     dim: int | None = None,
     min_rows_per_cell: int = _AUTO_NLIST_MIN_ROWS_PER_CELL,
     target_cell_bytes: int = _AUTO_NLIST_TARGET_CELL_BYTES,
+    min_pruning_cells: int = _AUTO_NLIST_MIN_PRUNING_CELLS,
     files_per_cell: int = 1,
 ) -> int:
     """The executable form of the cell-sizing rule round 12 measured
     and WARNed about (round-12 verdict #2): the number of IVF cells a
     :func:`write_ivf_cell_store` layout should be trained with.
 
-    Two UPPER bounds, both from the store's I/O economics (more cells
-    = more pruning, so nlist wants to be as large as the bounds allow
-    — the returned value is their min):
+    The PRIMARY rule is the measured rows floor — ``corpus_rows /
+    min_rows_per_cell`` cells, so no cell is finer than 10k rows (at
+    ×1000, nlist=5000 gave 400-row cells and the store LOST to the
+    storeless scan 699 s vs 451 s: thousands of tiny cell files invert
+    the build-once win).
 
-    - ``corpus_rows / min_rows_per_cell`` — the measured floor: at
-      ×1000 (2M vectors) nlist=5000 gave 400-row cells and the store
-      LOST to the storeless scan 699 s vs 451 s even with partition
-      pruning; thousands of tiny cell files invert the build-once win.
-    - ``corpus_bytes / (files_per_cell × target_cell_bytes)`` — cells
-      ≳ one parquet row group (~128 MB), so every pruned read is
-      chunky sequential I/O.  At 100 TB this is the binding bound
-      (~800k cells of 128 MB); at bench decades the rows bound and the
-      bytes bound cross near ×1000 — exactly where the inversion was
-      measured.
+    When the corpus is big enough, the bytes target refines it
+    downward to row-group-sized cells — ``corpus_bytes /
+    (files_per_cell × target_cell_bytes)`` cells of ~128 MB, the
+    binding rule at 100 TB (~800k chunky cells) — but the refinement
+    is CLAMPED at ``min_pruning_cells`` (32× the default nprobe):
+    nlist is also the denominator of every query's candidate fraction
+    (nprobe/nlist of the corpus gets scored per query), and a
+    round-13 measurement showed the bytes rule alone collapsing ×1000
+    to nlist=7, where nprobe=8 un-pruned the candidate set entirely —
+    every one of the 8,192 batch queries scored the full 2M-row
+    corpus and the store leg was aborted past 1,500 s, worse than the
+    misconfiguration the rule was meant to fix.  Candidate-pruning
+    compute outranks file chunkiness until the corpus is large enough
+    for both (the clamp is monotone: a bigger corpus never gets a
+    smaller nlist).
 
     ``corpus_bytes`` unknown: estimated from ``corpus_rows × dim × 9``
     (8-byte stored float + 1-byte residual code per element — the two
     corpus-sized columns the store carries; random-ish doubles don't
-    compress, so raw size is the honest estimate).  At least
-    ``corpus_rows`` is required.  Returns ≥ 1; a result of 1–2 is
-    itself a signal (the corpus is too small for a cell store to pay —
-    the same message as the writer's rows-per-cell warning).
+    compress, so raw size is the honest estimate).  Returns ≥ 1; a
+    result ≤ ~2 is itself a signal that the corpus is too small for a
+    cell store to pay (the writer's rows-per-cell warning's message).
     """
-    if corpus_rows is None and corpus_bytes is None:
-        raise ValueError("auto_nlist needs corpus_rows and/or corpus_bytes")
-    bounds = []
-    if corpus_rows is not None:
-        bounds.append(corpus_rows // min_rows_per_cell)
-        if corpus_bytes is None and dim is not None:
-            corpus_bytes = corpus_rows * dim * 9
+    io_bound = corpus_rows // min_rows_per_cell
+    if corpus_bytes is None and dim is not None:
+        corpus_bytes = corpus_rows * dim * 9
     if corpus_bytes is not None:
-        bounds.append(corpus_bytes // (files_per_cell * target_cell_bytes))
-    return max(1, int(min(bounds)))
+        chunky = corpus_bytes // (files_per_cell * target_cell_bytes)
+        # clamp, don't branch: max(chunky, pruning floor) keeps the
+        # candidate fraction bounded; min(…, io_bound) keeps the rows
+        # floor authoritative.  Monotone in corpus size by construction.
+        return max(1, int(min(io_bound, max(chunky, min_pruning_cells))))
+    return max(1, int(io_bound))
 
 
 def write_ivf_cell_store(
@@ -1524,8 +1540,17 @@ def append_ivf_cell_store(
 #: keeping the zero-assignment-FLOPs win.
 _STORE_ISIN_MAX_CELLS = 4096
 
+#: Full-probe warning floor: below this many cells the coverage ratio
+#: is meaningless (a 5-query demo probes most of an 8-cell index by
+#: construction); the sizing helper never emits fewer than
+#: _AUTO_NLIST_MIN_PRUNING_CELLS (256) cells when the bytes rule is
+#: active, so real stores are always above this line.
+_STORE_FULL_PROBE_WARN_MIN_NLIST = 64
 
-def _probed_store_scan(store: DataFrame, query_probes: DataFrame) -> DataFrame:
+
+def _probed_store_scan(
+    store: DataFrame, query_probes: DataFrame, nlist: int | None = None
+) -> DataFrame:
     """The probed-cell pruning shared by :func:`ivf_topk` /
     :func:`ivf_pq_topk`: one query-side-only job collects the distinct
     probed cells (the probe ranking is a literal projection over the
@@ -1533,11 +1558,37 @@ def _probed_store_scan(store: DataFrame, query_probes: DataFrame) -> DataFrame:
     them as a static ``list_id IN`` — the scan node carries
     ``PartitionFilters`` and unprobed cell directories cost zero I/O.
     Past :data:`_STORE_ISIN_MAX_CELLS` the literal is skipped (see the
-    constant's rationale)."""
+    constant's rationale).
+
+    ``nlist`` (when known) arms the FULL-PROBE warning: a batch whose
+    distinct probed cells cover ≥ half the index gets no partition
+    pruning — the store's win reduces to skipped assignment FLOPs,
+    and the round-13 ×1000 measurement shows that regime LOSING to a
+    storeless scan outright (8,192 queries × nprobe 8 over nlist 200:
+    store 962 s; over nlist 5000: store 699 vs storeless 451 — the
+    cell store is a small-batch/serving structure; mega-batch offline
+    scoring wants the storeless plan).  Demo-scale indexes (nlist <
+    :data:`_STORE_FULL_PROBE_WARN_MIN_NLIST`) are exempt: at a handful
+    of cells the coverage ratio says nothing about batch size."""
     probed_cells = sorted(
         r["list_id"]
         for r in query_probes.select("list_id").distinct().collect()
     )
+    if (
+        nlist
+        and nlist >= _STORE_FULL_PROBE_WARN_MIN_NLIST
+        and len(probed_cells) >= max(1, nlist // 2)
+    ):
+        import warnings
+
+        warnings.warn(
+            f"ivf store scan: the query batch probes {len(probed_cells)} "
+            f"of {nlist} cells — (almost) no partition pruning; at this "
+            "batch-size-to-nlist ratio the storeless plan is usually "
+            "faster (measured ×1000, BASELINE.md round 13). Split the "
+            "batch, or skip corpus_store= for offline mega-batch scoring",
+            stacklevel=3,
+        )
     if len(probed_cells) > _STORE_ISIN_MAX_CELLS:
         return store
     return store.filter(F.col("list_id").isin(probed_cells))
@@ -1699,7 +1750,9 @@ def ivf_pq_topk(
         store = _load_ivf_cell_store(
             corpus.sparkSession, corpus_store, cen_rows, vec, id_col
         )
-        store_pruned = _probed_store_scan(store, query_probes)
+        store_pruned = _probed_store_scan(
+            store, query_probes, nlist=len(cen_rows)
+        )
         coded = store_pruned.select(id_col, "list_id", "q_res", "q_scale")
     else:
         coded = pq_encode_residual(

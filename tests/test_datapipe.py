@@ -746,46 +746,90 @@ def test_ivf_cell_store_append_rejects_column_drift(spark, tmp_path):
         )
 
 
+def test_store_full_probe_batch_warns(spark, tmp_path, monkeypatch):
+    """A query batch probing (almost) every cell of a store gets no
+    partition pruning — the regime the round-13 ×1000 rows measured
+    LOSING to storeless (store 962 s at nlist=200/8,192 queries).  The
+    store query path must say so: warn when probed cells cover ≥ half
+    the index, stay silent on genuinely pruned batches and on
+    demo-scale indexes below the warning floor."""
+    import random
+    import warnings
+
+    rnd = random.Random(86)
+    corpus = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = sim.build_centroids(corpus, num_centroids=8)
+    path = str(tmp_path / "probe_warn_store")
+    sim.write_ivf_cell_store(corpus, cent, path, num_partitions=4)
+
+    def warns(probes, queries):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            sim.ivf_pq_topk(
+                corpus, corpus.filter(F.col("vec_id") < queries), cent,
+                k=3, probes=probes, corpus_store=path,
+            ).collect()
+        return any("no partition pruning" in str(w.message) for w in caught)
+
+    # nlist=8 is below the demo floor: silent even at full probe
+    assert not warns(probes=8, queries=40)
+    # lower the floor to the test scale: full probe now warns...
+    monkeypatch.setattr(sim, "_STORE_FULL_PROBE_WARN_MIN_NLIST", 8)
+    assert warns(probes=8, queries=40)
+    # ...and a genuinely pruned batch (1 probe of 8 cells) stays silent
+    assert not warns(probes=1, queries=2)
+
+
 def test_auto_nlist_decade_behavior():
     """The executable cell-sizing rule (round-12 verdict #2): across
     the measured decades, auto_nlist must (a) never produce cells
-    finer than the 10k-row floor or thinner than ~a row group when
-    bytes are known, (b) reject the exact ×1000 configuration that
-    lost (nlist=5000 at 2M rows), and (c) grow monotonically with the
-    corpus so bigger corpora get more pruning, with the bytes bound
-    binding at 100 TB scale."""
-    # the measured ×1000 inversion: 2M vectors, ~996 MB on disk
-    x1000 = sim.auto_nlist(corpus_rows=2_000_000,
-                           corpus_bytes=996 << 20)
-    assert 1 <= x1000 <= 2_000_000 // 10_000      # rows floor respected
-    assert x1000 == (996 << 20) // (128 << 20) == 7  # bytes bound binds
-    assert x1000 != 5000                          # the losing layout
-    # rows floor holds whenever rows are known, bytes or not
+    finer than the 10k-row floor, (b) reject BOTH measured failure
+    modes at the ×1000 configuration — nlist=5000 (400-row cells,
+    store lost on small-file I/O) and nlist=7 (the bytes-only rule:
+    nprobe=8 un-prunes the candidate set, store leg aborted >1,500 s)
+    — and (c) grow monotonically with the corpus, with the row-group
+    bytes rule binding at 100 TB scale."""
+    # the measured ×1000 corpus: 2M vectors, ~996 MB on disk.  The
+    # bytes rule alone would give 7 cells (< the 64-cell pruning
+    # floor), so the rows floor governs: 200 cells of 10k rows.
+    x1000 = sim.auto_nlist(corpus_rows=2_000_000, corpus_bytes=996 << 20)
+    assert x1000 == 200
+    assert x1000 not in (5000, 7)                 # both measured losers
+    assert 2_000_000 // x1000 >= 10_000           # rows floor respected
+    # rows floor holds whenever bytes are unknown too
     assert sim.auto_nlist(corpus_rows=2_000_000) == 200
     for rows in (10_000, 1_000_000, 100_000_000):
         n = sim.auto_nlist(corpus_rows=rows)
         assert rows // n >= 10_000
-    # 100 TB / 1e11 rows: bytes bound binds → ~800k chunky cells
+    # 100 TB / 1e11 rows: the bytes rule binds → ~800k chunky cells,
+    # each >= a row group AND >= 10k rows, far above the pruning floor
     big = sim.auto_nlist(corpus_rows=100_000_000_000,
                          corpus_bytes=100 * (1 << 40))
     assert big == (100 * (1 << 40)) // (128 << 20)
-    assert (100 * (1 << 40)) / big >= (128 << 20)  # >= a row group/cell
-    # monotone in corpus size (same shape, growing decades)
+    assert big >= 64
+    assert (100 * (1 << 40)) / big >= (128 << 20)
+    assert 100_000_000_000 // big >= 10_000
+    # monotone in corpus size (same shape, growing decades) — the
+    # clamp form, not a branch, so the floor crossover cannot step down
     decades = [
         sim.auto_nlist(corpus_rows=2_000 * s, dim=64)
-        for s in (1, 10, 100, 1_000, 10_000, 100_000)
+        for s in (1, 10, 100, 1_000, 10_000, 100_000, 1_000_000)
     ]
     assert decades == sorted(decades)
-    # dim estimate path: bytes ≈ rows × dim × 9
-    est = sim.auto_nlist(corpus_rows=10_000_000, dim=64)
-    assert est == min(10_000_000 // 10_000,
-                      (10_000_000 * 64 * 9) // (128 << 20))
-    # degenerate / error paths
+    # dim estimate path: bytes ≈ rows × dim × 9; at 10M×64d (~5.4 GB)
+    # the bytes rule gives 42 cells — clamped up to the 256 pruning
+    # floor (io_bound 1000 allows it)
+    assert sim.auto_nlist(corpus_rows=10_000_000, dim=64) == 256
+    # ...and at 1B×64d (~540 GB) the bytes rule clears the floor and
+    # binds below the io_bound
+    est = sim.auto_nlist(corpus_rows=1_000_000_000, dim=64)
+    assert est == (1_000_000_000 * 64 * 9) // (128 << 20)
+    assert 256 <= est <= 1_000_000_000 // 10_000
+    # degenerate path: tiny corpus → 1 (the "store won't pay" signal)
     assert sim.auto_nlist(corpus_rows=500) == 1
-    import pytest
-
-    with pytest.raises(ValueError):
-        sim.auto_nlist()
 
 
 def test_ivf_cell_store_torn_build_is_loud(spark, tmp_path):
