@@ -217,6 +217,61 @@ def _per_cell(df: DataFrame, poly_col: str, grid: Column, agg: Column) -> DataFr
     )
 
 
+def _ordered_runways(runways: DataFrame) -> DataFrame:
+    """Iteration-ordered runway dim (__ord, name, direction, polygon).
+    Single-partition window over a broadcast-class dim (≤ ~10^5 rows)
+    — bounded by construction, never over event data."""
+    order = ["id"] if "id" in runways.columns else ["name", "direction"]
+    return (
+        runways.withColumn(
+            "__ord", F.row_number().over(Window.orderBy(*[F.col(c) for c in order]))
+        )
+        .select(
+            "__ord", "name",
+            F.col("direction").cast("double").alias("direction"), "polygon",
+        )
+    )
+
+
+def grid_runway_cells(
+    runways: DataFrame, grid_deg: float = GRID_DEG
+) -> DataFrame:
+    """(__cx, __cy, __rw ordered-runway array) per occupied grid cell
+    — the STATIC dim side of the grid join, factored out so a
+    streaming sink can compute it ONCE at wire-up and reuse it every
+    micro-batch (dim work per batch was pure waste: the round-13
+    socket row measured the per-batch rebuild + a hot-cell dim at
+    keep-up 0.161)."""
+    grid = F.lit(float(grid_deg))
+    return _per_cell(
+        _ordered_runways(runways), "polygon", grid,
+        F.array_sort(
+            F.collect_list(F.struct("__ord", "name", "direction", "polygon"))
+        ).alias("__rw"),
+    )
+
+
+def grid_bbox_cells(
+    airport_bbox: DataFrame, grid_deg: float = GRID_DEG
+) -> DataFrame:
+    """(__cx, __cy, __bb bbox array) per occupied cell — static dim
+    side of the bbox fallback tier."""
+    return _per_cell(
+        airport_bbox.select("bbox"), "bbox", F.lit(float(grid_deg)),
+        F.collect_list("bbox").alias("__bb"),
+    )
+
+
+def runway_dirs(runways: DataFrame) -> DataFrame:
+    """One-row (\_\_dirs ordered (ord, name, direction) array) frame —
+    the heading-only fallback the bbox tier scans."""
+    return _ordered_runways(runways).agg(
+        F.array_sort(
+            F.collect_list(F.struct("__ord", "name", "direction"))
+        ).alias("__dirs")
+    )
+
+
 def _grid_cell_join(
     events: DataFrame,
     runways: DataFrame,
@@ -226,31 +281,24 @@ def _grid_cell_join(
     heading: str,
     tolerance_deg: float,
     grid_deg: float,
+    cell_rw: DataFrame | None = None,
+    cell_bb: DataFrame | None = None,
+    dirs: DataFrame | None = None,
 ) -> DataFrame:
     """Scale path: events broadcast-hash-join their grid cell's
     iteration-ordered runway array; first-match is a projection over
-    that (small) array.  See module docstring."""
+    that (small) array.  See module docstring.
+
+    ``cell_rw``/``cell_bb``/``dirs``: precomputed static dim frames
+    (:func:`grid_runway_cells` etc.) — pass eagerly-checkpointed
+    copies from a per-micro-batch caller so the dim window + explode +
+    collect_list aggregation runs once per stream, not once per
+    batch."""
     grid = F.lit(float(grid_deg))
     plon, plat, phead = F.col(lon), F.col(lat), F.col(heading)
 
-    order = ["id"] if "id" in runways.columns else ["name", "direction"]
-    # Single-partition window over a broadcast-class dim (≤ ~10^5
-    # rows) — bounded by construction, never over event data.
-    rw = (
-        runways.withColumn(
-            "__ord", F.row_number().over(Window.orderBy(*[F.col(c) for c in order]))
-        )
-        .select(
-            "__ord", "name",
-            F.col("direction").cast("double").alias("direction"), "polygon",
-        )
-    )
-    cell_rw = _per_cell(
-        rw, "polygon", grid,
-        F.array_sort(
-            F.collect_list(F.struct("__ord", "name", "direction", "polygon"))
-        ).alias("__rw"),
-    )
+    if cell_rw is None:
+        cell_rw = grid_runway_cells(runways, grid_deg)
 
     ev = events.withColumn("__cx", F.floor(plon / grid)).withColumn(
         "__cy", F.floor(plat / grid)
@@ -264,22 +312,15 @@ def _grid_cell_join(
 
     drop = ["__cx", "__cy", "__rw"]
     if airport_bbox is not None:
-        cell_bb = _per_cell(
-            airport_bbox.select("bbox"), "bbox", grid,
-            F.collect_list("bbox").alias("__bb"),
-        )
+        if cell_bb is None:
+            cell_bb = grid_bbox_cells(airport_bbox, grid_deg)
         ev = ev.join(F.broadcast(cell_bb), ["__cx", "__cy"], "left")
         # Heading match is position-independent, so the reference's
         # (bbox-major, runway-order) first match reduces to: point in
         # ANY bbox → first runway (global order) whose heading matches.
-        dirs = F.broadcast(
-            rw.agg(
-                F.array_sort(
-                    F.collect_list(F.struct("__ord", "name", "direction"))
-                ).alias("__dirs")
-            )
-        )
-        ev = ev.crossJoin(dirs)
+        if dirs is None:
+            dirs = runway_dirs(runways)
+        ev = ev.crossJoin(F.broadcast(dirs))
         in_bbox = F.exists(F.col("__bb"), lambda b: point_in_polygon(plon, plat, b))
         fb = F.when(
             in_bbox,

@@ -120,11 +120,15 @@ def attributing_sink(
     batches).  ``tolerance_deg``/``keep_unmatched`` pass through to
     the same knobs the batch operator exposes."""
     from ..operators.attribution import (
+        GRID_DEG,
         HEADING_TOLERANCE_DEG,
         _compiled_coalesce,
-        attribute_runway,
+        _grid_cell_join,
         finish_unmatched,
+        grid_bbox_cells,
+        grid_runway_cells,
         resolve_strategy,
+        runway_dirs,
     )
 
     tol = HEADING_TOLERANCE_DEG if tolerance_deg is None else tolerance_deg
@@ -143,16 +147,30 @@ def attributing_sink(
             )
 
     else:
+        # The grid twin of the compile branch's build-once discipline:
+        # the per-cell runway/bbox dims and the heading-fallback array
+        # are STATIC across micro-batches, so compute them ONCE at
+        # wire-up and pin with an eager localCheckpoint — per batch the
+        # plan is events → cell key → broadcast join → projection, no
+        # dim window/explode/collect_list jobs (round-13: the per-batch
+        # rebuild was part of the grid socket row's 0.161 keep-up).
+        cell_rw = grid_runway_cells(runways).localCheckpoint(eager=True)
+        cell_bb = dirs = None
+        if airport_bbox is not None:
+            cell_bb = grid_bbox_cells(airport_bbox).localCheckpoint(
+                eager=True
+            )
+            dirs = runway_dirs(runways).localCheckpoint(eager=True)
 
         def sink(batch_df, epoch_id):
-            # strategy decided above — 'grid' skips the per-batch
-            # dim count attribute_runway's 'auto' mode would re-run
             inner_sink(
-                attribute_runway(
-                    batch_df, runways, airport_bbox,
-                    lon=lon, lat=lat, heading=heading,
-                    tolerance_deg=tol, keep_unmatched=keep_unmatched,
-                    strategy="grid",
+                finish_unmatched(
+                    _grid_cell_join(
+                        batch_df, runways, airport_bbox,
+                        lon, lat, heading, tol, GRID_DEG,
+                        cell_rw=cell_rw, cell_bb=cell_bb, dirs=dirs,
+                    ),
+                    keep_unmatched,
                 ),
                 epoch_id,
             )

@@ -222,6 +222,75 @@ def test_streaming_attribution_matches_batch_path(spark, stream_events, tmp_path
     assert any(v != "UNK" for v in streamed.values()), streamed
 
 
+def test_streaming_grid_attribution_matches_batch_path(
+    spark, stream_events, tmp_path
+):
+    """The GRID-strategy twin of the test above (round-13): a
+    300-runway dim pushes attributing_sink's wire-up gate past the
+    256-branch compile budget, so the sink runs the grid-cell
+    broadcast join per micro-batch against cell dims computed ONCE and
+    localCheckpointed at wire-up — and every streamed event must still
+    get exactly the runway the batch grid path assigns."""
+    import pyspark.sql.functions as F
+
+    from dump1090_postgis_spark.operators.attribution import attribute_runway
+    from dump1090_postgis_spark.schemas import RUNWAY_SCHEMA
+    from dump1090_postgis_spark.sources.dims import literal_dim
+    from dump1090_postgis_spark.streaming.pipeline import start_pipeline
+
+    # 300 thin lon strips tiling [-1.75, -1.39] × [47.0, 47.25]: the
+    # capture's event coordinates fall inside some strip, directions
+    # alternate so the heading tier stays load-bearing
+    w = 0.36 / 300
+    rows = [
+        (
+            i + 1, "LFRS", f"G{i:03d}", 30 if i % 2 == 0 else 210, 2900.0,
+            [
+                {"lon": -1.75 + i * w, "lat": 47.0},
+                {"lon": -1.75 + (i + 1) * w, "lat": 47.0},
+                {"lon": -1.75 + (i + 1) * w, "lat": 47.25},
+                {"lon": -1.75 + i * w, "lat": 47.25},
+            ],
+        )
+        for i in range(300)
+    ]
+    grid_dim = literal_dim(spark, rows, RUNWAY_SCHEMA)
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    with open(os.path.join(drop, "capture.txt"), "w") as f:
+        f.write("\n".join(LINES))
+
+    collected = []
+
+    def inner(batch_df, epoch_id):
+        collected.extend(batch_df.collect())
+
+    q = start_pipeline(
+        spark.readStream.text(drop),
+        inner,
+        str(tmp_path / "ckpt"),
+        runways=grid_dim,
+        airport_bbox=None,
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and len(collected) < len(stream_events):
+        time.sleep(2)
+    q.stop()
+
+    assert len(collected) == len(stream_events)
+    streamed = {
+        (r.hexident, r.kind, r.event_time): r.runway for r in collected
+    }
+    ev_df = spark.createDataFrame(stream_events)
+    batch = attribute_runway(ev_df, grid_dim, None, heading="track")
+    expected = {
+        (r.hexident, r.kind, r.event_time): r.runway for r in batch.collect()
+    }
+    assert streamed == expected
+    assert any(v != "UNK" for v in streamed.values()), streamed
+
+
 def test_streaming_curation_foreachbatch_matches_batch(spark, tmp_path):
     """The datapipe curation ops are plain DataFrame transforms, so
     they run unchanged inside a foreachBatch micro-batch: streaming
