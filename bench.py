@@ -164,11 +164,15 @@ BENCH_QUERIES += [
     "embed_then_topk",  # embed-from-text seam + exact cosine retrieve
 ]
 
+# The round-13 full set, pinned for round-14 comparisons.
+BENCH_R13_SET = frozenset(BENCH_QUERIES)
+
 #: (json key, frozen set) pairs emitted by format_bench_output when a
 #: run covers the whole pinned set.
 PINNED_SETS = (
     ("value_r11_set", BENCH_R11_SET),
     ("value_r12_set", BENCH_R12_SET),
+    ("value_r13_set", BENCH_R13_SET),
 )
 
 

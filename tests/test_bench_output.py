@@ -102,13 +102,15 @@ def test_r11_subtotal_present_iff_full_set_covered():
     assert "value_r11_set" not in json.loads(full_sub)
 
 
-def test_r12_subtotal_pins_current_full_set():
-    from bench import BENCH_R12_SET, PINNED_SETS
+def test_r13_subtotal_pins_current_full_set():
+    from bench import BENCH_R12_SET, BENCH_R13_SET, PINNED_SETS
 
-    assert BENCH_R12_SET == set(BENCH_QUERIES)  # re-pin when the set grows
+    assert BENCH_R13_SET == set(BENCH_QUERIES)  # re-pin when the set grows
+    assert BENCH_R12_SET < BENCH_R13_SET  # strict: r13 added entries
     timings = _fake_timings(len(BENCH_QUERIES))
     full, _ = format_bench_output(timings, 0.1)
     parsed = json.loads(full)
     for key, pinned in PINNED_SETS:
         assert parsed[key] == round(sum(timings[n] for n in pinned), 3)
-    assert parsed["value_r12_set"] == parsed["value"]
+    assert parsed["value_r13_set"] == parsed["value"]
+    assert parsed["value_r12_set"] < parsed["value"]
