@@ -162,6 +162,7 @@ BENCH_R12_SET = frozenset(BENCH_QUERIES)
 BENCH_QUERIES += [
     # round-13 additions
     "embed_then_topk",  # embed-from-text seam + exact cosine retrieve
+    "dedup_clusters_incremental",  # batch merge into a persisted map
 ]
 
 # The round-13 full set, pinned for round-14 comparisons.

@@ -348,6 +348,360 @@ def duplicate_clusters(
     )
 
 
+#: Driver union-find budget for update_cluster_map's affected
+#: subgraph: edges ≤ this collect to the driver (a 200k-row collect of
+#: two-id rows ≈ a few MB — the same order as the runway-dim and
+#: centroid collects this package already makes); past it the
+#: distributed iterative CC takes over.
+_DRIVER_CC_MAX_EDGES = 200_000
+
+
+def update_cluster_map(
+    docs_old: DataFrame,
+    old_map: DataFrame,
+    new_docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_family: str = "xxhash64",
+    k: int = 3,
+    max_bucket_size: int | None = None,
+    max_iter: int = 20,
+    old_banded: DataFrame | None = None,
+    old_hash_components: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental duplicate-cluster maintenance: merge a NEW batch
+    into an existing cluster map WITHOUT re-running the closure over
+    the whole corpus — the daily-ingest shape (dedup the day's crawl
+    into a 100 TB history whose map is already resolved).
+
+    The incremental work is bounded by the batch, not the corpus:
+
+    1. The new batch is banded (:func:`.dedup.minhash_banded` — tiny);
+       its ``(band, key)`` buckets are the only TOUCHED buckets.
+    2. Candidate pairs are enumerated within touched buckets only,
+       over the UNION of old and new banded rows (at scale pass the
+       persisted signature store as ``old_banded`` — then the history
+       contributes a signature-store semi-join, never a re-hash; the
+       bucket-size cap, when set, is evaluated on the union bucket,
+       matching what a full rebuild would see).
+    3. Pairs are exact-Jaccard verified (same tier as the batch
+       pipeline), yielding edges that touch new docs and/or old docs.
+    4. Only AFFECTED components re-resolve: components of old
+       endpoints, their members fetched from the old map (a
+       column-pruned map scan), connected to the new edges through
+       star edges ``(member → component-label)`` — component labels
+       are min member ids, i.e. real node ids, so min-label CC over
+       star+new edges equals CC over the full merged pair set.
+    5. Untouched rows pass through unchanged; affected + new rows are
+       re-labeled/re-sized/re-canonicalized.
+
+    **Rebuild equivalence**: the result equals
+    ``duplicate_clusters(docs_old ∪ new_docs, pairs(union))`` exactly
+    — pytest-pinned and driver-hashed against the full recursive-CTE
+    oracle — with one documented one-way divergence under a bucket
+    cap: a bucket that crosses ``max_bucket_size`` only AFTER the new
+    batch is dropped wholesale by a rebuild (losing its OLD
+    connectivity too), while the incremental path keeps the already-
+    resolved old connectivity and only skips the bucket's new pairs —
+    never LESS connected than the old map (the same one-way caveat as
+    :func:`contract_families`).  Default here is ``None`` (exact);
+    pass the dedup family's cap for hot-bucket-heavy corpora.
+
+    Ids must be unique across ``docs_old`` and ``new_docs`` (append
+    contract); ``old_map`` must cover exactly ``docs_old``.
+    """
+    from .dedup import (
+        _bucket_pairs,
+        jaccard_pairs,
+        minhash_banded,
+        normalize_text,
+    )
+
+    # --- Exact-content tier (the replica adversary) ---------------
+    # Most of a real ingest batch is RE-CRAWLS: exact copies of
+    # history content or of each other.  Pushing replicas through LSH
+    # is quadratic waste (every family member shares every signature —
+    # the ×300 scratch-blowout shape; a ×100 replicated decade batch
+    # OOM'd the LSH-only first cut of this function), and it is also
+    # unnecessary for exactness: an identical text contributes no
+    # connectivity beyond its family's, so a single DIRECT edge
+    # replaces its entire quadratic pair neighborhood —
+    # member→batch-rep for within-batch families, batch-rep→old
+    # component label for content the history already resolved
+    # (contract_families' argument, specialized to the increment;
+    # min-label CC then restores exact rebuild labels even when a new
+    # id undercuts an old component's min).
+    h = F.md5(normalize_text(F.col(text)))
+    new_h = new_docs.select(F.col(id_col).alias("_nid"), h.alias("_h"))
+    reps = new_h.groupBy("_h").agg(F.min("_nid").alias("_rep"))
+    new_fam = new_h.join(reps, "_h").localCheckpoint(eager=True)
+    # At scale pass ``old_hash_components`` — a persisted
+    # (_h, component) map, the exact-tier twin of the banded signature
+    # store — so the history contributes a store read here, not a
+    # per-increment md5 scan of 100 TB.
+    old_hash_comp = (
+        old_hash_components
+        if old_hash_components is not None
+        else (
+            docs_old.select(F.col(id_col).alias("_oid"), h.alias("_h"))
+            .join(
+                old_map.select(F.col(id_col).alias("_oid"), "component"),
+                "_oid",
+            )
+            .select("_h", "component")
+            .distinct()
+        )
+    )
+    rep_rows = new_fam.filter(F.col("_nid") == F.col("_rep")).join(
+        old_hash_comp, "_h", "left"
+    ).localCheckpoint(eager=True)  # (_h, _nid=_rep, component|null)
+    fam_edges = new_fam.filter(F.col("_nid") != F.col("_rep")).select(
+        F.col("_nid").alias("id_a"), F.col("_rep").alias("id_b")
+    )
+    exact_edges = rep_rows.filter(F.col("component").isNotNull()).select(
+        F.col("_rep").alias("id_a"), F.col("component").alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
+
+    # --- LSH tier: NOVEL content reps only -------------------------
+    # One doc per batch-distinct hash unseen in history: the side that
+    # actually needs near-dup candidate generation.  Bounded by novel
+    # content, not batch size — a replica-heavy crawl day costs a hash
+    # join, not an LSH pass.
+    novel_ids = rep_rows.filter(F.col("component").isNull()).select(
+        F.col("_rep").alias(id_col)
+    )
+    novel_docs = new_docs.join(F.broadcast(novel_ids), id_col)
+    # Eager-pin the banded rows: referenced three times (touched list,
+    # its broadcast build, the union side) — without the pin each
+    # reference re-runs the hash-heavy signature stage.
+    nb = minhash_banded(
+        novel_docs, text, id_col, num_hashes, bands, hash_family, k=k
+    ).localCheckpoint(eager=True)
+    ob = (
+        old_banded
+        if old_banded is not None
+        else minhash_banded(
+            docs_old, text, id_col, num_hashes, bands, hash_family, k=k
+        )
+    )
+    touched = nb.select("band", "key").distinct()
+    union_touched = (
+        ob.unionByName(nb).join(F.broadcast(touched), ["band", "key"])
+    )
+    # Materialize the bounded candidate frame so the Jaccard verify can
+    # semi-join the union corpus down to candidate endpoints without
+    # re-running the generator (jaccard_pairs' restrict contract).
+    cands = _bucket_pairs(union_touched, max_bucket_size).localCheckpoint(
+        eager=True
+    )
+    union_docs = docs_old.select(id_col, text).unionByName(
+        new_docs.select(id_col, text)
+    )
+    lsh_edges = jaccard_pairs(
+        union_docs, cands, text, id_col, k=k, threshold=threshold,
+        restrict_to_candidates=True,
+    ).select("id_a", "id_b")
+
+    # --- Route components: CC re-resolve vs aggregate update -------
+    # Only components reachable from an LSH edge can gain NEW
+    # connectivity; a component that merely receives exact replicas
+    # cannot (a replica shares its twin's buckets and shingles
+    # exactly, so its candidate/verified pair set is its twin's — if
+    # those pairs could merge the component with another, the old map
+    # would already reflect it).  Exact-only components therefore
+    # skip CC entirely: their update is an AGGREGATE — size += n
+    # attached, label = min(old label, min attached id), canonical
+    # recomputed — a broadcast join against the map, no star-edge
+    # materialization.  This is the difference between re-resolving
+    # most of a map because a re-crawl day touched most contents
+    # (measured ×100: 31 s warm) and a bounded delta pass.
+    lsh_ends = (
+        lsh_edges.select(F.col("id_a").alias(id_col))
+        .union(lsh_edges.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cc_comps = (
+        old_map.join(lsh_ends, id_col, "semi")
+        .select("component")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    exact_only = (
+        exact_edges.select(F.col("id_b").alias("component"))
+        .distinct()
+        .join(cc_comps, "component", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    # family routing: novel rep or CC-component target → CC path;
+    # exact-only target → aggregate path
+    cc_fams = rep_rows.filter(F.col("component").isNull()).unionByName(
+        rep_rows.join(F.broadcast(cc_comps), "component").select(
+            *rep_rows.columns
+        )
+    )
+    agg_members = new_fam.join(
+        rep_rows.join(F.broadcast(exact_only), "component").select(
+            "_h", "component"
+        ),
+        "_h",
+    )  # (_nid, _h, _rep, component=target)
+
+    cc_new_members = new_fam.join(cc_fams.select("_h"), "_h")
+    fam_edges_cc = cc_new_members.filter(
+        F.col("_nid") != F.col("_rep")
+    ).select(F.col("_nid").alias("id_a"), F.col("_rep").alias("id_b"))
+    exact_edges_cc = (
+        cc_fams.filter(F.col("component").isNotNull())
+        .select(F.col("_rep").alias("id_a"), F.col("component").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    edges = lsh_edges.unionByName(exact_edges_cc).unionByName(fam_edges_cc)
+
+    old_affected = old_map.join(F.broadcast(cc_comps), "component")
+
+    # Star edges re-encode the old connectivity (label = min member id
+    # = a real node), so CC over star+new edges ≡ CC over the full
+    # merged pair list restricted to the affected subgraph.
+    star = old_affected.select(
+        F.col(id_col).alias("id_a"), F.col("component").alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
+    all_edges = star.unionByName(edges).localCheckpoint(eager=True)
+    n_edges = all_edges.count()
+    # The affected subgraph is duplicate-cluster-sized by construction
+    # (star edges of touched components + the batch's verified pairs),
+    # so for any sane batch it fits the driver: min-label union-find
+    # in Python replaces 3-4 rounds of eager-checkpoint jobs the
+    # iterative CC pays regardless of data size (measured sf0.1: the
+    # distributed rounds were ~2/3 of a 9 s increment over a
+    # 100-edge subgraph).  Past the budget — a batch that touches
+    # millions of cluster members — the distributed CC takes over;
+    # both engines produce min-reachable-id labels (equivalence
+    # pinned in pytest).
+    if n_edges == 0:
+        comp = None
+    elif n_edges <= _DRIVER_CC_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in all_edges.collect():
+            a, b = row["id_a"], row["id_b"]
+            for v in (a, b):
+                if v not in parent:
+                    parent[v] = v
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        label: dict = {}
+        for v in parent:
+            r = find(v)
+            if r not in label or v < label[r]:
+                label[r] = v
+        comp = docs_old.sparkSession.createDataFrame(
+            [(v, label[find(v)]) for v in parent],
+            old_map.select(
+                F.col(id_col).alias("node"),
+                F.col("component"),
+            ).schema,
+        )
+    else:
+        comp = connected_components(all_edges, "id_a", "id_b", max_iter)
+
+    nodes = (
+        old_affected.select(F.col(id_col).alias("node"))
+        .unionByName(cc_new_members.select(F.col("_nid").alias("node")))
+    )
+    if comp is None:  # no edges at all: everything affected is isolated
+        member = nodes.select(
+            "node", F.col("node").alias("component")
+        )
+    else:
+        # no explicit broadcast hint: the driver-built map is
+        # LocalRelation-small (AQE broadcasts it), while the
+        # past-budget distributed map may not be
+        member = nodes.join(comp, "node", "left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        )
+    canon = member.groupBy("component").agg(
+        F.min("node").alias("_canon"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    recomputed = member.join(canon, "component").select(
+        F.col("node").alias(id_col),
+        "component",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("node") == F.col("_canon")).alias("is_canonical"),
+    )
+
+    # --- Aggregate path: exact-only components ----------------------
+    # One delta row per component (min attached id, attach count); the
+    # rewrite of old members is a broadcast join against the map —
+    # cluster_size grows by the count, the label (and canonical) drops
+    # to a new id only when it undercuts the old min.
+    delta = agg_members.groupBy("component").agg(
+        F.min("_nid").alias("_min_new"),
+        F.count(F.lit(1)).alias("_n_new"),
+    )
+    new_label = F.least(F.col("component"), F.col("_min_new"))
+    new_size = (F.col("cluster_size") + F.col("_n_new")).cast("bigint")
+    agg_old_rows = (
+        old_map.join(F.broadcast(delta), "component")
+        .select(
+            F.col(id_col),
+            new_label.alias("_c"),
+            new_size.alias("_s"),
+        )
+        .select(
+            id_col,
+            F.col("_c").alias("component"),
+            F.col("_s").alias("cluster_size"),
+            (F.col(id_col) == F.col("_c")).alias("is_canonical"),
+        )
+    )
+    agg_new_rows = (
+        agg_members.join(
+            F.broadcast(
+                delta.join(
+                    old_map.select("component", "cluster_size").distinct(),
+                    "component",
+                )
+            ),
+            "component",
+        )
+        .select(
+            F.col("_nid").alias(id_col),
+            new_label.alias("_c"),
+            new_size.alias("_s"),
+        )
+        .select(
+            id_col,
+            F.col("_c").alias("component"),
+            F.col("_s").alias("cluster_size"),
+            (F.col(id_col) == F.col("_c")).alias("is_canonical"),
+        )
+    )
+
+    untouched = old_map.join(
+        F.broadcast(cc_comps.unionByName(exact_only)), "component",
+        "left_anti",
+    )
+    return (
+        untouched.select(id_col, "component", "cluster_size", "is_canonical")
+        .unionByName(recomputed)
+        .unionByName(agg_old_rows)
+        .unionByName(agg_new_rows)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Persisted cluster-map artifact (round-12 verdict #1)
 #
@@ -482,6 +836,12 @@ def cluster_map_store(
     """Compute-if-missing cluster map: reuse the artifact at ``path``
     when its witness matches this corpus + ``params``, else run
     ``builder(docs)`` (the full closure) and persist its output.
+
+    Generic by construction: nothing here is cluster-specific, so any
+    frame deterministically derived from ``docs`` can ride the same
+    witness-keyed seam — e.g. the incremental entry persists the
+    history's banded MinHash signatures (the production signature
+    store) through it alongside the map itself.
     Returns a frame READING the artifact either way, so every consumer
     (dedup_clusters itself, dedup_keep_best, analytics over cluster
     sizes) scans a materialized parquet map instead of re-deriving the

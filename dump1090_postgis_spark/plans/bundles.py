@@ -495,6 +495,15 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
                 ["doc_id", "text_hash", "from_snap", "to_snap", "n_snaps",
                  "is_current"],
             ),
+            # round-13: incremental cluster maintenance — a new batch
+            # merged into a persisted map, hashed against the SAME
+            # full-closure oracle as dedup_clusters (incremental ≡
+            # rebuild)
+            (
+                "dedup_clusters_incremental",
+                "dq",
+                ["doc_id", "component", "cluster_size", "is_canonical"],
+            ),
         ],
         [
             ("text_hash", "string"),
@@ -517,6 +526,9 @@ _BUNDLES: dict[str, tuple[list[tuple[str, str, list[str]]], list[tuple[str, str]
             ("to_snap", "int"),
             ("n_snaps", "bigint"),
             ("is_current", "boolean"),
+            ("component", "bigint"),
+            ("cluster_size", "bigint"),
+            ("is_canonical", "boolean"),
         ],
     ),
     "dedup_pairs_bundle": (

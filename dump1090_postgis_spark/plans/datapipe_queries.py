@@ -459,6 +459,91 @@ LEFT JOIN sizes s ON s.component = c.component
 """
 
 
+def cluster_map_old_artifact(sf_dir: str) -> str:
+    """Cluster-map artifact for the OLD subset used by the incremental
+    entry (its own path — must not collide with the full-corpus map)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_ARTIFACTS_DIR, f"cluster_map_old_{base}")
+
+
+def q_dedup_clusters_incremental(spark, sf):
+    """Incremental cluster maintenance (cluster.update_cluster_map):
+    the corpus is split into an already-resolved HISTORY (doc_id % 101
+    != 0, its map built through the persisted-artifact seam — warm
+    calls read it) and a ~1% NEW batch (doc_id % 101 == 0) merged in
+    incrementally: candidates only within the batch's touched LSH
+    buckets, exact-Jaccard verify, and a re-resolve of affected
+    components only — the daily-ingest shape where the closure cost is
+    bounded by the batch, not the 100 TB history.  The ~1% ratio IS
+    the semantics being exercised: at 20% (a round-13 first cut) the
+    batch touches nearly every bucket and the "increment" degenerates
+    to full-closure work plus overhead (measured 14.6 s at ×10 vs the
+    7.5 s closure) — the operator exists for batch ≪ corpus.
+
+    The oracle is SQL_DEDUP_CLUSTERS VERBATIM — the full recursive-CTE
+    closure over ALL documents — because incremental ≡ rebuild is the
+    operator's contract (uncapped here; the bucket-cap divergence is
+    one-way and documented on update_cluster_map)."""
+    from ..datapipe.cluster import duplicate_clusters, update_cluster_map
+
+    docs = load_table(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 101 != 0)
+    new = docs.filter(F.col("doc_id") % 101 == 0)
+
+    def _build(d):
+        cands = dd.lsh_candidate_pairs(
+            d, hash_family="md5", max_bucket_size=None
+        )
+        pairs = dd.jaccard_pairs(d, cands, threshold=0.5)
+        return duplicate_clusters(d, pairs)
+
+    from ..datapipe.cluster import cluster_map_store
+
+    params = {**_CLUSTER_MAP_PARAMS, "max_bucket_size": None,
+              "subset": "mod101"}
+    old_map = cluster_map_store(
+        old, cluster_map_old_artifact(sf), _build, params
+    )
+    # The history's banded signatures through the SAME witness-keyed
+    # store (cluster_map_store is a generic derived-frame artifact
+    # seam): warm calls read persisted (id, band, key) rows — the
+    # production signature store — instead of re-hashing the history
+    # per increment (solo sf0.1: 9.1 → ~4 s; at a real batch/corpus
+    # ratio the increment is bounded by the batch alone).
+    old_banded = cluster_map_store(
+        old,
+        cluster_map_old_artifact(sf) + "_banded",
+        lambda d: dd.minhash_banded(d, hash_family="md5"),
+        {**params, "artifact": "banded_md5"},
+    )
+
+    def _build_hashes(d):
+        return (
+            d.select(
+                F.col("doc_id").alias("_oid"),
+                F.md5(dd.normalize_text(F.col("text"))).alias("_h"),
+            )
+            .join(
+                old_map.select(F.col("doc_id").alias("_oid"), "component"),
+                "_oid",
+            )
+            .select("_h", "component")
+            .distinct()
+        )
+
+    old_hashes = cluster_map_store(
+        old,
+        cluster_map_old_artifact(sf) + "_hashes",
+        _build_hashes,
+        {**params, "artifact": "hash_components"},
+    )
+    return update_cluster_map(
+        old, old_map, new, hash_family="md5", threshold=0.5,
+        max_bucket_size=None, old_banded=old_banded,
+        old_hash_components=old_hashes,
+    )
+
+
 def q_dedup_keep_best(spark, sf):
     """Quality-aware duplicate resolution (dedup.dedup_keep_best): the
     same near-dup clusters as dedup_clusters, but each cluster keeps
@@ -3079,6 +3164,11 @@ REGISTRY: dict = {
     # normalizes it to a string.
     "dedup_minhash_lsh_fast": (q_dedup_minhash_lsh_fast, sql_dedup_minhash_fast),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    # incremental ≡ rebuild: the SAME full-closure oracle, verbatim
+    "dedup_clusters_incremental": (
+        q_dedup_clusters_incremental,
+        SQL_DEDUP_CLUSTERS,
+    ),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "decontaminate_ngram": (q_decontaminate_ngram, SQL_DECONTAMINATE),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),

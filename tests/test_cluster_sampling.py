@@ -226,6 +226,86 @@ def test_q_dedup_keep_best_reuses_cluster_artifact(spark, tmp_path, monkeypatch)
     assert len(calls) == 1 and len(kept) > 0
 
 
+def test_update_cluster_map_matches_full_rebuild(spark):
+    """Incremental cluster maintenance (round-13): merging a new batch
+    into an existing map must equal duplicate_clusters over the union
+    corpus — across every merge shape: join-an-old-cluster, NEW
+    bridge doc MERGING two disjoint old clusters (components relabel
+    to the global min), new-new cluster, new singleton, untouched old
+    rows passing through — and the signature-store path (old_banded=)
+    must give identical rows to re-hashing the history."""
+    from dump1090_postgis_spark.datapipe import dedup as dd
+    from dump1090_postgis_spark.datapipe.cluster import (
+        duplicate_clusters,
+        update_cluster_map,
+    )
+
+    w = [f"w{i}" for i in range(18)]
+    X = " ".join(w[0:12])    # old cluster A (ids 0,1)
+    Y = " ".join(w[6:18])    # old cluster B (ids 3,4) — jaccard(X,Y)=0.25
+    B = " ".join(w[3:15])    # bridge: jaccard ≈ 0.54 to BOTH X and Y
+    C = "completely different content about spark shuffle plans"
+    E = "entirely new material discussing broadcast joins deeply"
+    Z = "a third standalone topic covering adaptive query execution"
+    # Z-family exercises the exact-only AGGREGATE path with a
+    # label-undercut: new id 6 < old label 20, so the whole component
+    # must relabel to 6 without any CC involvement
+    old_rows = [(0, X), (1, X), (3, Y), (4, Y), (5, C), (20, Z), (21, Z)]
+    new_rows = [(10, B), (11, C), (12, E), (13, E), (6, Z)]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    union = spark.createDataFrame(old_rows + new_rows,
+                                  "doc_id long, text string")
+    # bands=16 (one minhash row per band): candidate recall ~1 at the
+    # bridge's 0.54 jaccard, so the merge shape is deterministic
+    kw = dict(hash_family="md5", bands=16, max_bucket_size=None)
+
+    def build(docs):
+        cands = dd.lsh_candidate_pairs(docs, **kw)
+        pairs = dd.jaccard_pairs(docs, cands, threshold=0.5)
+        return duplicate_clusters(docs, pairs)
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    old_map = build(old).localCheckpoint(eager=True)
+    inc = rows_of(
+        update_cluster_map(old, old_map, new, threshold=0.5, **kw)
+    )
+    full = rows_of(build(union))
+    assert inc == full
+    by_id = {r[0]: r for r in inc}
+    # the bridge merged BOTH old clusters: one component, global min
+    # label, size 5, old canonical of cluster B dethroned
+    assert by_id[0][1] == by_id[3][1] == by_id[10][1] == 0
+    assert by_id[0][2] == 5 and by_id[0][3] and not by_id[3][3]
+    # untouched old cluster passes through; new exact-dup joined it
+    assert by_id[5][1] == by_id[11][1] == 5 and by_id[5][2] == 2
+    # new-new cluster resolved among themselves
+    assert by_id[12][1] == by_id[13][1] == 12 and by_id[12][2] == 2
+    # exact-only aggregate path with label undercut: comp {20,21} + new
+    # exact replica 6 → relabeled to 6, size 3, canonical moves to 6
+    assert by_id[6][1] == by_id[20][1] == by_id[21][1] == 6
+    assert by_id[6][2] == 3 and by_id[6][3] and not by_id[20][3]
+
+    # signature-store path: history contributes persisted banded rows,
+    # never a re-hash — identical output
+    store = dd.minhash_banded(
+        old, hash_family="md5", bands=16
+    ).localCheckpoint(eager=True)
+    inc_store = rows_of(
+        update_cluster_map(
+            old, old_map, new, threshold=0.5, old_banded=store, **kw
+        )
+    )
+    assert inc_store == full
+
+    # empty new batch: the map passes through unchanged
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert rows_of(update_cluster_map(old, old_map, empty, **kw)) == \
+        rows_of(old_map)
+
+
 def test_connected_components_frees_previous_round_checkpoints(spark):
     """Iterative CC must not accumulate one pinned label frame per
     round: after it finishes, the persistent-RDD count may exceed the
