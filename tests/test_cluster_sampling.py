@@ -306,6 +306,71 @@ def test_update_cluster_map_matches_full_rebuild(spark):
         rows_of(old_map)
 
 
+def test_update_cluster_map_two_step_induction(spark):
+    """The production loop is SUCCESSIVE increments: the map produced
+    by merging batch 1 feeds the merge of batch 2.  The inductive
+    invariant — each increment equals a full rebuild over everything
+    seen so far — must survive composition, including a batch-2 doc
+    that merges a cluster CREATED by batch 1, with the history's
+    signature store grown by appending batch 1's banded rows (the
+    store maintenance a daily pipeline would do)."""
+    from dump1090_postgis_spark.datapipe import dedup as dd
+    from dump1090_postgis_spark.datapipe.cluster import (
+        duplicate_clusters,
+        update_cluster_map,
+    )
+
+    X = "the quick brown fox jumps over the lazy dog tonight"
+    Xv = "the quick brown fox jumps over the lazy cat tonight"
+    E = "entirely new material discussing broadcast joins deeply"
+    C = "completely different content about spark shuffle plans"
+    old_rows = [(0, X), (1, X), (5, C)]
+    b1_rows = [(10, E), (11, E)]          # batch 1: new cluster {10,11}
+    b2_rows = [(20, E), (21, Xv), (22, C)]  # batch 2: joins b1's cluster,
+    # near-dups old X-cluster, exact-replicates C
+    kw = dict(hash_family="md5", bands=16, max_bucket_size=None)
+
+    def build(docs):
+        cands = dd.lsh_candidate_pairs(docs, **kw)
+        pairs = dd.jaccard_pairs(docs, cands, threshold=0.5)
+        return duplicate_clusters(docs, pairs)
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    old, b1, b2 = mk(old_rows), mk(b1_rows), mk(b2_rows)
+    corpus1 = mk(old_rows + b1_rows)
+    corpus2 = mk(old_rows + b1_rows + b2_rows)
+
+    banded0 = dd.minhash_banded(
+        old, hash_family="md5", bands=16
+    ).localCheckpoint(eager=True)
+    map0 = build(old).localCheckpoint(eager=True)
+
+    map1 = update_cluster_map(
+        old, map0, b1, threshold=0.5, old_banded=banded0, **kw
+    ).localCheckpoint(eager=True)
+    assert rows_of(map1) == rows_of(build(corpus1))
+
+    # grow the signature store by appending batch 1's banded rows —
+    # the maintenance a production loop performs between increments
+    banded1 = banded0.unionByName(
+        dd.minhash_banded(b1, hash_family="md5", bands=16)
+    ).localCheckpoint(eager=True)
+    map2 = update_cluster_map(
+        corpus1, map1, b2, threshold=0.5, old_banded=banded1, **kw
+    )
+    assert rows_of(map2) == rows_of(build(corpus2))
+    by_id = {r[0]: r for r in rows_of(map2)}
+    # batch-2 growth of the batch-1-born cluster
+    assert by_id[20][1] == by_id[10][1] == 10 and by_id[10][2] == 3
+    # near-dup merge into the original X cluster
+    assert by_id[21][1] == 0 and by_id[0][2] == 3
+    # exact replica through the aggregate path
+    assert by_id[22][1] == 5 and by_id[5][2] == 2
+
+
 def test_connected_components_frees_previous_round_checkpoints(spark):
     """Iterative CC must not accumulate one pinned label frame per
     round: after it finishes, the persistent-RDD count may exceed the
