@@ -746,6 +746,41 @@ def test_ivf_cell_store_append_rejects_column_drift(spark, tmp_path):
         )
 
 
+def test_embed_texts_feeds_ivf_cell_store(spark, tmp_path):
+    """The round-13 pieces compose end-to-end: text → embed_texts
+    (deterministic hashed-BoW default) → centroids sized by auto_nlist
+    → write_ivf_cell_store → pruned store query ≡ the storeless plan
+    over the same derived embeddings — i.e. a user can build a
+    queryable ANN index directly from a text corpus with no external
+    embedding table."""
+    rows = [
+        (i, f"document number {i} talks about topic {i % 7} in words "
+            f"{' '.join(f'w{(i * 3 + j) % 23}' for j in range(8))}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = tx.embed_texts(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    # deterministic across calls, so store build and queries agree
+    queries = emb.filter(F.col("vec_id") < 3)
+    nlist = sim.auto_nlist(corpus_rows=60)  # tiny corpus → 1 cell
+    assert nlist == 1
+    cent = sim.build_centroids(emb, num_centroids=max(nlist, 4))
+    path = str(tmp_path / "embed_store")
+    sim.write_ivf_cell_store(emb, cent, path, num_partitions=2)
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    stored = sim.ivf_pq_topk(
+        emb, queries, cent, k=5, probes=2, corpus_store=path
+    )
+    plain = sim.ivf_pq_topk(emb, queries, cent, k=5, probes=2)
+    assert rows_of(stored) == rows_of(plain)
+    assert stored.count() == 15  # 3 queries × top-5
+
+
 def test_store_full_probe_batch_warns(spark, tmp_path, monkeypatch):
     """A query batch probing (almost) every cell of a store gets no
     partition pruning — the regime the round-13 ×1000 rows measured
