@@ -323,6 +323,93 @@ def test_streaming_curation_foreachbatch_matches_batch(spark, tmp_path):
     assert got == expected and len(got) > 0
 
 
+def test_streaming_cluster_map_maintenance(spark, tmp_path):
+    """Continuous corpus maintenance (round-13): each micro-batch
+    merges into the PERSISTED cluster map via update_cluster_map and
+    appends its banded signatures to the store — the full production
+    loop (docs ledger + map + signature store advanced per batch,
+    history never re-hashed).  After the stream drains, the map must
+    equal a full rebuild over every streamed doc, whatever order the
+    batches arrived in (rebuild equivalence is order-free)."""
+    from dump1090_postgis_spark.datapipe import dedup as dd
+    from dump1090_postgis_spark.datapipe.cluster import (
+        duplicate_clusters,
+        update_cluster_map,
+    )
+
+    X = "the quick brown fox jumps over the lazy dog tonight"
+    Xv = "the quick brown fox jumps over the lazy cat tonight"
+    E = "entirely new material discussing broadcast joins deeply"
+    b0 = spark.createDataFrame(
+        [(0, X), (1, X), (5, "unrelated seed content about parquet row groups")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, E), (11, Xv)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(20, E), (21, X)], "doc_id long, text string"
+    )
+    kw = dict(hash_family="md5", bands=16, max_bucket_size=None)
+
+    def build(docs):
+        cands = dd.lsh_candidate_pairs(docs, **kw)
+        pairs = dd.jaccard_pairs(docs, cands, threshold=0.5)
+        return duplicate_clusters(docs, pairs)
+
+    src = str(tmp_path / "stream_in")
+    docs_path = str(tmp_path / "docs_ledger")
+    map_path = str(tmp_path / "cluster_map")
+    banded_path = str(tmp_path / "sigstore")
+    for b in (b0, b1, b2):
+        b.coalesce(1).write.mode("append").parquet(src)
+
+    import os as _os
+
+    def handle(batch_df, _bid):
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if not _os.path.exists(map_path):
+            new_map = build(batch_df)
+        else:
+            docs_old = spark.read.parquet(docs_path)
+            old_map = spark.read.parquet(map_path)
+            prior = spark.read.parquet(banded_path)
+            new_map = update_cluster_map(
+                docs_old, old_map, batch_df, threshold=0.5,
+                old_banded=prior, **kw,
+            )
+        # pin before overwriting the path the plan read from
+        new_map.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).parquet(map_path)
+        batch_df.write.mode("append").parquet(docs_path)
+        dd.minhash_banded(batch_df, hash_family="md5", bands=16).write.mode(
+            "append"
+        ).parquet(banded_path)
+
+    q = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = sorted(
+        tuple(r) for r in spark.read.parquet(map_path).collect()
+    )
+    all_docs = b0.unionByName(b1).unionByName(b2)
+    expected = sorted(tuple(r) for r in build(all_docs).collect())
+    assert final == expected
+    by_id = {r[0]: r for r in final}
+    # cross-batch merges landed: {0,1,11,21} one X-family cluster,
+    # {10,20} the E cluster born mid-stream
+    assert by_id[0][2] == 4 and by_id[11][1] == by_id[21][1] == 0
+    assert by_id[10][1] == by_id[20][1] and by_id[10][2] == 2
+
+
 def test_streaming_incremental_dedup_with_signature_store(spark, tmp_path):
     """Recurring-ingest dedup as a stream: each micro-batch is checked
     against the accumulated signature store (band/key rows persisted
