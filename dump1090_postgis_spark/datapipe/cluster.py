@@ -500,10 +500,19 @@ def update_cluster_map(
     union_docs = docs_old.select(id_col, text).unionByName(
         new_docs.select(id_col, text)
     )
+    # Eager-pin the VERIFIED edges: this is the expensive tier (shingle
+    # Jaccard over candidate endpoints semi-joined out of the union
+    # corpus) and it is consumed three times downstream — twice inside
+    # cc_comps (the id_a/id_b endpoint union) and once in the merged
+    # edge list.  Unpinned, the whole verify pipeline re-executed per
+    # reference (round-13 opt measurement: 20 + 17 jobs on the two
+    # checkpoints that pulled it; pinned, those drop to the endpoint /
+    # union work alone).  Batch-bounded by construction: pairs touch
+    # the batch's buckets only.
     lsh_edges = jaccard_pairs(
         union_docs, cands, text, id_col, k=k, threshold=threshold,
         restrict_to_candidates=True,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
 
     # --- Route components: CC re-resolve vs aggregate update -------
     # Only components reachable from an LSH edge can gain NEW
@@ -568,8 +577,7 @@ def update_cluster_map(
     star = old_affected.select(
         F.col(id_col).alias("id_a"), F.col("component").alias("id_b")
     ).filter(F.col("id_a") != F.col("id_b"))
-    all_edges = star.unionByName(edges).localCheckpoint(eager=True)
-    n_edges = all_edges.count()
+    all_edges = star.unionByName(edges)
     # The affected subgraph is duplicate-cluster-sized by construction
     # (star edges of touched components + the batch's verified pairs),
     # so for any sane batch it fits the driver: min-label union-find
@@ -579,7 +587,15 @@ def update_cluster_map(
     # 100-edge subgraph).  Past the budget — a batch that touches
     # millions of cluster members — the distributed CC takes over;
     # both engines produce min-reachable-id labels (equivalence
-    # pinned in pytest).
+    # pinned in pytest).  ONE bounded action decides the engine AND
+    # fetches the driver path's rows: a LIMIT budget+1 collect (the
+    # LocalLimit stops partitions early) replaces the former eager
+    # checkpoint + count() + collect() triple — two fewer sequential
+    # driver barriers per increment, and the heavy inputs (lsh_edges)
+    # are already pinned above, so the rare past-budget recompute of
+    # the star union is endpoint-join work only.
+    rows = all_edges.limit(_DRIVER_CC_MAX_EDGES + 1).collect()
+    n_edges = len(rows)
     if n_edges == 0:
         comp = None
     elif n_edges <= _DRIVER_CC_MAX_EDGES:
@@ -593,7 +609,7 @@ def update_cluster_map(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in all_edges.collect():
+        for row in rows:
             a, b = row["id_a"], row["id_b"]
             for v in (a, b):
                 if v not in parent:
@@ -832,6 +848,7 @@ def cluster_map_store(
     params: dict | None = None,
     text: str = "text",
     id_col: str = "doc_id",
+    fingerprint: dict | None = None,
 ) -> DataFrame:
     """Compute-if-missing cluster map: reuse the artifact at ``path``
     when its witness matches this corpus + ``params``, else run
@@ -850,10 +867,24 @@ def cluster_map_store(
 
     ``params`` must hold every knob that changes the builder's OUTPUT
     (threshold, hash family, num_hashes/bands, caps) — the witness
-    treats it as part of the key."""
+    treats it as part of the key.
+
+    ``fingerprint``: a precomputed :func:`corpus_fingerprint` of
+    ``docs``.  Callers persisting SEVERAL derived frames of the SAME
+    corpus (the incremental entry stores the map, the banded
+    signatures, and the hash-component map of one history frame)
+    compute the witness once and pass it in — at 100 TB each
+    fingerprint is a full column-pruned corpus scan, and three stores
+    over one frame must not pay it three times.  The caller owns the
+    docs≡fingerprint contract (exactly the ``size_hint`` convention in
+    costmodel.rows_at_least)."""
     spark = docs.sparkSession
     params = params or {}
-    fp = corpus_fingerprint(docs, text, id_col)
+    fp = (
+        fingerprint
+        if fingerprint is not None
+        else corpus_fingerprint(docs, text, id_col)
+    )
     try:
         return load_cluster_map(spark, path, fp, params)
     except Exception as exc:  # missing, torn, or stale → rebuild

@@ -1660,6 +1660,8 @@ def ivf_pq_topk(
     rerank: bool | str = "auto",
     rerank_m: int = _PQ_RERANK_M,
     corpus_store: str | None = None,
+    _cen_rows: list | None = None,
+    _store: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: the IVF probe structure of
     :func:`ivf_topk` scoring against residual-int8 RECONSTRUCTIONS
@@ -1737,8 +1739,17 @@ def ivf_pq_topk(
     # would accept via Python's 1 == True).
     if not (rerank is True or rerank is False or rerank == "auto"):
         raise ValueError(f"rerank must be auto|True|False, got {rerank!r}")
+    # _cen_rows / _store: private seams for callers that already
+    # collected the centroid table / already opened-and-verified the
+    # cell store (the compute-if-missing query entries do both to
+    # decide rebuilds).  Without them each warm call re-ran the
+    # centroid aggregation and the sidecar verification a second time
+    # inside this function — measured 3 + 5 driver-blocking jobs per
+    # call at sf0.1 (round-13 opt).  Same convention as
+    # _resolve_ivf_assignment's _cen_rows: the caller owns coherence.
     _, cen_lit, cen_rows, resolved_engine = _resolve_ivf_assignment(
-        corpus, centroids, vec, assign_engine, corpus_rows
+        corpus, centroids, vec, assign_engine, corpus_rows,
+        _cen_rows=_cen_rows,
     )
     if rerank == "auto":
         rerank = assign_engine == "auto" and resolved_engine == "vectorized"
@@ -1747,8 +1758,12 @@ def ivf_pq_topk(
     )
     store_pruned = None
     if corpus_store is not None:
-        store = _load_ivf_cell_store(
-            corpus.sparkSession, corpus_store, cen_rows, vec, id_col
+        store = (
+            _store
+            if _store is not None
+            else _load_ivf_cell_store(
+                corpus.sparkSession, corpus_store, cen_rows, vec, id_col
+            )
         )
         store_pruned = _probed_store_scan(
             store, query_probes, nlist=len(cen_rows)

@@ -49,10 +49,22 @@ def pagerank_ppm(
     """
     if iterations < 1:
         raise ValueError("need at least one iteration")
+    # Pin the edge projection (lazy localCheckpoint: materialized once
+    # by the first action, shared by every reference).  The edge frame
+    # is referenced 4× up front (nodes twice, out-degree, e_norm) and
+    # transitively by every iteration — unpinned, the caller's edge
+    # PIPELINE (for the event-transition entry: the full events scan +
+    # per-user lag window) was inlined into each reference: 44 window
+    # copies / 144 Exchanges in the 3-iteration physical plan, and the
+    # sf0.1 noop run measured 2.03 s → 0.99 s pinned (round-13 opt,
+    # identical rank_ppm).  At corpus scale the pin is also the right
+    # plan: the aggregated transition graph is tiny next to the event
+    # log that produces it, and one materialization replaces four
+    # corpus-wide window passes.
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"),
         F.col(weight).cast("double").alias("_w"),
-    )
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))

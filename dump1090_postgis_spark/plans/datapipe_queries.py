@@ -497,12 +497,17 @@ def q_dedup_clusters_incremental(spark, sf):
         pairs = dd.jaccard_pairs(d, cands, threshold=0.5)
         return duplicate_clusters(d, pairs)
 
-    from ..datapipe.cluster import cluster_map_store
+    from ..datapipe.cluster import cluster_map_store, corpus_fingerprint
 
     params = {**_CLUSTER_MAP_PARAMS, "max_bucket_size": None,
               "subset": "mod101"}
+    # ONE content witness for all three history-side stores below —
+    # they persist different derived frames of the SAME `old` corpus,
+    # and at 100 TB each corpus_fingerprint is a full column-pruned
+    # scan (round-13 opt: 3 identical scans → 1).
+    fp = corpus_fingerprint(old)
     old_map = cluster_map_store(
-        old, cluster_map_old_artifact(sf), _build, params
+        old, cluster_map_old_artifact(sf), _build, params, fingerprint=fp
     )
     # The history's banded signatures through the SAME witness-keyed
     # store (cluster_map_store is a generic derived-frame artifact
@@ -515,6 +520,7 @@ def q_dedup_clusters_incremental(spark, sf):
         cluster_map_old_artifact(sf) + "_banded",
         lambda d: dd.minhash_banded(d, hash_family="md5"),
         {**params, "artifact": "banded_md5"},
+        fingerprint=fp,
     )
 
     def _build_hashes(d):
@@ -536,6 +542,7 @@ def q_dedup_clusters_incremental(spark, sf):
         cluster_map_old_artifact(sf) + "_hashes",
         _build_hashes,
         {**params, "artifact": "hash_components"},
+        fingerprint=fp,
     )
     return update_cluster_map(
         old, old_map, new, hash_family="md5", threshold=0.5,
@@ -917,10 +924,16 @@ def q_ann_topk_ivf_pq_store(spark, sf):
     n = table_rows(sf, "embeddings")  # footer count: jobless auto gates
     centroids = sim.build_centroids(emb, num_centroids=8, corpus_rows=n)
     path = ivf_store_artifact(sf)
+    # Collected once and passed through (_cen_rows/_store): the warm
+    # path used to re-run the centroid aggregation and the sidecar
+    # verification inside ivf_pq_topk after this freshness check
+    # already did both — 8 duplicated driver-blocking jobs per call
+    # (round-13 opt).
+    cen_rows = sim._collect_centroids(centroids)
+    store = None
     try:
-        sim._load_ivf_cell_store(
-            spark, path, sim._collect_centroids(centroids),
-            "embedding", "vec_id",
+        store = sim._load_ivf_cell_store(
+            spark, path, cen_rows, "embedding", "vec_id",
         )
     except Exception as exc:  # missing, unreadable, or sidecar-stale → rebuild
         # Rebuild-on-any-failure is right HERE (overwrite mode makes it
@@ -935,7 +948,7 @@ def q_ann_topk_ivf_pq_store(spark, sf):
         sim.write_ivf_cell_store(emb, centroids, path, corpus_rows=n)
     return sim.ivf_pq_topk(
         emb, queries, centroids, k=5, probes=3, corpus_rows=n,
-        corpus_store=path,
+        corpus_store=path, _cen_rows=cen_rows, _store=store,
     )
 
 
@@ -968,10 +981,13 @@ def q_ann_topk_ivf_pq_store_append(spark, sf):
     n = table_rows(sf, "embeddings")  # footer count: jobless auto gates
     centroids = sim.build_centroids(emb, num_centroids=8, corpus_rows=n)
     path = ivf_store_append_artifact(sf)
+    # One centroid collect + one verified store open shared with the
+    # query (same seam as q_ann_topk_ivf_pq_store — round-13 opt).
+    cen_rows = sim._collect_centroids(centroids)
+    store = None
     try:
-        sim._load_ivf_cell_store(
-            spark, path, sim._collect_centroids(centroids),
-            "embedding", "vec_id",
+        store = sim._load_ivf_cell_store(
+            spark, path, cen_rows, "embedding", "vec_id",
         )
     except Exception as exc:  # missing, unreadable, or sidecar-stale → rebuild
         logging.getLogger(__name__).warning(
@@ -986,7 +1002,7 @@ def q_ann_topk_ivf_pq_store_append(spark, sf):
         )
     return sim.ivf_pq_topk(
         emb, queries, centroids, k=5, probes=3, corpus_rows=n,
-        corpus_store=path,
+        corpus_store=path, _cen_rows=cen_rows, _store=store,
     )
 
 
