@@ -2452,12 +2452,17 @@ def semantic_dedup(
                 )
             ),
         )
-    # three consumers (join sides a/b, final keep flag): one eager
+    # three consumers (join sides a/b, final keep flag): one
     # localCheckpoint materializes the assignment + staged norms so
     # the interpreted ranking runs once, not thrice (the cluster.py
     # label-propagation precedent).  One extra pass over the corpus
-    # at scale, traded for never re-deriving it.
-    staged = staged.localCheckpoint()
+    # at scale, traded for never re-deriving it.  LAZY (round-13
+    # opt): the first consumer — the vectorized engine's shape
+    # groupBy, or the join engine's pairwise itself — materializes
+    # it inside a job that was running anyway, instead of a separate
+    # eager driver barrier at plan-build time; every later reference
+    # still reads the persisted blocks.
+    staged = staged.localCheckpoint(eager=False)
     if pairwise == "vectorized":
         # Arrow/numpy blocked-matmul engine — same pair semantics and
         # salt fan-out as the join below, ~10–50× cheaper per dot (the

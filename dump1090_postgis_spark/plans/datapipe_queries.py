@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 
 from pyspark.sql import functions as F
 
@@ -236,19 +237,36 @@ def q_dedup_minhash_lsh_fast(spark, sf):
     # by design): surface what it cost — one count-only groupBy over
     # the just-persisted id rows, logged so a 100 TB operator sees
     # dropped-bucket / truncated-member counts next to the pair output.
-    cap_row = dd.bucket_cap_stats(spark.read.parquet(path)).first()
-    logging.getLogger(__name__).info(
-        "minhash-LSH bucket-cap audit (%s): %d buckets, %d live, "
-        "%d dropped over cap=%s (%d member rows truncated; largest "
-        "bucket %d)",
-        os.path.basename(os.path.normpath(sf)),
-        cap_row["n_buckets"],
-        cap_row["n_buckets_live"],
-        cap_row["n_buckets_dropped"],
-        cap_row["cap"],
-        cap_row["n_members_dropped"],
-        cap_row["max_bucket_size_seen"],
-    )
+    # The audit is observability-ONLY (nothing downstream reads it), so
+    # it runs on a daemon thread and overlaps the candidate/verify work
+    # instead of sitting as a driver barrier between the signature
+    # write and the pair pipeline (guide §2.6 — Spark schedules
+    # concurrent jobs fine; job descriptions are thread-local).  The
+    # log line may land after the pair output — same information,
+    # off the critical path.
+    def _audit(banded_path=path, sf_dir=sf):
+        try:
+            cap_row = dd.bucket_cap_stats(
+                spark.read.parquet(banded_path)
+            ).first()
+            logging.getLogger(__name__).info(
+                "minhash-LSH bucket-cap audit (%s): %d buckets, %d live, "
+                "%d dropped over cap=%s (%d member rows truncated; largest "
+                "bucket %d)",
+                os.path.basename(os.path.normpath(sf_dir)),
+                cap_row["n_buckets"],
+                cap_row["n_buckets_live"],
+                cap_row["n_buckets_dropped"],
+                cap_row["cap"],
+                cap_row["n_members_dropped"],
+                cap_row["max_bucket_size_seen"],
+            )
+        except Exception:  # audit must never fail the query path
+            logging.getLogger(__name__).warning(
+                "minhash-LSH bucket-cap audit failed", exc_info=True
+            )
+
+    threading.Thread(target=_audit, daemon=True).start()
     if rows_at_least(
         docs, _MINHASH_VECTORIZE_MIN_DOCS,
         size_hint=table_rows(sf, "documents"),  # footer: jobless gate
