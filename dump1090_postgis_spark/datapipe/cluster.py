@@ -437,7 +437,12 @@ def update_cluster_map(
     h = F.md5(normalize_text(F.col(text)))
     new_h = new_docs.select(F.col(id_col).alias("_nid"), h.alias("_h"))
     reps = new_h.groupBy("_h").agg(F.min("_nid").alias("_rep"))
-    new_fam = new_h.join(reps, "_h").localCheckpoint(eager=True)
+    # LAZY checkpoint: rep_rows' eager pin below references new_fam
+    # exactly once, so its first (and only) compute happens inside a
+    # job that runs anyway — the barrier the eager form paid bought
+    # nothing.  Every later consumer (fam_edges, agg_members,
+    # cc_new_members) reads the persisted blocks.
+    new_fam = new_h.join(reps, "_h").localCheckpoint(eager=False)
     # At scale pass ``old_hash_components`` — a persisted
     # (_h, component) map, the exact-tier twin of the banded signature
     # store — so the history contributes a store read here, not a
@@ -458,9 +463,6 @@ def update_cluster_map(
     rep_rows = new_fam.filter(F.col("_nid") == F.col("_rep")).join(
         old_hash_comp, "_h", "left"
     ).localCheckpoint(eager=True)  # (_h, _nid=_rep, component|null)
-    fam_edges = new_fam.filter(F.col("_nid") != F.col("_rep")).select(
-        F.col("_nid").alias("id_a"), F.col("_rep").alias("id_b")
-    )
     exact_edges = rep_rows.filter(F.col("component").isNotNull()).select(
         F.col("_rep").alias("id_a"), F.col("component").alias("id_b")
     ).filter(F.col("id_a") != F.col("id_b"))
@@ -532,11 +534,18 @@ def update_cluster_map(
         .union(lsh_edges.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # LAZY: exact_only's eager pin below references cc_comps exactly
+    # once (the anti-join side), so the one map-store semi-join scan
+    # happens inside that job; the other consumers (cc_fams,
+    # old_affected, untouched) read the persisted blocks.  cc_comps
+    # must be PINNED by exact_only's job rather than left to the final
+    # action, where its 3 remaining references would each re-scan the
+    # old map.
     cc_comps = (
         old_map.join(lsh_ends, id_col, "semi")
         .select("component")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     exact_only = (
         exact_edges.select(F.col("id_b").alias("component"))
@@ -594,7 +603,27 @@ def update_cluster_map(
     # driver barriers per increment, and the heavy inputs (lsh_edges)
     # are already pinned above, so the rare past-budget recompute of
     # the star union is endpoint-join work only.
-    rows = all_edges.limit(_DRIVER_CC_MAX_EDGES + 1).collect()
+    # executeTake's default ramp (1 partition, then ×4 per round) cost
+    # 6 sequential jobs here — every input below the limit is already
+    # checkpointed blocks, so scanning all partitions in ONE job is
+    # strictly cheaper than 4-6 scheduling round-trips (the pre-LIMIT
+    # count() did exactly that scan).  Scoped set/restore: the conf
+    # only changes how many partitions the FIRST take round scans,
+    # never the rows returned.
+    _lim_key = "spark.sql.limit.initialNumPartitions"
+    _sess = docs_old.sparkSession
+    try:
+        _lim_old = _sess.conf.get(_lim_key)
+    except Exception:
+        _lim_old = None
+    _sess.conf.set(_lim_key, str(1 << 20))
+    try:
+        rows = all_edges.limit(_DRIVER_CC_MAX_EDGES + 1).collect()
+    finally:
+        if _lim_old is None:
+            _sess.conf.unset(_lim_key)
+        else:
+            _sess.conf.set(_lim_key, _lim_old)
     n_edges = len(rows)
     if n_edges == 0:
         comp = None
