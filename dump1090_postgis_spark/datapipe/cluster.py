@@ -837,9 +837,11 @@ def load_cluster_map(
     built over different documents (or a different threshold/hash
     family) would silently resolve the wrong duplicates, the failure a
     cache must make loud.  Raises on any mismatch; cost is one
-    driver-bounded one-row read."""
+    driver-LOCAL one-row read — no Spark job (artifact_io)."""
+    from .artifact_io import sidecar_rows
+
     loc = f"{path.rstrip('/')}/{_CLUSTER_MAP_WITNESS}"
-    rows = spark.read.parquet(loc).collect()  # raises when absent
+    rows = sidecar_rows(spark, loc)  # raises when absent
     if len(rows) != 1:
         raise ValueError(
             f"cluster map at {path}: witness sidecar holds {len(rows)} "

@@ -1235,8 +1235,10 @@ def _check_store_marker(spark, path: str) -> None:
     job.  A missing marker also rejects pre-marker stores — the
     compute-if-missing entries self-heal those with one rebuild."""
     loc = f"{path.rstrip('/')}/{_IVF_STORE_COMPLETE}"
+    from .artifact_io import sidecar_rows
+
     try:
-        rows = spark.read.parquet(loc).collect()
+        rows = sidecar_rows(spark, loc)
     except Exception as exc:
         raise ValueError(
             f"IVF cell store at {path} has no readable completion "
@@ -1604,22 +1606,24 @@ def _load_ivf_cell_store(
     tolerance).  A mismatch raises: pruning on a foreign quantizer's
     cells silently drops true neighbors, which must never be quiet.
 
-    Cost: one driver-bounded read of the nlist-row sidecar — no
-    corpus-sized job.  The completion marker is checked FIRST: a
+    Cost: one driver-LOCAL read of the nlist-row sidecar — no Spark
+    job at all (artifact_io).  The completion marker is checked FIRST: a
     multi-batch build that died between write and append passes the
     sidecar check (the sidecar lands with batch one) yet holds a
     partial corpus — the marker is the witness that every batch
     landed (round-12 advice)."""
+    from .artifact_io import sidecar_rows
+
     _check_store_marker(spark, path)
     stored = sorted(
-        spark.read.parquet(
-            f"{path.rstrip('/')}/{_IVF_STORE_CENTROIDS}"
-        ).collect(),
-        key=lambda r: r.centroid_id,
+        sidecar_rows(
+            spark, f"{path.rstrip('/')}/{_IVF_STORE_CENTROIDS}"
+        ),
+        key=lambda r: r["centroid_id"],
     )
     want = [(int(r.centroid_id), [float(x) for x in r.centroid])
             for r in cen_rows]
-    got = [(int(r.centroid_id), [float(x) for x in r.centroid])
+    got = [(int(r["centroid_id"]), [float(x) for x in r["centroid"]])
            for r in stored]
     if want != got:
         raise ValueError(

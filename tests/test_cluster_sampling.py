@@ -919,3 +919,40 @@ def test_repetition_top_frac_capped_at_one(spark):
     df = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
     row = repetition_features(df).collect()[0]
     assert row.top2_frac == 1.0 and row.top2_frac <= 1.0
+
+
+def test_sidecar_rows_driver_local_matches_spark_read(spark, tmp_path):
+    """artifact_io.sidecar_rows: the driver-local pyarrow path must
+    return exactly what a Spark read + collect would (every store
+    loader's witness/marker/centroid check runs through it), launch
+    ZERO Spark jobs for a local path, and raise when the sidecar is
+    absent (the compute-if-missing rebuild trigger)."""
+    from dump1090_postgis_spark.datapipe.artifact_io import sidecar_rows
+
+    loc = str(tmp_path / "side")
+    (
+        spark.range(1)
+        .selectExpr(
+            "'payload' AS witness",
+            "array(1.0D, 2.5D) AS centroid",
+            "true AS complete",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(loc)
+    )
+    via_spark = [r.asDict() for r in spark.read.parquet(loc).collect()]
+
+    sc = spark.sparkContext
+    jobs0 = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    via_local = sidecar_rows(spark, loc)
+    jobs1 = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    assert via_local == via_spark
+    assert jobs1 == jobs0, "local sidecar read must not launch a job"
+    # file: URI form resolves to the same local read
+    assert sidecar_rows(spark, f"file://{loc}") == via_spark
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sidecar_rows(spark, str(tmp_path / "absent"))
