@@ -369,6 +369,81 @@ def _centroid_literal(centroids: DataFrame, _rows: list | None = None):
     ])
 
 
+def _centroid_dim(
+    centroids: DataFrame, rows: list | None, id_alias: str = "list_id"
+) -> DataFrame:
+    """Broadcast-side centroid dim ``(id_alias, centroid)`` WITHOUT
+    re-running the centroid pipeline per consumer.
+
+    ``centroids`` is usually a LAZY corpus-wide aggregation
+    (:func:`build_centroids`): referencing it as the build side of a
+    broadcast join re-executes that aggregation — a full corpus scan +
+    two-level mean hidden inside the BroadcastExchange — once per
+    consumer, even though the caller already collected the k rows for
+    the literal assignment compile (round-13 opt; the plan for
+    ann_topk_ivf_pq carried TWO such subtrees).  Under the literal
+    budget the collected rows compile to an inline literal over a
+    one-row range (LocalRelation-class: no corpus scan, no job, the
+    sources/dims.literal_dim lesson); past it they ship as one Arrow
+    LocalRelation (no expression-tree bloat, still no corpus scan).
+    ``rows=None`` (caller never collected) keeps the lazy frame.
+
+    Values are the exact collected doubles (``F.lit`` passes binary
+    doubles through py4j, no string round-trip), so joins against this
+    frame are value-identical to the re-aggregated one — pinned by
+    tests/test_datapipe.py::test_centroid_dim_matches_lazy_frame."""
+    if not rows:
+        return centroids.select(
+            F.col("centroid_id").alias(id_alias), "centroid"
+        )
+    spark = centroids.sparkSession
+    dim = len(rows[0].centroid) if rows[0].centroid is not None else 0
+    if len(rows) * dim <= _LITERAL_COMPILE_LIMIT:
+        return spark.range(1).select(
+            F.inline(
+                F.array(*[
+                    F.struct(
+                        F.lit(int(r.centroid_id))
+                        .cast("long")
+                        .alias(id_alias),
+                        (
+                            F.lit(None).cast("array<double>")
+                            if r.centroid is None
+                            else F.array(*[
+                                F.lit(None).cast("double")
+                                if x is None
+                                else F.lit(float(x))
+                                for x in r.centroid
+                            ])
+                        ).alias("centroid"),
+                    )
+                    for r in rows
+                ])
+            )
+        )
+    import pyarrow as pa
+
+    # pa.Table, NOT a pandas frame: Spark's pandas ingestion applies
+    # from_pandas semantics (NaN coerced to null), which would corrupt
+    # NaN centroid strata; the direct Arrow path keeps binary doubles
+    # intact and compiles to a LocalRelation (no RDD job).
+    tbl = pa.table({
+        id_alias: pa.array(
+            [int(r.centroid_id) for r in rows], pa.int64()
+        ),
+        "centroid": pa.array(
+            [
+                None
+                if r.centroid is None
+                else [None if x is None else float(x) for x in r.centroid]
+                for r in rows
+            ],
+            pa.list_(pa.float64()),
+        ),
+    })
+    return spark.createDataFrame(tbl)
+
+
 def _ranked_centroids(vec_col, cen_arr) -> "F.Column":
     """array<struct<neg_sim, centroid_id>> sorted ascending — i.e.
     similarity DESC with centroid_id ASC tiebreak — computed entirely
@@ -1141,13 +1216,14 @@ def pq_encode_residual(
     """
     if _cen_lit is not None:
         cen_lit = _cen_lit
+        rows = _cen_rows
 
         def assigned_fn(df):
             return with_nearest_centroid(
                 df, centroids, vec, "list_id", _cen_lit=cen_lit
             )
     else:
-        assigned_fn, cen_lit, _, _eng = _resolve_ivf_assignment(
+        assigned_fn, cen_lit, rows, _eng = _resolve_ivf_assignment(
             corpus, centroids, vec, assign_engine, corpus_rows,
             _cen_rows=_cen_rows,
         )
@@ -1159,13 +1235,12 @@ def pq_encode_residual(
         | F.coalesce(F.exists(F.col(vec), F.isnan), F.lit(False))
     )
     assigned = assigned_fn(corpus.withColumn("_deg", deg))
-    cen_rows = F.broadcast(
-        centroids.select(
-            F.col("centroid_id").alias("list_id"), "centroid"
-        )
-    )
+    # literal dim from the already-collected rows — NOT the lazy
+    # centroids frame, whose broadcast build would re-run the corpus
+    # aggregation (see _centroid_dim)
+    cen_dim = F.broadcast(_centroid_dim(centroids, rows))
     staged = (
-        assigned.join(cen_rows, "list_id")
+        assigned.join(cen_dim, "list_id")
         .withColumn(
             "_pq_v", F.transform(F.col(vec), lambda x: x.cast("double"))
         )
@@ -1443,7 +1518,9 @@ def write_ivf_cell_store(
         .parquet(path)
     )
     (
-        centroids.select("centroid_id", "centroid")
+        # literal frame from the rows collected above (not the lazy
+        # centroids frame — one less corpus aggregation per build)
+        _centroid_dim(centroids, cen_rows, id_alias="centroid_id")
         .coalesce(1)
         # Always overwrite: the sidecar is a single-source-of-truth
         # snapshot of THIS build's quantizer, never an accumulating
@@ -1779,9 +1856,10 @@ def ivf_pq_topk(
             assign_engine=resolved_engine, corpus_rows=corpus_rows,
             _cen_rows=cen_rows,
         )
-    cen_rows = F.broadcast(
-        centroids.select(F.col("centroid_id").alias("list_id"), "centroid")
-    )
+    # literal reconstruction dim from the rows _resolve_ivf_assignment
+    # already collected — broadcasting the lazy centroids frame would
+    # re-run the corpus aggregation inside the exchange (_centroid_dim)
+    cen_dim = F.broadcast(_centroid_dim(centroids, cen_rows))
     q = query_probes.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec), lambda x: x.cast("double")).alias("_qv"),
@@ -1793,7 +1871,7 @@ def ivf_pq_topk(
         lambda c, qv: c + qv.cast("double") * F.col("q_scale"),
     )
     scored = (
-        coded.join(cen_rows, "list_id")
+        coded.join(cen_dim, "list_id")
         .withColumn("_rv", recon)
         .select(F.col(id_col).alias("neighbor_id"), "list_id", "_rv")
         .join(F.broadcast(q), "list_id")

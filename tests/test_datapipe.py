@@ -410,6 +410,45 @@ def test_pq_encode_residual_roundtrip_fidelity(spark, emb):
             assert abs(a - b) <= s / 2 + 1e-12
 
 
+def test_centroid_dim_matches_lazy_frame(spark, monkeypatch):
+    """_centroid_dim compiles already-collected centroid rows into a
+    LocalRelation-class frame so broadcast-join consumers stop
+    re-running the corpus mean aggregation (round-13 opt): values must
+    be identical to the lazy ``centroids.select(...)`` frame on BOTH
+    compile paths (inline literal under the budget, Arrow local frame
+    past it), NULL and NaN elements preserved, and neither compiled
+    frame may contain the aggregation in its plan."""
+    base = spark.createDataFrame(
+        [(0, [None, float("nan"), 1.5]), (1, [2.0, -0.0, 3.25])] * 3,
+        "centroid_id long, _v array<double>",
+    )
+    centroids = sim._mean_centroids(base)
+    rows = sim._collect_centroids(centroids)
+    lazy = centroids.select(
+        F.col("centroid_id").alias("list_id"), "centroid"
+    ).collect()
+
+    def canon(rs):
+        return {
+            r[0]: [
+                None if x is None else ("nan" if x != x else x)
+                for x in r[1]
+            ]
+            for r in rs
+        }
+
+    expected = canon(lazy)
+    assert expected[0][0] is None and expected[0][1] == "nan"  # strata real
+    for limit in (sim._LITERAL_COMPILE_LIMIT, 0):  # literal, then Arrow
+        monkeypatch.setattr(sim, "_LITERAL_COMPILE_LIMIT", limit)
+        dim = sim._centroid_dim(centroids, rows)
+        assert canon(dim.collect()) == expected
+        plan = dim._jdf.queryExecution().optimizedPlan().toString()
+        assert "Aggregate" not in plan  # no corpus re-aggregation
+    # rows=None keeps the lazy compute-from-centroids frame
+    assert canon(sim._centroid_dim(centroids, None).collect()) == expected
+
+
 def test_ivf_pq_recall_matches_ivf_at_matched_probes(spark, emb):
     """At the SAME centroids and probe count the PQ path scans the
     identical candidate sets — the only degradation channel is 8-bit
