@@ -42,9 +42,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.geo import point_in_polygon, same_heading
+from ..functions.geo import (
+    PIP_UNROLL_EDGES,
+    pip_unrolled_sql,
+    point_in_polygon,
+    same_heading,
+    sql_ident,
+)
 
 HEADING_TOLERANCE_DEG = 20.0  # airports.py:51-67
+
+# First-match unroll budget for the grid join's direct tier: cells
+# holding ≤ this many runways evaluate the first-match as a codegen'd
+# coalesce over literal indices (round-13 opt — the higher-order
+# filter+get was interpreted per event and dominated the query);
+# larger cells per-row-fall back to the original filter expression, so
+# the bound is a speed knob, never a semantics one.  4 covers every
+# 0.25° cell in the ourairports-scale dim shapes this path serves
+# (parallel-runway clusters included).
+CELL_SCAN_UNROLL = 4
 
 # Max coalesce branches (n_runways × (1 + n_bboxes)) the compiled
 # fast path may emit — the datapipe/similarity.py:177 budget pattern.
@@ -272,6 +288,60 @@ def runway_dirs(runways: DataFrame) -> DataFrame:
     )
 
 
+#: (lon, lat, heading, tolerance, unroll consts) → parsed (gate,
+#: value) Columns for the unrolled direct tier.  Expression memo, not
+#: a data/result cache: Columns wrap immutable unresolved expression
+#: trees that resolve per-plan, so reuse across calls (and across
+#: sessions in one JVM) is safe, and it removes the ~0.3 s warm
+#: re-parse of the unrolled SQL from every plan build.
+_DIRECT_TIER_CACHE: dict = {}
+
+
+def _direct_tier_exprs(
+    lon: str, lat: str, heading: str, tolerance_deg: float
+) -> tuple:
+    """(gate, value) Columns of the unrolled grid direct tier — see
+    the call site in :func:`_grid_cell_join` for the full rationale.
+    The gate admits a row only when the whole unrolled evaluation is
+    exact: cell array within CELL_SCAN_UNROLL and every candidate ring
+    within PIP_UNROLL_EDGES (missing candidates guard vacuously-true
+    through coalesce; a present-but-NULL polygon stays admitted — the
+    fragment skips it exactly like the filter form)."""
+    key = (
+        lon, lat, heading, float(tolerance_deg),
+        CELL_SCAN_UNROLL, PIP_UNROLL_EDGES,
+    )
+    hitq = _DIRECT_TIER_CACHE.get(key)
+    if hitq is not None:
+        return hitq
+    lon_s, lat_s, head_s = sql_ident(lon), sql_ident(lat), sql_ident(heading)
+    tol_s = f"{float(tolerance_deg)!r}D"
+    rw_s = "`__rw`"
+    guards, cands = [], []
+    for k in range(CELL_SCAN_UNROLL):
+        poly_s = f"((get({rw_s}, {k})).polygon)"
+        guards.append(
+            f"coalesce(size({poly_s}) <= {PIP_UNROLL_EDGES}, true)"
+        )
+        hit_s = (
+            f"({pip_unrolled_sql(lon_s, lat_s, poly_s)}) AND "
+            f"(abs((get({rw_s}, {k})).direction - {head_s}) <= {tol_s})"
+        )
+        cands.append(
+            f"(CASE WHEN {hit_s} THEN "
+            f"named_struct('n', (get({rw_s}, {k})).name) END)"
+        )
+    out = (
+        F.expr(
+            f"(size({rw_s}) <= {CELL_SCAN_UNROLL}) AND "
+            + " AND ".join(guards)
+        ),
+        F.expr(f"(coalesce({', '.join(cands)})).n"),
+    )
+    _DIRECT_TIER_CACHE[key] = out
+    return out
+
+
 def _grid_cell_join(
     events: DataFrame,
     runways: DataFrame,
@@ -308,7 +378,30 @@ def _grid_cell_join(
     hit = lambda r: point_in_polygon(plon, plat, r["polygon"]) & same_heading(
         r["direction"], phead, tolerance_deg
     )
-    direct = F.get(F.filter(F.col("__rw"), hit), 0)["name"]
+    # Direct tier first-match, UNROLLED AS SQL TEXT (round-13): the
+    # higher-order ``get(filter(__rw, hit), 0)`` ran interpreted per
+    # event — with the ray-cast aggregate and its per-evaluation
+    # ring/sequence allocations it was ~70% of the sf0.1 grid query
+    # (noop 1.45 → 0.53 s).  Cells that fit the unroll budget (≤
+    # CELL_SCAN_UNROLL runways, every ring ≤ PIP_UNROLL_EDGES
+    # vertices — one hoisted row-level gate, so the fragment carries
+    # no per-candidate fallback) evaluate a codegen'd coalesce over
+    # literal indices; each candidate wraps its name in a struct so a
+    # matched NULL name still WINS the first-match (a bare when(hit,
+    # name) would fall through to the next runway).  Rows past the
+    # gate (and NULL __rw from the left join, whose size() is NULL)
+    # take the original filter expression via a per-row branch —
+    # identical values by construction, pinned in
+    # tests/test_geo.py::test_grid_first_match_unrolled_parity.
+    # Rendered as one F.expr parse and MEMOIZED on the generating
+    # parameters: the same unroll built per-call through py4j measured
+    # +1.6 s of plan-build time, and even the warm re-parse of the
+    # text is ~0.3 s a bench driver would pay per plan build
+    # (pip_unrolled_sql docstring).
+    gate_c, val_c = _direct_tier_exprs(lon, lat, heading, tolerance_deg)
+    direct = F.when(gate_c, val_c).otherwise(
+        F.get(F.filter(F.col("__rw"), hit), 0)["name"]
+    )
 
     drop = ["__cx", "__cy", "__rw"]
     if airport_bbox is not None:

@@ -174,3 +174,89 @@ def test_attribution_null_coords_and_heading(spark):
             ).collect()
         }
         assert out == {1: "UNK", 2: "UNK"}
+
+
+def test_point_in_polygon_sql_parity(spark):
+    """SQL-text unrolled ray cast ≡ higher-order ray cast on every
+    ring class it branches on: open/closed quads, concave rings,
+    rings LONGER than the unroll budget (per-row fallback), degenerate
+    2-vertex rings, and NULL polygons — over a point grid crossing all
+    boundaries.  (round-13 opt: the unrolled form codegens and parses
+    as one F.expr; the HOF form is the semantics oracle.)"""
+    from dump1090_postgis_spark.functions.geo import (
+        point_in_polygon_sql,
+    )
+
+    quad_open = [(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (0.0, 1.0)]
+    quad_closed = quad_open + [quad_open[0]]
+    concave = [(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (2.0, 1.0), (0.0, 3.0)]
+    # 12-gon: size > PIP_UNROLL_EDGES → per-row fallback branch
+    import math
+
+    many = [
+        (1.0 + math.cos(2 * math.pi * i / 12),
+         1.0 + math.sin(2 * math.pi * i / 12))
+        for i in range(12)
+    ]
+    degenerate = [(0.0, 0.0), (1.0, 1.0)]
+    polys = [quad_open, quad_closed, concave, many, degenerate, None]
+    pts = [
+        (x / 2.0 + 0.001, y / 2.0 + 0.001)
+        for x in range(-1, 10)
+        for y in range(-1, 8)
+    ]
+    rows = [
+        (float(px), float(py),
+         None if poly is None
+         else [{"lon": lon, "lat": lat} for lon, lat in poly])
+        for px, py in pts
+        for poly in polys
+    ]
+    df = spark.createDataFrame(
+        rows, "px double, py double, poly array<struct<lon:double,lat:double>>"
+    )
+    out = df.select(
+        point_in_polygon(F.col("px"), F.col("py"), F.col("poly")).alias("hof"),
+        F.expr(point_in_polygon_sql("`px`", "`py`", "`poly`")).alias("unr"),
+    ).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.hof == r.unr, r
+
+
+def test_grid_first_match_unrolled_parity(spark):
+    """Grid direct tier with MORE runways per cell than the unroll
+    budget: 6 overlapping same-cell quads (only #4 and #6 match the
+    heading) must still attribute first-match-in-iteration-order via
+    the per-row fallback branch, and a matched runway keeps winning
+    when it is not the first array element."""
+    from dump1090_postgis_spark.operators.attribution import (
+        CELL_SCAN_UNROLL,
+    )
+
+    n = CELL_SCAN_UNROLL + 2
+    sq = [(0.0, 0.0), (0.2, 0.0), (0.2, 0.2), (0.0, 0.2)]
+    rows = [
+        (
+            f"R{i:02d}",
+            # only the last two runways match heading 30
+            30.0 if i >= n - 2 else 210.0,
+            [{"lon": x, "lat": y} for x, y in sq],
+        )
+        for i in range(n)
+    ]
+    rw = spark.createDataFrame(
+        rows,
+        "name string, direction double, polygon array<struct<lon:double,lat:double>>",
+    )
+    ev = _events(spark, [(1, 0.1, 0.1, 30.0), (2, 5.0, 5.0, 30.0)])
+    out = {
+        r.event_id: r.runway
+        for r in attribute_runway(
+            ev, rw, None, branch_budget=0,
+            lon="longitude", lat="latitude", heading="interp_track",
+        ).collect()
+    }
+    # first match in (name, direction) iteration order among heading
+    # matchers = R04 (n-2); event 2 is outside every polygon
+    assert out == {1: f"R{n - 2:02d}", 2: "UNK"}

@@ -213,8 +213,11 @@ def test_attribution_scales_to_full_runways_csv(spark):
     plan = out_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     # no compiled-coalesce blowup: the giant first-match CASE chain
-    # would show once per runway; the join path shows a handful.
-    assert plan.count("CASE WHEN") < 100
+    # would show once per runway (~42k CASEs here); the join path's
+    # unrolled first-match is a CONSTANT ~120 (CELL_SCAN_UNROLL
+    # candidates × PIP_UNROLL_EDGES edge guards), independent of the
+    # dim size — the budget below is well under one CASE per runway.
+    assert plan.count("CASE WHEN") < 500
     out = {r.event_id: r.runway for r in out_df.collect()}
     assert out[1] == "03" and out[2] == "21" and out[3] == "UNK"
 
