@@ -883,14 +883,24 @@ def embedding_near_dup_pairs(
 
     if engine not in ("auto", "join", "vectorized"):
         raise ValueError(f"engine must be auto|join|vectorized, got {engine!r}")
+    # small_proven: the corpus is KNOWN to fit the join-engine work
+    # budget (≤ _EMB_JOIN_MAX_WORK rows×dim ⇒ ≤ ~26 MB of doubles per
+    # verify side) — either the auto gate just proved it, or a forced
+    # 'join' caller supplied a corpus_rows hint under the budget.
+    # Decides the verify JOIN STRATEGY below (round-13, guide §3):
+    # proven-small sides take a deliberate F.broadcast (two
+    # BroadcastHashJoins, no corpus sort — measured exec ×0.42 at
+    # sf0.1); unproven keeps the merge hint (the ×100 lesson: AQE's
+    # runtime broadcast conversion picked a corpus-sized side on a
+    # size mis-estimate and aborted at maxResultSize).  Strategy only
+    # — the per-pair floats are identical either way.
+    small_proven = False
     if engine == "auto":
-        engine = (
-            "vectorized"
-            if work_exceeds(
-                emb, _EMB_JOIN_MAX_WORK, dim, size_hint=corpus_rows
-            )
-            else "join"
-        )
+        big = work_exceeds(emb, _EMB_JOIN_MAX_WORK, dim, size_hint=corpus_rows)
+        engine = "vectorized" if big else "join"
+        small_proven = not big
+    elif engine == "join" and corpus_rows is not None:
+        small_proven = corpus_rows * dim <= _EMB_JOIN_MAX_WORK
     planes = hyperplane_weights(dim, bands, bits_per_band, seed)
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
     base = emb.select(
@@ -1029,15 +1039,24 @@ def embedding_near_dup_pairs(
         lambda s, x: s + x,
     )
     cos = dot_ab / (F.col("_na") * F.col("_nb"))
-    # merge hints: see jaccard_pairs — at ×100 AQE's runtime broadcast
-    # conversion picked a side of this verify join on a size
-    # mis-estimate and aborted collecting 1028 MiB of rows to the
-    # driver (maxResultSize).  The pairs side is output-sized and the
-    # vector sides are corpus-sized; both joins stay sort-merge on the
-    # shared id partitioning at every scale.
+    # Verify join strategy (round-13, guide §3 "pick deliberately"):
+    # the pairs side is output-sized and the vector sides are
+    # corpus-sized.  When small_proven (see the gate above) each
+    # vector side is ≤ _EMB_JOIN_MAX_WORK×8 bytes ≈ 26 MB — a
+    # deliberate F.broadcast turns both verifies into
+    # BroadcastHashJoins with no corpus sort (measured exec ×0.42 at
+    # sf0.1, identical rows).  Otherwise (forced 'join' with no size
+    # proof) keep the merge hints: at ×100 AQE's runtime broadcast
+    # conversion picked a corpus-sized side on a size mis-estimate and
+    # aborted collecting 1028 MiB of rows to the driver
+    # (maxResultSize) — never leave the choice to an estimate.
+    if small_proven:
+        va_j, vb_j = F.broadcast(va), F.broadcast(vb)
+    else:
+        va_j, vb_j = va.hint("merge"), vb.hint("merge")
     return (
-        pairs.join(va.hint("merge"), "id_a")
-        .join(vb.hint("merge"), "id_b")
+        pairs.join(va_j, "id_a")
+        .join(vb_j, "id_b")
         .withColumn("cosine", F.round(cos, 4) + F.lit(0.0))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -142,19 +142,36 @@ def _covered_starts(
 ) -> DataFrame:
     """(id_col, n_tokens, _starts): start positions of frequent grams
     per document — broadcast-hash probe, then a partial-count rollup
-    keyed on the doc id (only matching rows reach the shuffle)."""
+    keyed on the doc id (only matching rows reach the shuffle).
+
+    Gram construction happens AFTER the explode (round-13, guide §4):
+    building the (p, g) struct array up front ran the whole gram
+    concat inside an interpreted ``transform`` (CodegenFallback);
+    exploding just the START INDEX and deriving the gram as a
+    post-Generate scalar projection (element_at + concat_ws over the
+    carried words array) whole-stage-codegens — measured exec ×0.81
+    at sf0.1, identical (p, g) rows (same positions, same concat).
+    ``_pw`` is dropped in the same projection, so the wide rows live
+    only inside the codegen pipeline, never at the join or shuffle."""
     staged = _with_words(spread_for_compute(docs, id_col), text).withColumn(
         "n_tokens", F.col("_pn")
     )
+    # same short-doc gate as _positional_grams: _pn < k ⇒ no k-gram
+    # (sequence() would otherwise COUNT DOWN and fabricate starts)
+    idx = F.when(
+        F.col("_pn") >= k, F.sequence(F.lit(1), F.col("_pn") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
     pos = explode_computed(
-        staged, _positional_grams(k), "_pg", keep=[id_col, "n_tokens"]
+        staged, idx, "_p", keep=[id_col, "n_tokens", "_pw"]
+    ).select(
+        id_col, "n_tokens", "_p", _gram_at(F.col("_p"), k).alias("_g")
     )
     return (
-        pos.join(F.broadcast(freq.select("g")), pos["_pg"]["g"] == F.col("g"))
+        pos.join(F.broadcast(freq.select("g")), pos["_g"] == F.col("g"))
         .groupBy(id_col)
         .agg(
             F.first("n_tokens").alias("n_tokens"),
-            F.collect_list(F.col("_pg")["p"]).alias("_starts"),
+            F.collect_list(F.col("_p")).alias("_starts"),
         )
     )
 

@@ -186,12 +186,27 @@ def bm25_topk(
         (_contrib(i) for i in range(len(query_tokens))),
         F.lit(0).cast("bigint"),
     )
+    # Hit filter (round-13, guide §2.2 "shuffle fewer bytes" + §1.2):
+    # the old form — filter(Σ_tf > 0) ABOVE the projection — was
+    # pushed down by Catalyst with the tf aliases SUBSTITUTED, so the
+    # scan-level predicate re-tokenized the text once PER QUERY TERM
+    # (3 regexp+split per corpus row, then a 4th in the projection).
+    # `exists(words, t IN terms)` is boolean-equivalent (tf ≥ 0, so
+    # Σ_tf > 0 ⇔ some term present) but tokenizes ONCE and
+    # short-circuits on the first hit; applied on `staged` it also
+    # pushes below the spread repartition, so only hit rows shuffle.
+    # Identical row set and scores by construction; bm25 oracle PASS.
+    hit = F.exists(F.col("_w"), lambda t: t.isin(query_tokens))
+    per_doc_hits = staged.filter(hit).select(
+        F.col(id_col),
+        F.size(F.filter(F.col("_w"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("dl"),
+        *tf_cols,
+    )
     scored = (
-        per_doc.crossJoin(F.broadcast(stats))
-        .select(F.col(id_col), score.alias("score_micros"),
-                sum((F.col(f"_tf{i}") for i in range(len(query_tokens))),
-                    F.lit(0).cast("bigint")).alias("_hits"))
-        .filter(F.col("_hits") > 0)
+        per_doc_hits.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), score.alias("score_micros"))
     )
     top = scored.select(id_col, "score_micros").orderBy(
         F.col("score_micros").desc(), F.col(id_col)
