@@ -789,37 +789,59 @@ def collocation_pmi(df, text: str = "text", min_count: int = 5):
     top-k cut could disagree across engines in the last ulp at the
     boundary); pmi itself is emitted rounded.
 
-    Scale shape: one explode for bigrams, one for unigrams (same
-    staged token array), partial-agg counts for both; the bigram→
-    unigram joins are on the token key — vocabulary-sized build
-    sides, AQE broadcasts them when small.  The probability
-    normalizers are single-row broadcast frames.  No windows.
+    Scale shape (round-13, guide §1.2/§2.2 — ONE corpus pass): the
+    previous two-explode form referenced the staged token array from
+    five aggregation consumers (unigram counts ×2 join sides +
+    unigram total, bigram counts, bigram total) and Catalyst inlined
+    the scan+tokenize+explode subtree into EACH — five corpus passes
+    in the physical plan, with runtime exchange reuse measured
+    unreliable here.  Now a single explode emits (token,
+    next-token-or-NULL) per position — every fact derives from its
+    one (a, b) groupBy:
+
+    - unigram count of t  = Σ n_ab over groups with a = t (each
+      position contributes exactly one row, NULL-b for the last
+      token of a doc);
+    - bigram counts/total = the valid-b groups (post-agg filter —
+      group keys can't contaminate each other);
+    - totals are vocabulary-sized rollups.
+
+    The (a, b) aggregate is lazily localCheckpoint'd (the semdedup
+    staging precedent): the first consumer materializes it inside its
+    own job, the other four read the persisted VOCAB-sized blocks —
+    the corpus is scanned, tokenized, exploded, and shuffled exactly
+    once.  All downstream inputs are the same integers as before, so
+    the rounded pmi is bit-identical.  No windows.
     """
     from .dedup import explode_computed, spread_for_compute
 
     staged = spread_for_compute(df).select(_words(F.col(text)).alias("_w"))
-    toks = explode_computed(staged, F.col("_w"), "t", keep=[]).filter(
-        F.col("t") != ""
-    )
-    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
-    n_uni = uni.agg(F.sum("n_t").alias("_nu"))
-
-    big_arr = F.when(
-        F.size("_w") >= 2,
-        F.transform(
-            F.slice(F.col("_w"), 1, F.greatest(F.size("_w") - 1, F.lit(1))),
-            lambda w, i: F.struct(
-                w.alias("a"), F.element_at(F.col("_w"), i + 2).alias("b")
-            ),
+    # (a = w[i], b = w[i+1] | NULL-past-end) for every position i —
+    # F.get is 0-based and NULL past the end (ANSI-safe; element_at
+    # would throw there), so the last token carries b = NULL.
+    pair_arr = F.transform(
+        F.col("_w"),
+        lambda w, i: F.struct(
+            w.alias("a"), F.get(F.col("_w"), i + 1).alias("b")
         ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    bi = explode_computed(staged, big_arr, "_ab", keep=[]).select(
-        F.col("_ab")["a"].alias("a"), F.col("_ab")["b"].alias("b")
-    ).filter((F.col("a") != "") & (F.col("b") != ""))
-    bic = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab")).filter(
-        F.col("n_ab") >= min_count
     )
-    n_bi = bi.groupBy().agg(F.count(F.lit(1)).alias("_nb"))
+    ex = explode_computed(staged, pair_arr, "_ab", keep=[]).select(
+        F.col("_ab")["a"].alias("a"), F.col("_ab")["b"].alias("b")
+    ).filter(F.col("a") != "")
+    bic_all = (
+        ex.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=False)
+    )
+    # a valid bigram needs a non-empty second token; (a, NULL) and
+    # (a, "") rows exist only to carry a's unigram occurrence.
+    _valid_b = F.col("b").isNotNull() & (F.col("b") != "")
+    uni = bic_all.groupBy("a").agg(F.sum("n_ab").alias("n_t")).select(
+        F.col("a").alias("t"), F.col("n_t").cast("bigint").alias("n_t")
+    )
+    n_uni = uni.agg(F.sum("n_t").alias("_nu"))
+    bic = bic_all.filter(_valid_b & (F.col("n_ab") >= min_count))
+    n_bi = bic_all.filter(_valid_b).agg(F.sum("n_ab").alias("_nb"))
 
     ua = uni.select(F.col("t").alias("a"), F.col("n_t").alias("n_a"))
     ub = uni.select(F.col("t").alias("b"), F.col("n_t").alias("n_b"))
