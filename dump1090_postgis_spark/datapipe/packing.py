@@ -219,11 +219,18 @@ def temperature_weights(
     share, surfaced here as the uncapped ``epochs`` column.
 
     Plan: one partial-agg groupBy to source grain (tiny), the
-    normalizer as a broadcast single-row crossJoin (the
-    threshold-frame pattern) — nothing corpus-sized shuffles twice.
+    normalizer as an unpartitioned window SUM over that source-grain
+    frame — bounded by construction (one row per source), so the
+    single-partition window is a few rows, and the corpus is scanned
+    and tokenized exactly ONCE (a normalizer derived from ``stats``
+    as a second aggregate would inline the whole scan+tokenize
+    subtree a second time; exchange reuse does not dedupe it because
+    the two consumers prune different aggregate columns).
     Pair with :func:`mixture_sample` (feeding ``weight`` in as its
     target mixture) for the per-document Bernoulli realization.
     """
+    from pyspark.sql import Window
+
     from .dedup import normalize_text
 
     if tokens is None:
@@ -237,11 +244,11 @@ def temperature_weights(
         )
         .withColumn("_pw", F.pow(F.col("total_tokens").cast("double"), F.lit(alpha)))
     )
-    norm = stats.agg(F.sum("_pw").alias("_z"))
-    p = F.col("_pw") / F.col("_z")
+    z = F.sum("_pw").over(Window.partitionBy())
+    p = F.col("_pw") / z
     b = F.lit(float(budget_tokens))
     return (
-        stats.crossJoin(F.broadcast(norm))
+        stats
         .select(
             source_col,
             "n_docs",

@@ -308,8 +308,11 @@ def stratified_exact_split(
     bounded-cardinality dimensions (source, lang), so the window
     partitioning is the same shape as ntile banding — for
     corpus-with-hot-stratum skew, salt the stratum upstream or fall
-    back to hash_split.  The stratum quota joins back from a tiny
-    broadcast group-count.
+    back to hash_split.  The stratum quota is a ``count(*)`` window
+    over the SAME partitioning as the rank — it rides the rank's one
+    stratum shuffle (no second corpus scan, no group-count join;
+    NULL-stratum rows are real window partitions on both, so the old
+    null-safe-join concern vanishes by construction).
     """
     if not strata:
         raise ValueError("need at least one stratum column")
@@ -317,27 +320,15 @@ def stratified_exact_split(
         F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))
     )
     w = Window.partitionBy(*strata).orderBy(key, F.col(id_col))
-    # Null-safe quota join: a NULL stratum value is a real partition
-    # (the window above already treats it as one), so the group-count
-    # join must not drop it — a plain equi-join on the strata columns
-    # would silently lose every NULL-stratum row.
-    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_n"))
-    counts = counts.select(
-        *[F.col(s).alias(f"_st_{s}") for s in strata], "_n"
-    )
-    cond = None
-    for s in strata:
-        c = F.col(s).eqNullSafe(F.col(f"_st_{s}"))
-        cond = c if cond is None else (cond & c)
+    n_in_stratum = F.count(F.lit(1)).over(Window.partitionBy(*strata))
     # round-before-ceil: see rank_quantile_threshold — frac·n an ulp
     # above an integer must not overshoot the "exactly ceil(frac·n)"
     # contract by one row.
-    take = F.ceil(F.round(F.col("_n") * F.lit(float(frac)), 9)).cast(
+    take = F.ceil(F.round(n_in_stratum * F.lit(float(frac)), 9)).cast(
         "bigint"
     )
     return (
         df.withColumn("_rk", F.row_number().over(w))
-        .join(F.broadcast(counts), cond)
         .select(
             id_col,
             *strata,

@@ -99,14 +99,14 @@ def sliding_hour_counts(
     k = -(-window_s // granularity_s)  # ceil: spill copies per event
     eus = epoch_micros(F.col(ts))
     cols = events.columns
-    base = (
-        events.withColumn("_bucket", F.floor(eus / gran_us))
-        .withColumn("_own", F.lit(True))
-    )
-    # an event at e contributes to trailing windows of targets t in
+    # ONE scan emits the own copy (j=0) and the overlap copies (j>=1)
+    # from a single explode — the previous base ∪ spill shape scanned
+    # the events source twice (no runtime exchange reuse: different
+    # projections), which at scale is a second full corpus pass.
+    # An event at e contributes to trailing windows of targets t in
     # [e, e+window]; targets in bucket+j exist iff e mod gran >= j*gran
     # - window — replicate e forward as a contributor only, never
-    # emitted
+    # emitted.
     # pmod, not %: the inequality assumes the NON-NEGATIVE remainder
     # eus − bucket·gran (bucket floors toward −inf), but Spark's % is
     # sign-of-dividend — for pre-1970 (negative-epoch) timestamps the
@@ -114,17 +114,19 @@ def sliding_hour_counts(
     # boundary-crossing contributors are dropped (undercounted
     # trailing windows).  Out of ADS-B domain, but the operator is
     # generic over any events frame.
-    spill = (
-        events.withColumn("_j", F.explode(F.sequence(F.lit(1), F.lit(k))))
+    both = (
+        events.withColumn("_j", F.explode(F.sequence(F.lit(0), F.lit(k))))
         .filter(
-            F.pmod(eus, F.lit(gran_us))
-            >= F.col("_j").cast("long") * F.lit(gran_us) - F.lit(win_us)
+            (F.col("_j") == 0)
+            | (
+                F.pmod(eus, F.lit(gran_us))
+                >= F.col("_j").cast("long") * F.lit(gran_us) - F.lit(win_us)
+            )
         )
         .withColumn("_bucket", F.floor(eus / gran_us) + F.col("_j"))
-        .withColumn("_own", F.lit(False))
+        .withColumn("_own", F.col("_j") == 0)
         .drop("_j")
     )
-    both = base.unionByName(spill)
     w = (
         Window.partitionBy("_bucket")
         .orderBy(epoch_micros(F.col(ts)))

@@ -2074,20 +2074,27 @@ def q_cohort_retention(spark, sf):
     the week offset — the standard retention triangle every product/
     engagement dashboard is built on.
 
-    Scale shape: first-seen is one partial-agg groupBy(user); the
-    activity set is a distinct projection at (user, week) grain; the
-    cohort attach joins on the user key (AQE broadcasts the
-    user-cardinality side when it fits); the final matrix is a tiny
-    (cohort × week) aggregate.  No windows anywhere.
+    Scale shape: ONE corpus scan and ONE shuffle on the user key —
+    groupBy(user) emits the cohort (min ts) AND the user's distinct
+    activity-week set in the same partial aggregation (the set is
+    bounded by the calendar, not the corpus); exploding it yields
+    (user, week) pairs that are unique by construction, so the final
+    tiny (cohort × week) matrix counts rows instead of paying a
+    countDistinct Expand.  The old two-branch shape (separate
+    first-seen aggregate + distinct activity projection joined on
+    user) scanned events twice with no runtime exchange reuse —
+    verified on the executed plan.  No windows anywhere.
     """
     ev = _ev(spark, sf)
     wk = lambda c: F.date_trunc("week", c)  # noqa: E731 — ISO Monday on both engines
-    first = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("_cohort"))
-    activity = ev.select("user_id", wk(F.col("ts")).alias("_week")).distinct()
+    per_user = ev.groupBy("user_id").agg(
+        wk(F.min("ts")).alias("_cohort"),
+        F.collect_set(wk(F.col("ts"))).alias("_weeks"),
+    )
     return (
-        activity.join(first, "user_id")
+        per_user.select("_cohort", F.explode("_weeks").alias("_week"))
         .groupBy("_cohort", "_week")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .select(
             _fmt(F.col("_cohort")).alias("cohort_s"),
             _fmt(F.col("_week")).alias("week_s"),
