@@ -7,18 +7,12 @@ A lake table has no DDL enforcement; the equivalent is a constraint
 REPORT the pipeline gates on: one row per rule with its violation
 count.
 
-Scale shape: the WHOLE suite — row rules, uniqueness, referential —
-compiles into ONE scan of the fact table.  Row rules are conditional
-counts; a uniqueness rule is ``count(key IS NOT NULL) − count(DISTINCT
-key)`` (algebraically the old group-count ``Σ(n−1)``, computed by the
-same distinct-aggregate shuffle without a second scan); a referential
-rule LEFT-joins the distinct dim keys (broadcast when small) and
-counts unmatched non-NULL fks in the same aggregation.  The previous
-shape paid one extra full scan per uniqueness rule and per FK rule —
-three corpus passes for the flagship report; now every rule rides one
-pass, and the single aggregate row is unpivoted with ``stack``.
-Nothing is row-materialized: a billion violations still cost one
-bigint per rule.
+Scale shape: every rule is a conditional-count aggregate, so the whole
+suite compiles into ONE scan + one partial-agg reduction to a single
+row (unpivoted with stack) — plus one extra aggregation per
+uniqueness rule (group-count on the key) and one broadcast/shuffled
+anti join per referential rule.  Nothing is row-materialized: a
+billion violations still cost one bigint per rule.
 """
 
 from __future__ import annotations
@@ -56,71 +50,69 @@ def check_constraints(
     unique: list[str] | None = None,
     references: list[tuple[str, DataFrame, str]] | None = None,
 ) -> DataFrame:
-    """Constraint report: ``(rule, n_violations)``, one row per rule
-    (row rules first, then uniqueness, then referential — the
-    declaration order).
+    """Constraint report: ``(rule, n_violations)``, one row per rule.
 
     - ``row_rules``: (name, violation-predicate Column) pairs — the
-      helpers above, or any custom predicate.
+      helpers above, or any custom predicate; ONE scan for all.
     - ``unique``: key columns; violation count = rows beyond the first
-      per duplicated key — ``count(key) − count(DISTINCT key)``.
+      per duplicated key (``n - distinct``), from a group-count agg.
     - ``references``: (fk_col, dim_df, pk_col) — orphan fk count via a
-      LEFT join against the DISTINCT dim keys (broadcast when small;
-      the distinct guarantees the join never multiplies fact rows, so
-      every other rule's count is unaffected; NULL fks are not
+      LEFT ANTI join (dim side broadcast when small; NULL fks are not
       orphans, matching SQL FK semantics).
-
-    All rules fold into ONE aggregation over one scan of ``df``.
     """
     if not row_rules and not unique and not references:
         raise ValueError("check_constraints needs at least one rule")
-    unique = unique or []
-    references = references or []
-
-    work = df
-    for i, (fk, dim, pk) in enumerate(references):
-        ref = f"_ref{i}"
-        dkeys = dim.select(F.col(pk).alias(ref)).distinct()
-        work = work.join(dkeys, F.col(fk) == F.col(ref), "left")
-
-    aggs: list[Column] = []
-    # coalesce: F.sum over ZERO rows is NULL — an empty (new)
-    # partition must report 0 violations, not NULL
-    for i, (_n, pred) in enumerate(row_rules):
-        aggs.append(
+    frames = []
+    if row_rules:
+        aggs = [
+            # coalesce: F.sum over ZERO rows is NULL — an empty (new)
+            # partition must report 0 violations, not NULL
             F.coalesce(F.sum(pred.cast("bigint")), F.lit(0))
             .cast("bigint")
             .alias(f"_v{i}")
+            for i, (_n, pred) in enumerate(row_rules)
+        ]
+        one = df.agg(*aggs)
+        # Column-API stack: rule names are caller data (often derived
+        # from column names) — interpolating them into a parsed SQL
+        # string breaks on quotes/spaces and is an injection seam
+        stack_args: list = []
+        for i, (name, _p) in enumerate(row_rules):
+            stack_args += [F.lit(name), F.col(f"_v{i}")]
+        frames.append(
+            one.select(
+                F.stack(F.lit(len(row_rules)), *stack_args).alias(
+                    "rule", "n_violations"
+                )
+            )
         )
-    for i, key in enumerate(unique):
-        n_notnull = F.coalesce(
-            F.sum(F.col(key).isNotNull().cast("bigint")), F.lit(0)
+    for key in unique or []:
+        dup = (
+            df.filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.sum(F.col("_n") - 1).cast("bigint").alias("n_violations")
+            )
+            .select(
+                F.lit(f"unique({key})").alias("rule"),
+                F.coalesce(F.col("n_violations"), F.lit(0)).alias(
+                    "n_violations"
+                ),
+            )
         )
-        aggs.append(
-            (n_notnull - F.countDistinct(F.col(key)))
-            .cast("bigint")
-            .alias(f"_u{i}")
+        frames.append(dup)
+    for fk, dim, pk in references or []:
+        orphans = (
+            df.filter(F.col(fk).isNotNull())
+            .join(dim.select(F.col(pk).alias(fk)), fk, "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(
+                F.lit(f"references({fk})").alias("rule"), "n_violations"
+            )
         )
-    for i, (fk, _dim, _pk) in enumerate(references):
-        orphan = F.col(fk).isNotNull() & F.col(f"_ref{i}").isNull()
-        aggs.append(
-            F.coalesce(F.sum(orphan.cast("bigint")), F.lit(0))
-            .cast("bigint")
-            .alias(f"_r{i}")
-        )
-    one = work.agg(*aggs)
-
-    # Column-API stack: rule names are caller data (often derived
-    # from column names) — interpolating them into a parsed SQL
-    # string breaks on quotes/spaces and is an injection seam
-    stack_args: list = []
-    for i, (name, _p) in enumerate(row_rules):
-        stack_args += [F.lit(name), F.col(f"_v{i}")]
-    for i, key in enumerate(unique):
-        stack_args += [F.lit(f"unique({key})"), F.col(f"_u{i}")]
-    for i, (fk, _dim, _pk) in enumerate(references):
-        stack_args += [F.lit(f"references({fk})"), F.col(f"_r{i}")]
-    n_rules = len(row_rules) + len(unique) + len(references)
-    return one.select(
-        F.stack(F.lit(n_rules), *stack_args).alias("rule", "n_violations")
-    )
+        frames.append(orphans)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
