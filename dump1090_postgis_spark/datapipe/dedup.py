@@ -700,6 +700,26 @@ def embedding_cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _double_sql(x) -> str:
+    """One double as SQL text, round-trip exact: repr() emits the
+    shortest decimal that uniquely identifies the IEEE754 value and
+    Spark's parser rounds correctly, so the parsed literal is
+    bit-identical to ``F.lit(float(x))`` (the operators/attribution.py
+    `{v!r}D` idiom, extended with the non-finite spellings the lexer
+    cannot take a D-suffix on).  Shared by the literal-matrix
+    compilers here and in similarity.py — building such matrices with
+    Column operators costs one py4j round-trip per element (measured
+    ~12k round-trips / ~1.7 s per ivf_pq plan build, round-13 opt)."""
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{x!r}D"
+
+
 def hyperplane_weights(
     dim: int, bands: int, bits_per_band: int, seed: int
 ) -> list[list[float]]:
@@ -931,9 +951,16 @@ def embedding_near_dup_pairs(
     # ×10 (8.3 s → 22-30 s): 2048-term expression trees blow past the
     # codegen splitter and fall back to per-term interpreted eval,
     # costing more than the HOF loop they replace.  Keep the fold.)
-    planes_lit = F.array(*[
-        F.array(*[F.lit(w) for w in p]) for p in planes
-    ])
+    # one F.expr parse of the whole plane matrix — the Column-operator
+    # form paid bands·bits·dim py4j round-trips of plan-build time
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_double_sql(w) for w in p) + ")"
+            for p in planes
+        )
+        + ")"
+    )
     # Stage the double-cast vector as a named column: inlined, the
     # interpreted transform would re-evaluate once per PLANE (32× per
     # row) inside the dots lambda below.

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .costmodel import work_exceeds
-from .dedup import embedding_cosine
+from .dedup import _double_sql, embedding_cosine
 
 
 def brute_force_topk(
@@ -349,6 +349,30 @@ def _collect_centroids(centroids: DataFrame) -> list:
     )
 
 
+def _centroid_structs_sql(rows, id_name: str, id_suffix: str) -> str:
+    """``array(named_struct(...), ...)`` SQL text for collected
+    centroid rows.  Built as TEXT and parsed with one ``F.expr`` call:
+    the equivalent Column-operator construction is k·dim ``F.lit``
+    calls — measured ~12k py4j round-trips / ~1.7 s of driver time per
+    ivf_pq plan build at k=8, dim=64 (round-13 opt; the join5 unroll
+    lesson applied to the centroid compilers).  ``id_suffix`` picks
+    the id literal type ('' = INT like ``F.lit(int)``, 'L' = BIGINT
+    like the old ``.cast('long')``)."""
+    parts = []
+    for r in rows:
+        if r.centroid is None:
+            arr = "CAST(NULL AS ARRAY<DOUBLE>)"
+        elif len(r.centroid) == 0:
+            arr = "CAST(array() AS ARRAY<DOUBLE>)"
+        else:
+            arr = "array(" + ",".join(_double_sql(x) for x in r.centroid) + ")"
+        parts.append(
+            f"named_struct('{id_name}', {int(r.centroid_id)}{id_suffix}, "
+            f"'centroid', {arr})"
+        )
+    return "array(" + ",".join(parts) + ")"
+
+
 def _centroid_literal(centroids: DataFrame, _rows: list | None = None):
     """Plan-time compile of a broadcast-class centroid table into a
     LITERAL array<struct<centroid_id, centroid>> column (the
@@ -360,13 +384,7 @@ def _centroid_literal(centroids: DataFrame, _rows: list | None = None):
     rows = _rows if _rows is not None else _collect_centroids(centroids)
     if not rows or len(rows) * len(rows[0].centroid) > _LITERAL_COMPILE_LIMIT:
         return None
-    return F.array(*[
-        F.struct(
-            F.lit(int(r.centroid_id)).alias("centroid_id"),
-            F.array(*[F.lit(float(x)) for x in r.centroid]).alias("centroid"),
-        )
-        for r in rows
-    ])
+    return F.expr(_centroid_structs_sql(rows, "centroid_id", ""))
 
 
 def _centroid_dim(
@@ -399,26 +417,11 @@ def _centroid_dim(
     spark = centroids.sparkSession
     dim = len(rows[0].centroid) if rows[0].centroid is not None else 0
     if len(rows) * dim <= _LITERAL_COMPILE_LIMIT:
+        # one F.expr parse of the whole literal — see
+        # _centroid_structs_sql for why not k·dim Column operators
         return spark.range(1).select(
-            F.inline(
-                F.array(*[
-                    F.struct(
-                        F.lit(int(r.centroid_id))
-                        .cast("long")
-                        .alias(id_alias),
-                        (
-                            F.lit(None).cast("array<double>")
-                            if r.centroid is None
-                            else F.array(*[
-                                F.lit(None).cast("double")
-                                if x is None
-                                else F.lit(float(x))
-                                for x in r.centroid
-                            ])
-                        ).alias("centroid"),
-                    )
-                    for r in rows
-                ])
+            F.expr(
+                "inline(" + _centroid_structs_sql(rows, id_alias, "L") + ")"
             )
         )
     import pyarrow as pa
