@@ -227,12 +227,35 @@ def minhash_signature(
       pipeline hash-checkable end-to-end (lexicographic min over hex
       is engine-portable: ASCII, binary collation both sides).
     """
-    fam = {"xxhash64": _seeded_hash, "md5": _seeded_md5}[hash_family]
-    sigs = [
-        F.array_min(F.transform(shingles, fam(i)))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    if hash_family not in ("xxhash64", "md5"):
+        raise KeyError(hash_family)
+    # ONE nested transform over the seed sequence instead of num_hashes
+    # separate array_min expressions: same per-element hash invocations
+    # in the same order (seed i is an INT both as sequence element and
+    # as the old literal, so xxhash64 sees identical input types and
+    # md5 the identical digit strings — bit-identical minima), but a
+    # single expression instance (the planes_lit lesson: N separate
+    # interpreted HOF expressions cost ~2× in overhead) and ~40 py4j
+    # calls to build instead of ~30 per seed (round-13 opt).
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    if hash_family == "xxhash64":
+        return F.transform(
+            seeds,
+            lambda i: F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(i, s))
+            ),
+        )
+    return F.transform(
+        seeds,
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(
+                    F.concat(i.cast("string"), F.lit("|"), s)
+                ),
+            )
+        ),
+    )
 
 
 def lsh_candidate_pairs(
