@@ -186,6 +186,75 @@ PINNED_SETS = (
 # under the window with margin for a trailing newline.
 STDOUT_LINE_BUDGET = 1900
 
+# Printed-set continuity (round-13 verdict Next #2): the truncated
+# stdout line used to keep just the slowest-first subset that fit, so
+# a query that got FAST fell out of the printed map and the driver's
+# round-over-round PERF marked it `dropped_from_bench` (5 phantom
+# drops in PERF_r13).  The names the PREVIOUS round's driver artifact
+# printed (BENCH_r13.json) are therefore pinned: they stay in the
+# printed map regardless of rank, and only the REMAINING budget is
+# filled slowest-first.  Append-only — extend with the new round's
+# printed names whenever ranks shift a name in.
+PRINTED_CONTINUITY = frozenset({
+    "agg1_histogram_hour_utc",
+    "agg1_histogram_noids",
+    "agg2_sliding_hour_counts",
+    "agg3_peak_hour_paris",
+    "agg6_session_summaries",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "ann_topk_ivf_pq",
+    "ann_topk_ivf_pq_store",
+    "ann_topk_ivf_pq_store_append",
+    "ann_topk_quantized",
+    "approx_sketch_report",
+    "bm25_rerank",
+    "bm25_search",
+    "collocation_pmi",
+    "containment_pairs",
+    "corpus_shuffle_shard",
+    "cube_priority_flag",
+    "curate_to_shards",
+    "decontaminate_bloom",
+    "decontaminate_fuzzy",
+    "decontaminate_ngram",
+    "dedup_clusters_incremental",
+    "dedup_embedding_lsh",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_minhash_lsh_fast",
+    "dst_histogram_hour_paris",
+    "dst_peak_hour_paris",
+    "embed_then_topk",
+    "gram_novelty",
+    "inverted_postings",
+    "join5_runway_attribution",
+    "join5_runway_attribution_grid",
+    "kmeans_refine",
+    "mad_outliers",
+    "pagerank_event_types",
+    "passage_coverage_filter",
+    "passage_mask_digest",
+    "passage_mine_top",
+    "profile_events",
+    "quality_percentile",
+    "quality_quantile_filter",
+    "sample_top_per_lang",
+    "semdedup_prune",
+    "state1_sessions",
+    "text_repetition",
+    "text_token_rarity",
+    "tfidf_top_terms",
+    "token_zipf",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q3_shipping",
+    "vocab_apply_oov",
+    "vocab_top_tokens",
+    "zorder_bbox_read",
+})
+
 
 def format_bench_output(timings: dict[str, float], sf: float) -> tuple[str, str]:
     """Return ``(full_line, stdout_line)`` for a finished bench run.
@@ -218,9 +287,17 @@ def format_bench_output(timings: dict[str, float], sf: float) -> tuple[str, str]
     payload["n_queries"] = len(timings)
     payload["queries_full"] = "BENCH_FULL.json"
     ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
-    k = len(ranked)
+    # continuity names first (still slowest-first among themselves so
+    # the printed map reads ranked), then the rest slowest-first; the
+    # shrink loop drops from the TAIL, i.e. non-pinned fillers go
+    # before any pinned name — a pinned name is only dropped in the
+    # degenerate case where the pinned set alone overflows the budget.
+    pinned = [kv for kv in ranked if kv[0] in PRINTED_CONTINUITY]
+    filler = [kv for kv in ranked if kv[0] not in PRINTED_CONTINUITY]
+    ordered = pinned + filler
+    k = len(ordered)
     while k > 0:
-        payload["queries"] = dict(ranked[:k])
+        payload["queries"] = dict(ordered[:k])
         stdout_line = json.dumps(payload)
         if len(stdout_line) <= STDOUT_LINE_BUDGET:
             return full_line, stdout_line
@@ -293,7 +370,8 @@ for n in sys.argv[1].split(","):
     df = None
     spark.catalog.clearCache()
     gc.collect()
-    if os.environ.get("SPARK_GRAFT_BENCH_JVMGC", "1") != "0":
+    # spark._jvm is None under Spark Connect (r13 advisor): skip there.
+    if os.environ.get("SPARK_GRAFT_BENCH_JVMGC", "1") != "0" and getattr(spark, "_jvm", None) is not None:
         spark._jvm.System.gc()
 print(json.dumps({"queries": out}))
 """
@@ -439,8 +517,13 @@ def main() -> int:
             # inflation above).  One explicit full GC per run keeps
             # each query measured against a clean heap.  Runs OUTSIDE
             # the timed window; SPARK_GRAFT_BENCH_JVMGC=0 restores the
-            # old behavior for A/B.
-            if os.environ.get("SPARK_GRAFT_BENCH_JVMGC", "1") != "0":
+            # old behavior for A/B.  (spark._jvm is None under Spark
+            # Connect sessions — r13 advisor — so guard the access;
+            # the repo is classic-local today, this is future-proofing.)
+            if (
+                os.environ.get("SPARK_GRAFT_BENCH_JVMGC", "1") != "0"
+                and getattr(spark, "_jvm", None) is not None
+            ):
                 spark._jvm.System.gc()
         timings[name] = round(best, 3)
 

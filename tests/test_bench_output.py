@@ -43,9 +43,20 @@ def test_full_bench_set_fits_capture_window():
     assert parsed["queries_full"] == "BENCH_FULL.json"
     kept = parsed["queries"]
     assert 0 < len(kept) < len(timings)
-    slowest_kept = min(kept.values())
+    # Continuity contract (r13 verdict Next #2): every name the
+    # previous round's driver artifact printed stays in the printed
+    # map regardless of rank, so PERF never reads phantom drops.
+    from bench import PRINTED_CONTINUITY
+
+    pinned_present = PRINTED_CONTINUITY & set(timings)
+    assert pinned_present <= set(kept)
+    # The REMAINING budget is filled slowest-first: any non-pinned
+    # dropped name is no faster than the slowest non-pinned kept one.
+    nonpinned_kept = [v for k, v in kept.items() if k not in PRINTED_CONTINUITY]
     dropped = [v for k, v in timings.items() if k not in kept]
-    assert all(v <= slowest_kept for v in dropped)
+    if nonpinned_kept:
+        assert all(v <= min(nonpinned_kept) for v in dropped)
+    assert all(k not in PRINTED_CONTINUITY for k in timings if k not in kept)
 
 
 def test_truncation_is_deterministic():
