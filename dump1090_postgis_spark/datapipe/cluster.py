@@ -434,15 +434,21 @@ def update_cluster_map(
     # (contract_families' argument, specialized to the increment;
     # min-label CC then restores exact rebuild labels even when a new
     # id undercuts an old component's min).
+    from pyspark.sql import Window
+
     h = F.md5(normalize_text(F.col(text)))
     new_h = new_docs.select(F.col(id_col).alias("_nid"), h.alias("_h"))
-    reps = new_h.groupBy("_h").agg(F.min("_nid").alias("_rep"))
-    # LAZY checkpoint: rep_rows' eager pin below references new_fam
-    # exactly once, so its first (and only) compute happens inside a
-    # job that runs anyway — the barrier the eager form paid bought
-    # nothing.  Every later consumer (fam_edges, agg_members,
-    # cc_new_members) reads the persisted blocks.
-    new_fam = new_h.join(reps, "_h").localCheckpoint(eager=False)
+    # _rep = min id per family as a WINDOW over the family hash: one
+    # exchange on _h instead of groupBy-agg + join-back (two exchanges
+    # + a broadcast build) — identical rows by construction (round-14,
+    # the stratified_split window-over-own-partitioning pattern).
+    # LAZY checkpoint: nb's eager pin below references new_fam through
+    # rep_rows exactly once, so its first (and only) compute happens
+    # inside a job that runs anyway.  Every later consumer (fam_edges,
+    # agg_members, cc_new_members) reads the persisted blocks.
+    new_fam = new_h.withColumn(
+        "_rep", F.min("_nid").over(Window.partitionBy("_h"))
+    ).localCheckpoint(eager=False)
     # At scale pass ``old_hash_components`` — a persisted
     # (_h, component) map, the exact-tier twin of the banded signature
     # store — so the history contributes a store read here, not a
@@ -460,9 +466,14 @@ def update_cluster_map(
             .distinct()
         )
     )
+    # LAZY (round-14): nb's eager pin below is the FIRST consumer — its
+    # broadcast(novel_ids) build materializes these blocks inside a job
+    # that runs anyway (and new_fam's nested lazy checkpoint with them),
+    # so the separate driver barrier the eager form paid bought nothing.
+    # Later consumers (exact_edges, cc_fams, agg_members) read blocks.
     rep_rows = new_fam.filter(F.col("_nid") == F.col("_rep")).join(
         old_hash_comp, "_h", "left"
-    ).localCheckpoint(eager=True)  # (_h, _nid=_rep, component|null)
+    ).localCheckpoint(eager=False)  # (_h, _nid=_rep, component|null)
     exact_edges = rep_rows.filter(F.col("component").isNotNull()).select(
         F.col("_rep").alias("id_a"), F.col("component").alias("id_b")
     ).filter(F.col("id_a") != F.col("id_b"))
@@ -478,7 +489,13 @@ def update_cluster_map(
     novel_docs = new_docs.join(F.broadcast(novel_ids), id_col)
     # Eager-pin the banded rows: referenced three times (touched list,
     # its broadcast build, the union side) — without the pin each
-    # reference re-runs the hash-heavy signature stage.
+    # reference re-runs the hash-heavy signature stage.  (Round-14
+    # measured the lazy form — folding nb/cands/lsh_edges into the
+    # limit-collect job — at ×1.14 warm ABBA: the racing stage
+    # references duplicate compute behind block-manager locks, losing
+    # more than the saved barriers.  Eager pins stand; only rep_rows
+    # and exact_only, each single-referenced by an existing job, went
+    # lazy.)
     nb = minhash_banded(
         novel_docs, text, id_col, num_hashes, bands, hash_family, k=k
     ).localCheckpoint(eager=True)
@@ -529,29 +546,36 @@ def update_cluster_map(
     # materialization.  This is the difference between re-resolving
     # most of a map because a re-crawl day touched most contents
     # (measured ×100: 31 s warm) and a bounded delta pass.
+    # No distinct: lsh_ends feeds a LEFT SEMI join only, which tests
+    # existence — duplicate endpoint ids cannot change its result, and
+    # the dropped distinct is one exchange fewer per increment (r14).
     lsh_ends = (
         lsh_edges.select(F.col("id_a").alias(id_col))
         .union(lsh_edges.select(F.col("id_b").alias(id_col)))
-        .distinct()
     )
-    # LAZY: exact_only's eager pin below references cc_comps exactly
-    # once (the anti-join side), so the one map-store semi-join scan
-    # happens inside that job; the other consumers (cc_fams,
-    # old_affected, untouched) read the persisted blocks.  cc_comps
-    # must be PINNED by exact_only's job rather than left to the final
-    # action, where its 3 remaining references would each re-scan the
-    # old map.
+    # LAZY: the bounded limit-collect below is the first job that
+    # consumes cc_comps (all_edges → star → old_affected broadcasts
+    # it), so the one map-store semi-join scan happens inside that job
+    # — a job that runs regardless — and the later consumers (cc_fams,
+    # old_affected, untouched, exact_only) read the persisted blocks.
     cc_comps = (
         old_map.join(lsh_ends, id_col, "semi")
         .select("component")
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # LAZY (round-14): exact_only's eager pin existed to pin cc_comps
+    # before the final action, but the limit-collect barrier already
+    # does that (star references cc_comps), so the extra sequential
+    # driver barrier bought nothing.  exact_only itself materializes
+    # inside the final action from pinned cc_comps/rep_rows blocks —
+    # its two consumers there (agg_members' broadcast, untouched's
+    # anti-join side) each read component-list-sized work.
     exact_only = (
         exact_edges.select(F.col("id_b").alias("component"))
         .distinct()
         .join(cc_comps, "component", "left_anti")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # family routing: novel rep or CC-component target → CC path;
     # exact-only target → aggregate path
@@ -676,15 +700,15 @@ def update_cluster_map(
         member = nodes.join(comp, "node", "left").select(
             "node", F.coalesce("component", "node").alias("component")
         )
-    canon = member.groupBy("component").agg(
-        F.min("node").alias("_canon"),
-        F.count(F.lit(1)).alias("cluster_size"),
-    )
-    recomputed = member.join(canon, "component").select(
+    # Canonical + size as WINDOWS over the member frame's component:
+    # one exchange instead of groupBy-agg + join-back (r14; identical
+    # values — min/count per component attached to every member row).
+    _wc = Window.partitionBy("component")
+    recomputed = member.select(
         F.col("node").alias(id_col),
         "component",
-        F.col("cluster_size").cast("bigint").alias("cluster_size"),
-        (F.col("node") == F.col("_canon")).alias("is_canonical"),
+        F.count(F.lit(1)).over(_wc).cast("bigint").alias("cluster_size"),
+        (F.col("node") == F.min("node").over(_wc)).alias("is_canonical"),
     )
 
     # --- Aggregate path: exact-only components ----------------------

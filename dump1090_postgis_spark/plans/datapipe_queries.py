@@ -515,17 +515,52 @@ def q_dedup_clusters_incremental(spark, sf):
         pairs = dd.jaccard_pairs(d, cands, threshold=0.5)
         return duplicate_clusters(d, pairs)
 
-    from ..datapipe.cluster import cluster_map_store, corpus_fingerprint
+    from ..datapipe.cluster import (
+        cluster_map_store,
+        corpus_fingerprint,
+        load_cluster_map,
+    )
 
     params = {**_CLUSTER_MAP_PARAMS, "max_bucket_size": None,
               "subset": "mod101"}
+    banded_params = {**params, "artifact": "banded_md5"}
+    hashes_params = {**params, "artifact": "hash_components"}
     # ONE content witness for all three history-side stores below —
     # they persist different derived frames of the SAME `old` corpus,
     # and at 100 TB each corpus_fingerprint is a full column-pruned
     # scan (round-13 opt: 3 identical scans → 1).
     fp = corpus_fingerprint(old)
-    old_map = cluster_map_store(
-        old, cluster_map_old_artifact(sf), _build, params, fingerprint=fp
+    # Warm fast-path (round-14, guide §2.6): the three history-store
+    # opens are independent witness-verify + driver-side parquet opens
+    # — at 100 TB each is remote object-store I/O — so try them
+    # CONCURRENTLY; any that fails (absent/torn/stale) falls back to
+    # the sequential compute-if-missing seam below, in dependency
+    # order (the hashes builder consumes old_map).
+    paths = {
+        "map": cluster_map_old_artifact(sf),
+        "banded": cluster_map_old_artifact(sf) + "_banded",
+        "hashes": cluster_map_old_artifact(sf) + "_hashes",
+    }
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {
+            name: pool.submit(load_cluster_map, spark, p, fp, prm)
+            for (name, p), prm in zip(
+                paths.items(), (params, banded_params, hashes_params)
+            )
+        }
+        loaded = {}
+        for name, fut in futs.items():
+            try:
+                loaded[name] = fut.result()
+            except Exception:
+                loaded[name] = None
+
+    old_map = loaded["map"] if loaded["map"] is not None else (
+        cluster_map_store(
+            old, paths["map"], _build, params, fingerprint=fp
+        )
     )
     # The history's banded signatures through the SAME witness-keyed
     # store (cluster_map_store is a generic derived-frame artifact
@@ -533,12 +568,14 @@ def q_dedup_clusters_incremental(spark, sf):
     # production signature store — instead of re-hashing the history
     # per increment (solo sf0.1: 9.1 → ~4 s; at a real batch/corpus
     # ratio the increment is bounded by the batch alone).
-    old_banded = cluster_map_store(
-        old,
-        cluster_map_old_artifact(sf) + "_banded",
-        lambda d: dd.minhash_banded(d, hash_family="md5"),
-        {**params, "artifact": "banded_md5"},
-        fingerprint=fp,
+    old_banded = loaded["banded"] if loaded["banded"] is not None else (
+        cluster_map_store(
+            old,
+            paths["banded"],
+            lambda d: dd.minhash_banded(d, hash_family="md5"),
+            banded_params,
+            fingerprint=fp,
+        )
     )
 
     def _build_hashes(d):
@@ -555,12 +592,14 @@ def q_dedup_clusters_incremental(spark, sf):
             .distinct()
         )
 
-    old_hashes = cluster_map_store(
-        old,
-        cluster_map_old_artifact(sf) + "_hashes",
-        _build_hashes,
-        {**params, "artifact": "hash_components"},
-        fingerprint=fp,
+    old_hashes = loaded["hashes"] if loaded["hashes"] is not None else (
+        cluster_map_store(
+            old,
+            paths["hashes"],
+            _build_hashes,
+            hashes_params,
+            fingerprint=fp,
+        )
     )
     return update_cluster_map(
         old, old_map, new, hash_family="md5", threshold=0.5,
