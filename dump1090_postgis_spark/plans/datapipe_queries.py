@@ -230,25 +230,43 @@ def q_dedup_minhash_lsh_fast(spark, sf):
     tests.  Reference analog: the dedup maintenance pass,
     database/sql/maintenance.sql:1-16."""
     docs = load_table(spark, sf, "documents")
-    banded = dd.minhash_banded(docs, hash_family="xxhash64")
     path = lsh_banded_artifact(sf)
-    banded.write.mode("overwrite").parquet(path)
+    # Signatures are computed ONCE into checkpoint blocks; the parquet
+    # artifact write COPIES those blocks on a worker thread while the
+    # main thread derives+verifies candidate pairs from the same
+    # blocks (round-14, guide §2.6 — the write and the pair pipeline
+    # are independent consumers of one materialized frame, so the
+    # write no longer sits as a barrier between signature computation
+    # and candidate generation).  The thread is JOINED before this
+    # function returns, so the artifact-completeness contract is
+    # unchanged: the oracle (and any artifact reader) only ever runs
+    # after a completed write, and both the artifact and the returned
+    # pairs come from the SAME single materialization.
+    banded = dd.minhash_banded(docs, hash_family="xxhash64").localCheckpoint(
+        eager=True
+    )
+    _write_err: list[BaseException] = []
+
+    def _write_artifact():
+        try:
+            banded.write.mode("overwrite").parquet(path)
+        except BaseException as exc:  # re-raised on the caller thread
+            _write_err.append(exc)
+
+    _writer = threading.Thread(target=_write_artifact)
+    _writer.start()
     # Cap observability (the 1024 cap truncates mega-families SILENTLY
     # by design): surface what it cost — one count-only groupBy over
-    # the just-persisted id rows, logged so a 100 TB operator sees
-    # dropped-bucket / truncated-member counts next to the pair output.
-    # The audit is observability-ONLY (nothing downstream reads it), so
-    # it runs on a daemon thread and overlaps the candidate/verify work
-    # instead of sitting as a driver barrier between the signature
-    # write and the pair pipeline (guide §2.6 — Spark schedules
-    # concurrent jobs fine; job descriptions are thread-local).  The
-    # log line may land after the pair output — same information,
-    # off the critical path.
-    def _audit(banded_path=path, sf_dir=sf):
+    # the id rows, logged so a 100 TB operator sees dropped-bucket /
+    # truncated-member counts next to the pair output.  The audit is
+    # observability-ONLY (nothing downstream reads it), so it runs on
+    # a daemon thread and overlaps the candidate/verify work instead
+    # of sitting as a driver barrier (guide §2.6 — job descriptions
+    # are thread-local).  It reads the checkpointed frame, not the
+    # parquet, so it needs no ordering against the write thread.
+    def _audit(sf_dir=sf):
         try:
-            cap_row = dd.bucket_cap_stats(
-                spark.read.parquet(banded_path)
-            ).first()
+            cap_row = dd.bucket_cap_stats(banded).first()
             logging.getLogger(__name__).info(
                 "minhash-LSH bucket-cap audit (%s): %d buckets, %d live, "
                 "%d dropped over cap=%s (%d member rows truncated; largest "
@@ -280,11 +298,25 @@ def q_dedup_minhash_lsh_fast(spark, sf):
         # bounded size probe — the break-even is measured in DOCS at
         # the test shingle profile, so rows is the right unit here;
         # per-row width is carried by the measured threshold.)
-        return dd.bucketed_jaccard_pairs(
-            docs, spark.read.parquet(path), threshold=0.5
+        pairs = dd.bucketed_jaccard_pairs(
+            docs, banded, threshold=0.5
+        ).localCheckpoint(eager=True)
+    else:
+        cands = dd.banded_candidate_pairs(banded)
+        pairs = dd.jaccard_pairs(docs, cands, threshold=0.5).localCheckpoint(
+            eager=True
         )
-    cands = dd.banded_candidate_pairs(spark.read.parquet(path))
-    return dd.jaccard_pairs(docs, cands, threshold=0.5)
+    # Pair derivation ran CONCURRENTLY with the artifact write above
+    # (both consume the checkpointed signature blocks); re-join the
+    # writer so the artifact is complete — and any write failure loud —
+    # before the pairs leave this function.  The eager pin on `pairs`
+    # is what buys the overlap: a lazy return would only materialize
+    # at the caller's action, after this join.  Output-bounded by the
+    # near-dup family structure (same frame every consumer collects).
+    _writer.join()
+    if _write_err:
+        raise _write_err[0]
+    return pairs
 
 
 def sql_dedup_minhash_fast() -> str:
